@@ -1,0 +1,23 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Multi-device sharding tests use the virtual devices (the driver separately
+dry-runs the multi-chip path); numerics tests need float64 to check the
+reference-grade identities (~1e-14).
+
+Note: this environment force-registers a TPU platform via sitecustomize, so
+setting ``JAX_PLATFORMS=cpu`` in the environment is not enough -- the config
+must be updated after importing jax and before first use.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
