@@ -170,18 +170,28 @@ class Arnoldi:
             return True
         return False
 
+    def _alpha_scalar(self, alpha, conj=False):
+        """Householder phase factor as a host scalar in the engine dtype."""
+        val = complex(alpha)
+        if conj:
+            val = np.conj(val)
+        if np.dtype(self.dtype).kind != "c":
+            val = val.real
+        return val
+
     def _advance_house(self, Av, k):
         """Householder step (reference: krypy/utils.py:970-994)."""
         N = self._N
         for j in range(k + 1):
             house = self.houses[j]
             Av = Av.at[j:].set(house.apply(Av[j:]))
-            Av = Av.at[j].multiply(np.conj(complex(house.alpha)))
+            Av = Av.at[j].multiply(self._alpha_scalar(house.alpha, conj=True))
         if k + 1 < N:
             house = House(Av[k + 1:])
             self.houses.append(house)
             Av = Av.at[k + 1:].set(
-                house.apply(Av[k + 1:]) * np.conj(complex(house.alpha))
+                house.apply(Av[k + 1:])
+                * self._alpha_scalar(house.alpha, conj=True)
             )
             col = np.asarray(Av[: k + 2, 0])
         else:
@@ -193,7 +203,7 @@ class Arnoldi:
             vnew = vnew.at[k + 1].set(1)
             for j in range(k + 1, -1, -1):
                 vnew = vnew.at[j:].set(self.houses[j].apply(vnew[j:]))
-            self._V.append(vnew * complex(self.houses[-1].alpha))
+            self._V.append(vnew * self._alpha_scalar(self.houses[-1].alpha))
 
     def _advance_gs(self, Av, k):
         """Gram-Schmidt / Lanczos step (reference: krypy/utils.py:995-1045)."""

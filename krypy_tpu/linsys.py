@@ -132,8 +132,16 @@ class LinearSystem:
         return MMlr, Mlr
 
     def get_ip_Minv_B(self):
-        """The inner product implicitly used with the preconditioner M
-        (reference: krypy/linsys.py:163-176)."""
+        r"""The inner product implicitly used with the preconditioner M:
+        :math:`\langle x, y\rangle_{M^{-1}} = x^* B M^{-1} y`
+        (reference: krypy/linsys.py:163-176).
+
+        Note: the reference's operator branch returns ``Minv * ip_B``
+        (i.e. :math:`x^* M^{-1} B y`), which is not a Hermitian form when
+        M and B do not commute, while its callable branch computes the
+        correct :math:`x^* B M^{-1} y`.  We use the Hermitian orientation
+        in both branches.
+        """
         if not isinstance(self.M, utils.IdentityLinearOperator):
             if isinstance(self.Minv, utils.IdentityLinearOperator):
                 raise ArgumentError(
@@ -141,7 +149,7 @@ class LinearSystem:
                     "product that is implicitly defined by M."
                 )
             if isinstance(self.ip_B, utils.LinearOperator):
-                return self.Minv * self.ip_B
+                return self.ip_B * self.Minv
             return lambda x, y: self.ip_B(x, self.Minv * y)
         return self.ip_B
 
@@ -494,15 +502,21 @@ class Cg(_KrylovSolver):
     def _finalize(self):
         super()._finalize()
         if self.store_arnoldi:
-            n_cols = min(len(self._V_cols), self.iter + 1)
-            if n_cols > 0:
-                self.V = jnp.column_stack(self._V_cols[:n_cols])
-            else:
-                self.V = jnp.zeros(
-                    (self.linear_system.N, 0), dtype=self.dtype
-                )
+            # reference semantics: V has iter+1 columns, zero-padded if the
+            # initial residual was exactly zero (krypy/linsys.py:693-696)
+            N = self.linear_system.N
+
+            def stack(cols):
+                cols = cols[: self.iter + 1]
+                pad = self.iter + 1 - len(cols)
+                cols = list(cols) + [
+                    jnp.zeros((N, 1), dtype=self.dtype)
+                ] * pad
+                return jnp.column_stack(cols)
+
+            self.V = stack(self._V_cols)
             if self._P_cols:
-                self.P = jnp.column_stack(self._P_cols[:n_cols])
+                self.P = stack(self._P_cols)
             self.H = self.H[: self.iter + 1, : self.iter]
 
     @staticmethod
