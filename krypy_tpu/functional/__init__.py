@@ -1,0 +1,39 @@
+"""Compile-once TPU solver cores.
+
+This is the production lane of krypy_tpu: each solver is a pure function
+whose whole iteration -- matvec, orthogonalization, Givens QR update,
+convergence check -- lives inside a single ``jax.lax.while_loop``, so a
+solve is ONE XLA dispatch regardless of iteration count.  Fixed-shape
+buffers (sized by ``maxiter``) keep all shapes static; breakdown/invariance
+and non-convergence are reported as status codes in the returned
+:class:`~krypy_tpu.functional.common.SolveResult` instead of exceptions.
+
+All N-dimensional state shards transparently over a ``jax.sharding.Mesh``:
+pass sharded operands (or wrap the call in ``jit`` with sharding
+annotations) and GSPMD turns every inner product into a local partial
+contraction plus an ICI all-reduce.  See :mod:`krypy_tpu.parallel`.
+"""
+
+from .common import (
+    CONVERGED,
+    BREAKDOWN,
+    MAXITER,
+    SolveResult,
+    as_matvec,
+    make_inner,
+)
+from .cg import cg
+from .minres import minres
+from .gmres import gmres
+
+__all__ = [
+    "cg",
+    "minres",
+    "gmres",
+    "SolveResult",
+    "CONVERGED",
+    "MAXITER",
+    "BREAKDOWN",
+    "as_matvec",
+    "make_inner",
+]

@@ -1,0 +1,199 @@
+"""Jitted preconditioned CG core.
+
+Algorithm: the classical coupled two-term recurrence of the reference
+(krypy/linsys.py:593-685) restructured as a single ``lax.while_loop``:
+per iteration one matvec, one preconditioner application, two fused inner
+products (all-reduces on a mesh) and three axpys.  The updated-vs-explicit
+residual policy of the reference (krypy/linsys.py:430-493) is preserved via
+``lax.cond``.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    BREAKDOWN,
+    CONVERGED,
+    MAXITER,
+    SolveResult,
+    apply,
+    as_matvec,
+    make_inner,
+    norm_from_pair,
+    safe_div,
+    system_dtype,
+)
+
+
+class _CgState(NamedTuple):
+    k: jnp.ndarray
+    y: jnp.ndarray          # solution of the preconditioned system
+    Mlr: jnp.ndarray        # left-preconditioned residual
+    MMlr: jnp.ndarray       # M-applied residual
+    p: jnp.ndarray          # search direction
+    rho: jnp.ndarray        # <Mlr, MMlr> = squared residual M^{-1}-norm
+    rho_old: jnp.ndarray
+    cur_rel: jnp.ndarray    # current relative residual (drives the loop)
+    resnorms: jnp.ndarray
+    errnorms: jnp.ndarray   # scalar-0 buffer when unused
+    warn_explicit: jnp.ndarray
+
+
+def cg(
+    A,
+    b,
+    *,
+    M=None,
+    Ml=None,
+    Mr=None,
+    ip=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=None,
+    explicit_residual=False,
+    exact_solution=None,
+):
+    r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
+    preconditioned CG in one compiled while_loop.
+
+    :param A: matvec callable / matrix / LinearOperator.
+    :param b: right hand side ``(N,)`` (or ``(N,1)``, returned likewise).
+    :param M,Ml,Mr: optional preconditioner matvecs.
+    :param ip: inner product (None / matrix B / scalar callable).
+    :param tol: relative residual tolerance.
+    :param maxiter: max iterations (static; default N).
+    :param explicit_residual: recompute the true residual every iteration.
+    :param exact_solution: optional ``(N,)`` for error-norm tracking.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult`.
+    """
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    maxiter = N if maxiter is None else int(maxiter)
+
+    A_mv = as_matvec(A)
+    M_mv = as_matvec(M)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    pair, _ = make_inner(ip)
+
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    x0v = jnp.zeros(N, dtype) if x0 is None else jnp.asarray(x0).reshape(-1).astype(dtype)
+    exact = (
+        None
+        if exact_solution is None
+        else jnp.asarray(exact_solution).reshape(-1).astype(dtype)
+    )
+
+    def MlAMr(v):
+        return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+
+    def residual_norm(x):
+        """||M Ml (b - A x)||_{M^{-1}} and the two residual forms."""
+        Mlr = apply(Ml_mv, bv - A_mv(x))
+        MMlr = apply(M_mv, Mlr)
+        return Mlr, MMlr, norm_from_pair(pair, Mlr, MMlr)
+
+    # rhs norm ||M Ml b||_{M^{-1}}
+    Mlb = apply(Ml_mv, bv)
+    MMlb = apply(M_mv, Mlb)
+    MMlb_norm = norm_from_pair(pair, Mlb, MMlb)
+
+    # initial residual
+    Mlr0, MMlr0, MMlr0_norm = residual_norm(x0v)
+    rel0 = safe_div(MMlr0_norm, MMlb_norm)
+
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    resnorms0 = jnp.full(maxiter + 1, jnp.nan, real_dtype).at[0].set(rel0)
+    track_err = exact is not None
+    if track_err:
+        def errnorm(x):
+            return norm_from_pair(pair, exact - x)
+
+        errnorms0 = jnp.full(maxiter + 1, jnp.nan, real_dtype).at[0].set(
+            errnorm(x0v)
+        )
+    else:
+        errnorms0 = jnp.zeros(0, real_dtype)
+
+    def xk_of(y):
+        return x0v + apply(Mr_mv, y)
+
+    def cond(state):
+        return (state.cur_rel > tol) & (state.k < maxiter)
+
+    def body(state):
+        k = state.k
+        p = jnp.where(
+            k > 0,
+            state.MMlr + safe_div(state.rho, state.rho_old) * state.p,
+            state.p,
+        )
+        Ap = MlAMr(p)
+        alpha = jnp.real(safe_div(state.rho, jnp.real(pair(p, Ap))))
+
+        y = state.y + alpha * p
+        Mlr = state.Mlr - alpha * Ap
+        MMlr = apply(M_mv, Mlr)
+        MMlr_norm = norm_from_pair(pair, Mlr, MMlr)
+        rho_new = MMlr_norm**2
+
+        rel_upd = safe_div(MMlr_norm, MMlb_norm)
+        need_explicit = (
+            explicit_residual | (rel_upd <= tol) | (k + 1 == maxiter)
+        )
+
+        def with_explicit(_):
+            _, _, rkn = residual_norm(xk_of(y))
+            return safe_div(rkn, MMlb_norm), rkn**2
+
+        def without(_):
+            return rel_upd, rho_new
+
+        rel, rho_corrected = lax.cond(need_explicit, with_explicit, without,
+                                      None)
+        warn = state.warn_explicit | (
+            (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
+        )
+
+        resnorms = state.resnorms.at[k + 1].set(rel)
+        if track_err:
+            errnorms = state.errnorms.at[k + 1].set(errnorm(xk_of(y)))
+        else:
+            errnorms = state.errnorms
+
+        return _CgState(
+            k + 1, y, Mlr, MMlr, p, rho_corrected, state.rho, rel,
+            resnorms, errnorms, warn,
+        )
+
+    init = _CgState(
+        jnp.asarray(0),
+        jnp.zeros(N, dtype),
+        Mlr0,
+        MMlr0,
+        MMlr0,
+        MMlr0_norm**2,
+        jnp.asarray(1.0, real_dtype),
+        rel0,
+        resnorms0,
+        errnorms0,
+        jnp.asarray(False),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    x = xk_of(final.y)
+    status = jnp.where(final.cur_rel <= tol, CONVERGED, MAXITER)
+    return SolveResult(
+        x=x if flat else x[:, None],
+        resnorms=final.resnorms,
+        niter=final.k,
+        status=status,
+        errnorms=final.errnorms if track_err else None,
+    )

@@ -1,0 +1,269 @@
+"""Jitted preconditioned MINRES core.
+
+Lanczos three-term recurrence + incremental QR by two lagged Givens
+rotations + three-column solution recurrence, O(1) memory in the iteration
+count (reference: krypy/linsys.py:791-853).  The whole iteration compiles
+into one ``lax.while_loop``: per step one matvec, one optional M apply, two
+fused inner products (mesh all-reduces) and a handful of axpys.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    BREAKDOWN,
+    CONVERGED,
+    MAXITER,
+    SolveResult,
+    apply,
+    as_matvec,
+    breakdown_threshold,
+    givens_traced,
+    make_inner,
+    norm_from_pair,
+    safe_div,
+    system_dtype,
+)
+
+
+class _MinresState(NamedTuple):
+    k: jnp.ndarray
+    y: jnp.ndarray            # solution of the preconditioned system
+    v_old: jnp.ndarray        # Lanczos basis vectors (V = M P)
+    v_cur: jnp.ndarray
+    p_old: jnp.ndarray        # dual basis (only meaningful with M)
+    p_cur: jnp.ndarray
+    beta: jnp.ndarray         # subdiagonal H[k, k-1]
+    w1: jnp.ndarray           # solution recurrence columns
+    w2: jnp.ndarray
+    ry: jnp.ndarray           # 2-vector: [updated residual, next]
+    c1: jnp.ndarray           # lagged Givens rotations
+    s1: jnp.ndarray
+    c2: jnp.ndarray
+    s2: jnp.ndarray
+    hsq: jnp.ndarray
+    cur_rel: jnp.ndarray
+    invariant: jnp.ndarray
+    resnorms: jnp.ndarray
+    errnorms: jnp.ndarray
+    warn_explicit: jnp.ndarray
+
+
+def minres(
+    A,
+    b,
+    *,
+    M=None,
+    Ml=None,
+    Mr=None,
+    ip=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=None,
+    explicit_residual=False,
+    exact_solution=None,
+):
+    r"""Solve :math:`M M_l A M_r y = M M_l b` (:math:`M_l A M_r`
+    self-adjoint w.r.t. ``ip``), :math:`x = M_r y`, with preconditioned
+    MINRES in one compiled while_loop.
+
+    Parameters and result as in :func:`krypy_tpu.functional.cg.cg`.
+    """
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    m = N if maxiter is None else int(maxiter)
+
+    A_mv = as_matvec(A)
+    M_mv = as_matvec(M)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    pair, _ = make_inner(ip)
+    with_M = M_mv is not None
+
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    x0v = (
+        jnp.zeros(N, dtype)
+        if x0 is None
+        else jnp.asarray(x0).reshape(-1).astype(dtype)
+    )
+    exact = (
+        None
+        if exact_solution is None
+        else jnp.asarray(exact_solution).reshape(-1).astype(dtype)
+    )
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    brk = breakdown_threshold(dtype)
+
+    def MlAMr(v):
+        return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+
+    def residual_norm(x):
+        Mlr = apply(Ml_mv, bv - A_mv(x))
+        MMlr = apply(M_mv, Mlr)
+        return norm_from_pair(pair, Mlr, MMlr)
+
+    Mlb = apply(Ml_mv, bv)
+    MMlb = apply(M_mv, Mlb)
+    MMlb_norm = norm_from_pair(pair, Mlb, MMlb)
+
+    Mlr0 = apply(Ml_mv, bv - A_mv(x0v))
+    MMlr0 = apply(M_mv, Mlr0)
+    MMlr0_norm = norm_from_pair(pair, Mlr0, MMlr0)
+    rel0 = safe_div(MMlr0_norm, MMlb_norm)
+
+    resnorms0 = jnp.full(m + 1, jnp.nan, real_dtype).at[0].set(rel0)
+    track_err = exact is not None
+    if track_err:
+        def errnorm(x):
+            return norm_from_pair(pair, exact - x)
+
+        errnorms0 = jnp.full(m + 1, jnp.nan, real_dtype).at[0].set(
+            errnorm(x0v)
+        )
+    else:
+        errnorms0 = jnp.zeros(0, real_dtype)
+
+    inv0 = safe_div(1.0, MMlr0_norm)
+    v_cur0 = MMlr0 * inv0
+    p_cur0 = Mlr0 * inv0 if with_M else jnp.zeros(0, dtype)
+
+    def xk_of(y):
+        return x0v + apply(Mr_mv, y)
+
+    def cond(state):
+        return (
+            (state.cur_rel > tol)
+            & (state.k < m)
+            & jnp.logical_not(state.invariant)
+        )
+
+    def body(state):
+        k = state.k
+        # Lanczos step on the dual basis (reference:
+        # krypy/utils.py:1000-1034)
+        w = MlAMr(state.v_cur)
+        w = w - state.beta * (state.p_old if with_M else state.v_old)
+        alpha = jnp.real(pair(state.v_cur, w))
+        w = w - alpha * (state.p_cur if with_M else state.v_cur)
+        if with_M:
+            Mw = apply(M_mv, w)
+            beta_new = norm_from_pair(pair, w, Mw)
+        else:
+            beta_new = norm_from_pair(pair, w)
+
+        hsq = state.hsq + state.beta**2 + alpha**2 + beta_new**2
+        invariant = beta_new <= brk * jnp.sqrt(hsq)
+        inv_b = jnp.where(invariant, 0.0, safe_div(1.0, beta_new))
+
+        v_new = (Mw if with_M else w) * inv_b
+        p_new = w * inv_b if with_M else state.p_cur
+
+        # QR update of the tridiagonal column
+        # [0, beta_k, alpha_k, beta_{k+1}] by the two lagged rotations
+        r0 = state.c1 * 0.0 + state.s1 * state.beta  # G1 on [0, beta]
+        r1 = state.c1 * state.beta
+        r2 = alpha
+        r3 = beta_new
+        # G2 on [r1, r2]
+        r1_rot = state.c2 * r1 + state.s2 * r2
+        r2_rot = -jnp.conj(state.s2) * r1 + state.c2 * r2
+        c_new, s_new, r_diag = givens_traced(r2_rot, r3.astype(dtype))
+
+        # rhs rotation: updated residual tracking
+        y0 = state.ry[0]
+        ry0 = c_new * y0
+        ry1 = -jnp.conj(s_new) * y0
+
+        # solution recurrence
+        z = (state.v_cur - r0 * state.w1 - r1_rot * state.w2) * safe_div(
+            1.0, jnp.real(r_diag)
+        )
+        yk = state.y + ry0 * z
+
+        rel_upd = safe_div(jnp.abs(ry1), MMlb_norm)
+        need_explicit = (
+            explicit_residual | (rel_upd <= tol) | (k + 1 == m) | invariant
+        )
+
+        def with_explicit(_):
+            rkn = residual_norm(xk_of(yk))
+            return safe_div(rkn, MMlb_norm)
+
+        rel = lax.cond(need_explicit, with_explicit,
+                       lambda _: rel_upd, None)
+        warn = state.warn_explicit | (
+            (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
+        )
+
+        resnorms = state.resnorms.at[k + 1].set(rel)
+        if track_err:
+            errnorms = state.errnorms.at[k + 1].set(errnorm(xk_of(yk)))
+        else:
+            errnorms = state.errnorms
+
+        return _MinresState(
+            k + 1,
+            yk,
+            state.v_cur,
+            v_new,
+            state.p_cur if with_M else state.p_old,
+            p_new,
+            beta_new,
+            state.w2,
+            z,
+            jnp.array([ry1, jnp.zeros((), ry1.dtype)]),
+            state.c2,
+            state.s2,
+            jnp.real(c_new),
+            s_new,
+            hsq,
+            rel,
+            invariant,
+            resnorms,
+            errnorms,
+            warn,
+        )
+
+    zero_vec = jnp.zeros(N, dtype)
+    init = _MinresState(
+        jnp.asarray(0),
+        zero_vec,
+        zero_vec,
+        v_cur0,
+        jnp.zeros_like(p_cur0),
+        p_cur0,
+        jnp.asarray(0.0, real_dtype),
+        zero_vec,
+        zero_vec,
+        jnp.array([MMlr0_norm.astype(dtype), jnp.asarray(0.0, dtype)]),
+        jnp.asarray(1.0, real_dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(1.0, real_dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, real_dtype),
+        rel0,
+        MMlr0_norm == 0,
+        resnorms0,
+        errnorms0,
+        jnp.asarray(False),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    x = xk_of(final.y)
+    status = jnp.where(
+        final.cur_rel <= tol,
+        CONVERGED,
+        jnp.where(final.invariant, BREAKDOWN, MAXITER),
+    )
+    return SolveResult(
+        x=x if flat else x[:, None],
+        resnorms=final.resnorms,
+        niter=final.k,
+        status=status,
+        errnorms=final.errnorms if track_err else None,
+    )

@@ -1,0 +1,266 @@
+"""Tests for the jitted functional solver cores: cross-checked against the
+eager reference-compatible lane, the golden values, and exercised under
+jit + multi-device sharding (8 virtual CPU devices)."""
+
+import numpy
+import pytest
+import jax
+import jax.numpy as jnp
+
+import krypy_tpu
+from krypy_tpu import functional as F
+from krypy_tpu import ops, parallel
+
+import helpers
+
+
+def _readme_system():
+    A = numpy.diag([1.0e-3] + list(range(2, 101)))
+    b = numpy.ones(100)
+    return A, b
+
+
+@pytest.mark.parametrize(
+    "fn, golden",
+    [
+        (F.cg, 1004.1873775173957),
+        (F.minres, 1004.187372488912),
+        (F.gmres, 1004.1873724888546),
+    ],
+)
+def test_golden_functional(fn, golden):
+    A, b = _readme_system()
+    res = fn(jnp.asarray(A), jnp.asarray(b), tol=1e-5)
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    assert abs(numpy.sum(numpy.abs(x)) - golden) < 1e-11 * golden
+    # resnorm bookkeeping: entries beyond niter are NaN
+    n = int(res.niter)
+    assert numpy.isfinite(numpy.asarray(res.resnorms[: n + 1])).all()
+    if n < res.resnorms.shape[0] - 1:
+        assert numpy.isnan(numpy.asarray(res.resnorms[n + 1:])).all()
+
+
+@pytest.mark.parametrize("ortho", ["cgs", "cgs2", "mgs", "dmgs"])
+def test_gmres_ortho_modes(ortho):
+    A, b = _readme_system()
+    res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-8, ortho=ortho)
+    x = numpy.asarray(res.x)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel <= 1e-8
+
+
+@pytest.mark.parametrize("solver_name", ["cg", "minres", "gmres"])
+def test_matches_eager_lane(solver_name):
+    """Functional and eager lanes agree on residual histories."""
+    A = helpers.matrix_spd()
+    b = A @ numpy.ones(10)
+    fn = getattr(F, solver_name)
+    res = fn(jnp.asarray(A), jnp.asarray(b), tol=1e-12, maxiter=10)
+
+    from krypy_tpu import linsys
+
+    ls = linsys.LinearSystem(
+        A, b.reshape(-1, 1), self_adjoint=True, positive_definite=True
+    )
+    eager_cls = {
+        "cg": linsys.Cg,
+        "minres": linsys.Minres,
+        "gmres": linsys.Gmres,
+    }[solver_name]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eager = eager_cls(ls, tol=1e-12, maxiter=10)
+
+    n = int(res.niter)
+    func_resnorms = numpy.asarray(res.resnorms[: n + 1])
+    eager_resnorms = numpy.asarray(eager.resnorms)
+    assert len(eager_resnorms) == n + 1
+    numpy.testing.assert_allclose(
+        func_resnorms, eager_resnorms, rtol=1e-6, atol=1e-12
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(res.x)[:, None]
+        if numpy.asarray(res.x).ndim == 1
+        else numpy.asarray(res.x),
+        numpy.asarray(eager.xk)[:, 0][:, None],
+        rtol=1e-8,
+        atol=1e-10,
+    )
+
+
+def test_preconditioned_matches_eager():
+    """Two-sided preconditioning + M with custom ip agrees across lanes."""
+    A = helpers.matrix_spd()
+    b = A @ numpy.ones(10)
+    Mdiag = numpy.linspace(1, 2, 10)
+    ip_diag = numpy.linspace(1, 5, 10)
+
+    res = F.cg(
+        jnp.asarray(A),
+        jnp.asarray(b),
+        M=lambda x: x / Mdiag,
+        ip=jnp.diag(jnp.asarray(ip_diag)),
+        tol=1e-10,
+        maxiter=20,
+    )
+
+    from krypy_tpu import linsys
+    import warnings
+
+    # A must be self-adjoint wrt ip_B for CG; the diagonal case is
+    B = numpy.diag(ip_diag)
+    A_sa = numpy.linalg.inv(B) @ (B @ A)  # = A (diagonal); keep explicit
+    ls = linsys.LinearSystem(
+        A_sa,
+        b.reshape(-1, 1),
+        M=numpy.diag(1.0 / Mdiag),
+        Minv=numpy.diag(Mdiag),
+        ip_B=B,
+        self_adjoint=True,
+        positive_definite=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eager = linsys.Cg(ls, tol=1e-10, maxiter=20)
+
+    n = int(res.niter)
+    numpy.testing.assert_allclose(
+        numpy.asarray(res.resnorms[: n + 1]),
+        numpy.asarray(eager.resnorms),
+        rtol=1e-6,
+        atol=1e-12,
+    )
+
+
+def test_explicit_residual_and_errnorms():
+    A, b = _readme_system()
+    exact = numpy.linalg.solve(A, b)
+    res = F.gmres(
+        jnp.asarray(A),
+        jnp.asarray(b),
+        tol=1e-6,
+        explicit_residual=True,
+        exact_solution=jnp.asarray(exact),
+    )
+    n = int(res.niter)
+    assert res.errnorms is not None
+    errs = numpy.asarray(res.errnorms[: n + 1])
+    assert numpy.isfinite(errs).all()
+    assert errs[-1] < errs[0]
+
+
+def test_zero_rhs():
+    A, _ = _readme_system()
+    res = F.cg(jnp.asarray(A), jnp.zeros(100), tol=1e-5)
+    assert int(res.niter) == 0
+    assert float(jnp.linalg.norm(res.x)) == 0
+    res = F.gmres(jnp.asarray(A), jnp.zeros(100), tol=1e-5)
+    assert int(res.niter) == 0
+
+
+def test_breakdown_status():
+    """Lucky breakdown: Krylov space invariant after 1 step."""
+    A = numpy.diag(numpy.arange(1.0, 11.0))
+    b = numpy.eye(10)[:, 0]  # eigenvector
+    res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-30, maxiter=5)
+    assert int(res.status) in (F.CONVERGED, F.BREAKDOWN)
+    x = numpy.asarray(res.x)
+    assert numpy.linalg.norm(A @ x - b) < 1e-12
+
+
+def test_stencil_operators():
+    """Matrix-free stencils agree with dense assembly."""
+    nx = 6
+    lap = ops.poisson_2d(nx)
+    N = nx * nx
+    dense = numpy.zeros((N, N))
+    for j in range(N):
+        e = numpy.zeros(N)
+        e[j] = 1.0
+        dense[:, j] = numpy.asarray(lap(jnp.asarray(e)))
+    # symmetric positive definite
+    numpy.testing.assert_allclose(dense, dense.T, atol=1e-12)
+    evals = numpy.linalg.eigvalsh(dense)
+    assert evals.min() > 0
+    # diag attribute matches
+    numpy.testing.assert_allclose(
+        numpy.diag(dense), numpy.asarray(lap.diag), rtol=1e-12
+    )
+
+    cd = ops.convection_diffusion_2d(nx)
+    for j in [0, N // 2, N - 1]:
+        e = numpy.zeros(N)
+        e[j] = 1.0
+        col = numpy.asarray(cd(jnp.asarray(e)))
+        assert numpy.isfinite(col).all()
+
+
+def test_sharded_cg_matches_single_device():
+    """CG on an 8-device mesh gives the same answer as single-device."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual devices"
+    nx = 16  # N = 256 divisible by 8
+    lap = ops.poisson_2d(nx)
+    N = nx * nx
+    b = jnp.ones(N)
+
+    res_single = F.cg(lap, b, tol=1e-10, maxiter=400)
+
+    mesh = parallel.make_mesh(8)
+    res_sharded = parallel.sharded_solve(
+        F.cg, lap, b, mesh=mesh, tol=1e-10, maxiter=400
+    )
+    assert int(res_sharded.niter) == int(res_single.niter)
+    numpy.testing.assert_allclose(
+        numpy.asarray(res_sharded.x),
+        numpy.asarray(res_single.x),
+        rtol=1e-8,
+    )
+    # solution sharded over the mesh
+    shardings = {
+        s.device for s in res_sharded.x.addressable_shards
+    }
+    assert len(shardings) == 8
+
+
+def test_sharded_gmres_convection():
+    """GMRES with Jacobi preconditioning on a sharded nonsymmetric
+    convection-diffusion operator."""
+    nx = 16
+    cd = ops.convection_diffusion_2d(nx)
+    Mj = ops.jacobi_preconditioner(cd)
+    N = nx * nx
+    b = jnp.ones(N)
+    mesh = parallel.make_mesh(8)
+    res = parallel.sharded_solve(
+        F.gmres, cd, b, mesh=mesh, Ml=Mj, tol=1e-8, maxiter=120
+    )
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    r = numpy.asarray(Mj(jnp.asarray(numpy.ones(N)) * 0 + (b - cd(jnp.asarray(x)))))
+    rel = numpy.linalg.norm(r) / numpy.linalg.norm(numpy.asarray(Mj(b)))
+    assert rel <= 1e-7
+
+
+def test_restarted_gmres_functional():
+    # well-conditioned system: GMRES(10) alone fails, restarts converge
+    A = numpy.diag(numpy.arange(2.0, 102.0))
+    b = numpy.ones(100)
+    res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=10)
+    assert int(res.status) == F.MAXITER
+    from krypy_tpu.functional.gmres import restarted_gmres
+
+    res = restarted_gmres(
+        jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=10,
+        max_restarts=30,
+    )
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel <= 1e-10
+    # concatenated residual history is monotonically reasonable
+    r = numpy.asarray(res.resnorms)
+    assert r[-1] <= 1e-10
