@@ -24,12 +24,23 @@ from .common import (
 )
 from .cg import cg
 from .minres import minres
-from .gmres import gmres
+from .gmres import gmres, restarted_gmres
+from .deflation import (
+    RecyclingGmres,
+    deflated_gmres,
+    ritz_deflation_vectors,
+    weighted_qr,
+)
 
 __all__ = [
     "cg",
     "minres",
     "gmres",
+    "restarted_gmres",
+    "deflated_gmres",
+    "RecyclingGmres",
+    "ritz_deflation_vectors",
+    "weighted_qr",
     "SolveResult",
     "CONVERGED",
     "MAXITER",

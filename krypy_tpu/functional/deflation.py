@@ -1,0 +1,303 @@
+r"""Jitted deflated GMRES and the TPU-native recycling loop.
+
+Deflation in the functional lane (reference semantics:
+krypy/deflation.py:32-143, rebuilt for compile-once execution):
+
+1. the deflation basis U (static width d) is orthonormalized on device in
+   the relevant inner product;
+2. the operator is wrapped as :math:`v \mapsto (I-P)\,M_l A M_r\,v` where
+   P is the oblique projection with range
+   :math:`\operatorname{colspan}(M_lAM_rU)` and kernel
+   :math:`\operatorname{colspan}(U)^\perp`, applied twice per Stewart's
+   round-off analysis;
+3. every candidate solution is corrected by solving the d-dimensional
+   deflation component of its residual;
+4. the Gram column :math:`\langle U, M_lAM_r v_k\rangle` is captured each
+   iteration into the C buffer carried through the while_loop, so the
+   spectral machinery (Ritz values for recycling) has all small matrices
+   available after ONE device dispatch.
+
+All N-dim work (QR of U, projection applications, correction) consists of
+``(d, N)``-by-``(N,)`` contractions that shard over the mesh like the
+solver itself; the d x d factors are replicated.
+"""
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import SolveResult, apply, as_matvec, make_inner, safe_div
+# note: the package re-exports the gmres *function* under the same name,
+# so bind the submodule explicitly through sys.modules
+import importlib
+
+_gmres_mod = importlib.import_module("krypy_tpu.functional.gmres")
+
+__all__ = [
+    "deflated_gmres",
+    "weighted_qr",
+    "ritz_deflation_vectors",
+    "RecyclingGmres",
+]
+
+
+def weighted_qr(U, ip=None, passes=2):
+    """Orthonormalize the columns of ``(N, d)`` in the ``ip`` inner
+    product via blocked classical Gram-Schmidt (``passes`` sweeps).
+
+    Returns ``(Q, R)`` with R upper triangular; jit-friendly (d static).
+    """
+    pair, rows = make_inner(ip)
+    N, d = U.shape
+    if d == 0:
+        return U, jnp.zeros((0, 0), U.dtype)
+    cols = []
+    R = jnp.zeros((d, d), U.dtype)
+    for i in range(d):
+        v = U[:, i]
+        for _ in range(passes):
+            if cols:
+                Q = jnp.stack(cols, axis=0)  # (i, N)
+                coeffs = rows(Q, v)
+                v = v - jnp.dot(coeffs, Q)
+                R = R.at[:i, i].add(coeffs)
+        nrm = jnp.sqrt(jnp.maximum(jnp.real(pair(v, v)), 0.0))
+        R = R.at[i, i].set(nrm.astype(U.dtype))
+        v = v * safe_div(1.0, nrm)
+        cols.append(v)
+    return jnp.stack(cols, axis=1), R
+
+
+class DeflationOperator(NamedTuple):
+    """Precomputed deflation data (a pytree; closes over no tracers)."""
+
+    Uo: jnp.ndarray      # (N, d) orthonormalized deflation basis
+    AU: jnp.ndarray      # (N, d) = MlAMr Uo
+    W2: jnp.ndarray      # (N, d) orthonormal basis of AU (in ip)
+    G: jnp.ndarray       # (d, d) = <Uo, W2>, the oblique coupling
+    E: jnp.ndarray       # (d, d) = <Uo, AU>
+
+
+def build_deflation(A, U, *, M=None, Ml=None, Mr=None, ip=None,
+                    ip_defl=None):
+    """Assemble the deflation data for basis U (shape ``(N, d)``).
+
+    :param ip: solver inner product (defines the projection geometry).
+    :param ip_defl: inner product in which U is orthonormalized (the
+      :math:`M^{-1}`-product when M is present; defaults to ``ip``).
+    """
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    pair, rows = make_inner(ip)
+
+    U = jnp.asarray(U)
+    Uo, _ = weighted_qr(U, ip_defl if ip_defl is not None else ip)
+    AUcols = jax.vmap(
+        lambda u: apply(Ml_mv, A_mv(apply(Mr_mv, u))), in_axes=1,
+        out_axes=1,
+    )(Uo) if U.shape[1] else Uo
+    W2, _ = weighted_qr(AUcols, ip)
+    # <Uo, W2> and <Uo, AU> as d x d blocks
+    d = U.shape[1]
+    if d:
+        G = jnp.stack(
+            [rows(Uo.T, W2[:, j]) for j in range(d)], axis=1
+        )
+        E = jnp.stack(
+            [rows(Uo.T, AUcols[:, j]) for j in range(d)], axis=1
+        )
+    else:
+        G = jnp.zeros((0, 0), U.dtype)
+        E = jnp.zeros((0, 0), U.dtype)
+    return DeflationOperator(Uo, AUcols, W2, G, E)
+
+
+def deflated_gmres(
+    A,
+    b,
+    U,
+    *,
+    M=None,
+    Ml=None,
+    Mr=None,
+    ip=None,
+    ip_defl=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=None,
+    ortho="cgs2",
+    explicit_residual=False,
+    return_internal=False,
+):
+    r"""Deflated preconditioned GMRES in one compiled while_loop.
+
+    Solves :math:`M M_l A M_r y = M M_l b` on the complement of the
+    deflation space spanned by U, correcting each iterate through the
+    deflation component (reference: krypy/deflation.py DeflatedGmres).
+
+    :param U: deflation basis, shape ``(N, d)`` with static d.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult` (plus the
+      internal small matrices if ``return_internal``).
+    """
+    b = jnp.asarray(b)
+    bv = b.reshape(-1)
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(Ml)
+    pair, rows = make_inner(ip)
+
+    defl = build_deflation(
+        A, U, M=M, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
+    )
+    d = defl.Uo.shape[1]
+
+    if d == 0:
+        out = _gmres_mod.gmres(
+            A, b, M=M, Ml=Ml, Mr=Mr, ip=ip, x0=x0, tol=tol,
+            maxiter=maxiter, ortho=ortho,
+            explicit_residual=explicit_residual,
+            return_internal=return_internal,
+        )
+        return out
+
+    UoT = defl.Uo.T          # (d, N)
+
+    def proj_complement(z):
+        """(I - P) z with P = W2 <Uo, W2>^{-1} <Uo, .>, applied twice
+        ("twice is enough", Stewart 2011)."""
+        def once(z):
+            c = rows(UoT, z)              # <Uo, z>
+            c = jnp.linalg.solve(defl.G, c)
+            return z - jnp.dot(defl.W2, c)
+        z = once(z)
+        return z - (jnp.dot(defl.W2, jnp.linalg.solve(
+            defl.G, rows(UoT, z)
+        )))
+
+    def op_with_capture(v):
+        Av = apply(Ml_mv, A_mv(apply(as_matvec(Mr), v)))
+        cap = rows(UoT, Av)               # <Uo, MlAMr v>
+        return proj_complement(Av), cap
+
+    def correct(xk):
+        """Solve the deflation component of the residual
+        (reference: krypy/deflation.py:58-68)."""
+        r = apply(Ml_mv, bv - A_mv(xk))
+        c = rows(UoT, r)
+        c = jnp.linalg.solve(defl.E, c)
+        return xk + jnp.dot(defl.Uo, c)
+
+    out = _gmres_mod.gmres(
+        A, b, M=M, Ml=Ml, Mr=Mr, ip=ip, x0=x0, tol=tol,
+        maxiter=maxiter, ortho=ortho,
+        explicit_residual=explicit_residual,
+        operator_with_capture=op_with_capture,
+        capture_width=d,
+        projected_r0=proj_complement,
+        correct_xk=correct,
+        return_internal=return_internal,
+    )
+    if return_internal:
+        result, internals = out
+        internals["E"] = defl.E
+        internals["Uo"] = defl.Uo
+        internals["AU"] = defl.AU
+        return result, internals
+    return out
+
+
+def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
+                           hermitian=False):
+    """Extract Ritz deflation vectors for the NEXT solve from the internal
+    state of a deflated (or plain) functional GMRES solve.
+
+    The augmented Ritz problem is assembled from the small matrices only
+    (reference math: krypy/deflation.py:737-830); the eigensolve of the
+    (n+d) x (n+d) pencil runs on host (decision data), the vector assembly
+    ``[V_n, U] @ coeffs`` is one device GEMM.
+    """
+    H_full = np.asarray(internals["H"])
+    C_full = np.asarray(internals["C"])
+    n = int(internals.get("niter", H_full.shape[1]))
+    E = np.asarray(internals["E"]) if "E" in internals else np.zeros((0, 0))
+    d = E.shape[0]
+
+    H = H_full[:n, :n]
+    C = C_full[:n, :d].T if d else np.zeros((0, n))
+
+    if d:
+        # B_ = <V, AU>; for the captured data we use the self-adjoint-free
+        # explicit form via the device basis
+        V = internals["V"]
+        AU = internals["AU"]
+        B = np.asarray(jnp.dot(jnp.conj(V[:n]), AU))
+        EinvC = np.linalg.solve(E, C)
+        Mblock = np.block([[H + B @ EinvC, B], [C, E]])
+    else:
+        Mblock = H
+
+    if hermitian:
+        theta, coeffs = np.linalg.eigh((Mblock + Mblock.conj().T) / 2)
+    else:
+        theta, coeffs = np.linalg.eig(Mblock)
+
+    order = {
+        "sm": np.argsort(np.abs(theta)),
+        "lm": np.argsort(np.abs(theta))[::-1],
+        "sr": np.argsort(np.real(theta)),
+        "lr": np.argsort(np.real(theta))[::-1],
+    }[which][:n_vectors]
+    sel = np.ascontiguousarray(coeffs[:, order])
+
+    V = internals["V"]
+    basis = V[:n]
+    if d:
+        basis = jnp.concatenate([V[:n], internals["Uo"].T], axis=0)
+    vecs = jnp.dot(jnp.asarray(sel.T), basis).T  # (N, n_vectors)
+    if np.iscomplexobj(sel) and not jnp.iscomplexobj(V):
+        vecs = jnp.real(vecs)
+    return vecs
+
+
+class RecyclingGmres:
+    """TPU-native recycling GMRES: construct once, call :meth:`solve` for
+    each system of a sequence; deflation vectors are Ritz vectors
+    recycled from the previous solve (reference driver:
+    krypy/recycling/linsys.py).  Each solve is ONE device dispatch; the
+    Ritz selection between solves is host-side decision logic on the
+    small matrices."""
+
+    def __init__(self, n_vectors=3, which="sm", hermitian=False):
+        self.n_vectors = n_vectors
+        self.which = which
+        self.hermitian = hermitian
+        self._last_internals = None
+        self._U = None
+
+    def solve(self, A, b, **kwargs):
+        if self._last_internals is not None:
+            try:
+                self._U = ritz_deflation_vectors(
+                    self._last_internals,
+                    n_vectors=self.n_vectors,
+                    which=self.which,
+                    hermitian=self.hermitian,
+                )
+            except np.linalg.LinAlgError:
+                self._U = None
+
+        if self._U is None:
+            result, internals = _gmres_mod.gmres(
+                A, jnp.asarray(b), return_internal=True, **kwargs
+            )
+            internals["E"] = jnp.zeros((0, 0))
+        else:
+            result, internals = deflated_gmres(
+                A, jnp.asarray(b), self._U, return_internal=True,
+                **kwargs,
+            )
+        internals["niter"] = int(result.niter)
+        self._last_internals = internals
+        return result

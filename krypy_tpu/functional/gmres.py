@@ -55,6 +55,7 @@ class _GmresState(NamedTuple):
     cs: jnp.ndarray          # (m,) Givens cosines (real)
     sn: jnp.ndarray          # (m,) Givens sines
     y: jnp.ndarray           # (m+1,) rotated projected rhs
+    C: jnp.ndarray           # (m, d) captured Gram columns (deflation)
     hsq: jnp.ndarray         # running squared Frobenius norm of H
     cur_rel: jnp.ndarray
     invariant: jnp.ndarray
@@ -77,6 +78,11 @@ def gmres(
     ortho="cgs2",
     explicit_residual=False,
     exact_solution=None,
+    operator_with_capture=None,
+    capture_width=0,
+    projected_r0=None,
+    correct_xk=None,
+    return_internal=False,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned GMRES in one compiled while_loop.
@@ -85,6 +91,19 @@ def gmres(
     (see module docstring).  Returns a
     :class:`~krypy_tpu.functional.common.SolveResult`; use
     :func:`restarted_gmres` for the restarted variant.
+
+    Deflation hooks (used by :mod:`krypy_tpu.functional.deflation`):
+
+    :param operator_with_capture: replaces the iteration operator with a
+      callable ``v -> (w, cap)`` where ``cap`` (shape ``(capture_width,)``)
+      is recorded per iteration into the C buffer (the deflation Gram
+      column :math:`\langle U, M_l A M_r v_k\rangle`).
+    :param projected_r0: callable mapping the left-preconditioned initial
+      residual to its projected form.
+    :param correct_xk: callable applied to each candidate solution before
+      residual evaluation (the deflation correction).
+    :param return_internal: also return the final loop state (Krylov
+      basis, Hessenberg, rotated R, y, C) for spectral post-processing.
     """
     b = jnp.asarray(b)
     flat = b.ndim == 1
@@ -119,6 +138,13 @@ def gmres(
     def MlAMr(v):
         return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
 
+    def iteration_op(v):
+        """Operator driving the Arnoldi iteration (projected when
+        deflating), plus the optional captured Gram column."""
+        if operator_with_capture is not None:
+            return operator_with_capture(v)
+        return MlAMr(v), jnp.zeros(0, dtype)
+
     def residual_norm(x):
         Mlr = apply(Ml_mv, bv - A_mv(x))
         MMlr = apply(M_mv, Mlr)
@@ -129,6 +155,8 @@ def gmres(
     MMlb_norm = norm_from_pair(pair, Mlb, MMlb)
 
     Mlr0 = apply(Ml_mv, bv - A_mv(x0v))
+    if projected_r0 is not None:
+        Mlr0 = projected_r0(Mlr0)
     MMlr0 = apply(M_mv, Mlr0)
     MMlr0_norm = norm_from_pair(pair, Mlr0, MMlr0)
     rel0 = safe_div(MMlr0_norm, MMlb_norm)
@@ -163,7 +191,10 @@ def gmres(
         rhs = jnp.where(col_mask, y[:m], 0.0).astype(dtype)
         yy = jax.scipy.linalg.solve_triangular(Rk, rhs)
         yk = jnp.dot(yy, V[:m])
-        return x0v + apply(Mr_mv, yk)
+        xk = x0v + apply(Mr_mv, yk)
+        if correct_xk is not None:
+            xk = correct_xk(xk)
+        return xk
 
     def orthogonalize(V, P, w, k):
         """Return (w_orth, h) where h are the accumulated coefficients.
@@ -199,7 +230,12 @@ def gmres(
 
     def body(state):
         k = state.k
-        w = MlAMr(state.V[k])
+        w, cap = iteration_op(state.V[k])
+        C = (
+            state.C.at[k].set(cap)
+            if capture_width > 0
+            else state.C
+        )
         w, h = orthogonalize(state.V, state.P, w, k)
 
         if with_M:
@@ -271,7 +307,7 @@ def gmres(
             errnorms = state.errnorms
 
         return _GmresState(
-            k + 1, V, P, H, R, cs, sn, y, hsq, rel, invariant,
+            k + 1, V, P, H, R, cs, sn, y, C, hsq, rel, invariant,
             resnorms, errnorms, warn,
         )
 
@@ -284,6 +320,7 @@ def gmres(
         jnp.zeros(m, real_dtype),
         jnp.zeros(m, dtype),
         jnp.zeros(m + 1, dtype).at[0].set(MMlr0_norm.astype(dtype)),
+        jnp.zeros((m, capture_width), dtype),
         jnp.asarray(0.0, real_dtype),
         rel0,
         MMlr0_norm == 0,
@@ -299,13 +336,26 @@ def gmres(
         CONVERGED,
         jnp.where(final.invariant, BREAKDOWN, MAXITER),
     )
-    return SolveResult(
+    result = SolveResult(
         x=x if flat else x[:, None],
         resnorms=final.resnorms,
         niter=final.k,
         status=status,
         errnorms=final.errnorms if track_err else None,
     )
+    if return_internal:
+        internals = {
+            "V": final.V,
+            "P": final.P if with_M else None,
+            "H": final.H,
+            "R": final.R,
+            "y": final.y,
+            "C": final.C,
+            "MMlr0_norm": MMlr0_norm,
+            "MMlb_norm": MMlb_norm,
+        }
+        return result, internals
+    return result
 
 
 def restarted_gmres(

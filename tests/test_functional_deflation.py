@@ -1,0 +1,156 @@
+"""Tests for the jitted deflated GMRES and the TPU-native recycling loop."""
+
+import numpy
+import pytest
+import jax
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F
+from krypy_tpu import ops, parallel
+from krypy_tpu.functional.deflation import (
+    RecyclingGmres,
+    build_deflation,
+    deflated_gmres,
+    weighted_qr,
+)
+
+
+def test_weighted_qr():
+    rng = numpy.random.RandomState(0)
+    U = jnp.asarray(rng.randn(30, 4))
+    B = jnp.diag(jnp.asarray(numpy.linspace(1, 3, 30)))
+    Q, R = weighted_qr(U, ip=B)
+    G = numpy.asarray(Q.conj().T @ (B @ Q))
+    numpy.testing.assert_allclose(G, numpy.eye(4), atol=1e-12)
+    numpy.testing.assert_allclose(
+        numpy.asarray(Q @ R), numpy.asarray(U), atol=1e-12
+    )
+    assert numpy.linalg.norm(numpy.tril(numpy.asarray(R), -1)) == 0
+
+
+def test_golden_deflated_functional():
+    """Functional deflated GMRES reproduces the reference golden values
+    (test/test_convenience_wrappers.py:34-55)."""
+    n = 100
+    A = numpy.diag([1.0e-3] + list(range(2, n + 1)))
+    b = numpy.ones(n)
+    U = numpy.zeros((n, 1))
+    U[0, 0] = 1.0
+    res = deflated_gmres(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U), tol=1e-5
+    )
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    golden = [1004.1873774950692, 1000.0003174918709, 1000.0]
+    assert abs(numpy.abs(x).sum() - golden[0]) < 1e-11 * golden[0]
+    assert abs(numpy.sqrt(x @ x) - golden[1]) < 1e-11 * golden[1]
+    assert abs(numpy.max(numpy.abs(x)) - golden[2]) < 1e-11 * golden[2]
+
+
+def test_deflation_projection_properties():
+    """The assembled oblique projection annihilates the deflation image
+    and the captured C matches explicit inner products."""
+    rng = numpy.random.RandomState(1)
+    n = 40
+    A = numpy.diag(numpy.linspace(1, 2, n))
+    A[0, 0] = 1e-3
+    U = jnp.asarray(rng.randn(n, 2))
+    defl = build_deflation(jnp.asarray(A), U)
+    # E = <Uo, A Uo>
+    E_exp = numpy.asarray(defl.Uo).conj().T @ (A @ numpy.asarray(defl.Uo))
+    numpy.testing.assert_allclose(
+        numpy.asarray(defl.E), E_exp, atol=1e-12
+    )
+
+    res, internals = deflated_gmres(
+        jnp.asarray(A), jnp.ones(n), U, tol=1e-10, maxiter=20,
+        return_internal=True,
+    )
+    k = int(res.niter)
+    V = numpy.asarray(internals["V"])[:k]
+    C = numpy.asarray(internals["C"])[:k]
+    C_exp = V @ (A.T @ numpy.asarray(defl.Uo).conj())
+    numpy.testing.assert_allclose(C, C_exp, atol=1e-8)
+
+    # true residual small
+    x = numpy.asarray(res.x)
+    rel = numpy.linalg.norm(numpy.ones(n) - A @ x) / numpy.sqrt(n)
+    assert rel <= 1e-10
+
+
+def test_deflation_speeds_up_outlier_system():
+    """Deflating the outlier eigenvector reduces iteration count."""
+    n = 100
+    A = numpy.diag([1.0e-4] + list(numpy.linspace(1, 2, n - 1)))
+    b = numpy.ones(n)
+    plain = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-8, maxiter=90)
+    U = numpy.zeros((n, 1))
+    U[0, 0] = 1.0
+    defl = deflated_gmres(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U), tol=1e-8,
+        maxiter=90,
+    )
+    assert int(defl.status) == F.CONVERGED
+    assert int(defl.niter) < int(plain.niter)
+
+
+def test_recycling_gmres_functional():
+    N = 100
+    d = numpy.linspace(1, 2, N)
+    d[:5] = [1e-8, 1e-4, 1e-2, 2e-2, 3e-2]
+    A = jnp.asarray(numpy.diag(d))
+    b = jnp.ones(N)
+    rec = RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
+    iters = []
+    for _ in range(3):
+        r = rec.solve(A, b, tol=1e-5, maxiter=60)
+        assert int(r.status) == F.CONVERGED
+        iters.append(int(r.niter))
+    assert iters[1] <= iters[0]
+    assert iters[2] <= iters[0]
+
+
+def test_recycling_sequence_of_systems():
+    """Recycling across a slowly varying sequence with planted outlier
+    modes (the regime where deflation pays off -- same setup class as the
+    reference test, test/test_recycling.py:17-39; BASELINE config 5)."""
+    n = 120
+    base = numpy.linspace(1, 2, n)
+    base[:4] = [1e-6, 1e-3, 5e-3, 2e-2]
+    rec = RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
+    b = jnp.ones(n)
+    iters = []
+    for i in range(4):
+        d = base * (1.0 + 0.01 * i)  # slowly varying sequence
+        op = ops.diagonal(jnp.asarray(d))
+        r = rec.solve(op, b, tol=1e-6, maxiter=110)
+        assert int(r.status) == F.CONVERGED
+        iters.append(int(r.niter))
+    # recycling must help once the outlier space is captured
+    assert min(iters[1:]) < iters[0]
+
+
+def test_sharded_deflated_gmres():
+    """Deflated GMRES runs sharded over the 8-device mesh."""
+    nx = 16
+    lap = ops.shifted_laplacian_2d(nx, sigma=500.0)
+    N = nx * nx
+    b = jnp.ones(N)
+    rng = numpy.random.RandomState(0)
+    U = jnp.asarray(rng.randn(N, 2))
+    mesh = parallel.make_mesh(8)
+    b_sh = parallel.shard_vector(b, mesh)
+
+    @jax.jit
+    def run(bb):
+        return deflated_gmres(
+            lap, bb, U, tol=1e-6, maxiter=220
+        )
+
+    with mesh:
+        res = run(b_sh)
+    x = numpy.asarray(res.x)
+    rel = numpy.linalg.norm(
+        numpy.asarray(b) - numpy.asarray(lap(jnp.asarray(x)))
+    ) / numpy.sqrt(N)
+    assert rel <= 1e-6

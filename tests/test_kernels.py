@@ -1,0 +1,71 @@
+"""Pallas kernel correctness tests (interpreter mode on CPU; the same
+kernels compile natively on TPU)."""
+
+import numpy
+import pytest
+import jax.numpy as jnp
+
+from krypy_tpu import ops
+from krypy_tpu.kernels.orthogonalize import cgs_project
+from krypy_tpu.kernels.stencil import laplacian_2d_kernel
+
+
+@pytest.mark.parametrize("m, N", [(8, 256), (16, 1024)])
+@pytest.mark.parametrize("k", [0, 3, 7])
+def test_cgs_project(m, N, k):
+    rng = numpy.random.RandomState(0)
+    V = rng.randn(m, N)
+    # orthonormalize active rows so the projection is exact
+    V[: k + 1] = numpy.linalg.qr(V[: k + 1].T)[0].T
+    w = rng.randn(N)
+    mask = (numpy.arange(m) <= k).astype(float)
+
+    w_orth, coeffs = cgs_project(
+        jnp.asarray(V), jnp.asarray(w), jnp.asarray(mask), interpret=True
+    )
+    w_orth = numpy.asarray(w_orth)
+    coeffs = numpy.asarray(coeffs)
+
+    # coefficients match the masked inner products
+    expected_c = (V.conj() @ w) * mask
+    numpy.testing.assert_allclose(coeffs, expected_c, atol=1e-10)
+    # update matches w - V^T c
+    numpy.testing.assert_allclose(
+        w_orth, w - expected_c @ V, atol=1e-10
+    )
+    # active rows are projected out
+    numpy.testing.assert_allclose(
+        V[: k + 1] @ w_orth, numpy.zeros(k + 1), atol=1e-8
+    )
+
+
+def test_cgs_project_dual_basis():
+    rng = numpy.random.RandomState(1)
+    m, N = 8, 512
+    V = rng.randn(m, N)
+    B = rng.randn(m, N)
+    w = rng.randn(N)
+    mask = numpy.ones(m)
+    w_orth, coeffs = cgs_project(
+        jnp.asarray(V), jnp.asarray(w), jnp.asarray(mask),
+        basis=jnp.asarray(B), interpret=True,
+    )
+    expected_c = V @ w
+    numpy.testing.assert_allclose(
+        numpy.asarray(w_orth), w - expected_c @ B, atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("nx, ny, block_rows", [
+    (16, 16, 8), (32, 16, 8), (8, 8, 8), (24, 16, 8),
+])
+def test_laplacian_kernel(nx, ny, block_rows):
+    ref_op = ops.poisson_2d(nx, ny)
+    rng = numpy.random.RandomState(2)
+    x = jnp.asarray(rng.randn(nx * ny))
+    out = laplacian_2d_kernel(
+        x, nx=nx, ny=ny, block_rows=block_rows, interpret=True
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(out), numpy.asarray(ref_op(x)), rtol=1e-12
+    )
