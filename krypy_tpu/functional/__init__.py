@@ -27,7 +27,9 @@ from .minres import minres
 from .gmres import gmres, restarted_gmres
 from .deflation import (
     RecyclingGmres,
+    deflated_cg,
     deflated_gmres,
+    deflated_minres,
     ritz_deflation_vectors,
     weighted_qr,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "gmres",
     "restarted_gmres",
     "deflated_gmres",
+    "deflated_cg",
+    "deflated_minres",
     "RecyclingGmres",
     "ritz_deflation_vectors",
     "weighted_qr",

@@ -56,9 +56,17 @@ def cg(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    operator_override=None,
+    projected_r0=None,
+    correct_xk=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned CG in one compiled while_loop.
+
+    ``operator_override`` / ``projected_r0`` / ``correct_xk`` are the
+    deflation hooks (see :mod:`krypy_tpu.functional.deflation`): they
+    replace the iteration operator with the projected one, project the
+    initial residual, and correct candidate solutions.
 
     :param A: matvec callable / matrix / LinearOperator.
     :param b: right hand side ``(N,)`` (or ``(N,1)``, returned likewise).
@@ -92,6 +100,8 @@ def cg(
     )
 
     def MlAMr(v):
+        if operator_override is not None:
+            return operator_override(v)
         return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
 
     def residual_norm(x):
@@ -105,8 +115,12 @@ def cg(
     MMlb = apply(M_mv, Mlb)
     MMlb_norm = norm_from_pair(pair, Mlb, MMlb)
 
-    # initial residual
-    Mlr0, MMlr0, MMlr0_norm = residual_norm(x0v)
+    # initial residual (projected when deflating)
+    Mlr0 = apply(Ml_mv, bv - A_mv(x0v))
+    if projected_r0 is not None:
+        Mlr0 = projected_r0(Mlr0)
+    MMlr0 = apply(M_mv, Mlr0)
+    MMlr0_norm = norm_from_pair(pair, Mlr0, MMlr0)
     rel0 = safe_div(MMlr0_norm, MMlb_norm)
 
     real_dtype = jnp.zeros(0, dtype).real.dtype
@@ -123,7 +137,10 @@ def cg(
         errnorms0 = jnp.zeros(0, real_dtype)
 
     def xk_of(y):
-        return x0v + apply(Mr_mv, y)
+        xk = x0v + apply(Mr_mv, y)
+        if correct_xk is not None:
+            xk = correct_xk(xk)
+        return xk
 
     def cond(state):
         return (state.cur_rel > tol) & (state.k < maxiter)

@@ -37,6 +37,8 @@ _gmres_mod = importlib.import_module("krypy_tpu.functional.gmres")
 
 __all__ = [
     "deflated_gmres",
+    "deflated_cg",
+    "deflated_minres",
     "weighted_qr",
     "ritz_deflation_vectors",
     "RecyclingGmres",
@@ -206,6 +208,89 @@ def deflated_gmres(
         internals["AU"] = defl.AU
         return result, internals
     return out
+
+
+def _make_deflation_hooks(A, U, *, M, Ml, Mr, ip, ip_defl):
+    """Shared hook construction for the short-recurrence deflated
+    solvers: returns (defl, operator_override, projected_r0, correct_xk)
+    or Nones when d == 0."""
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    _, rows = make_inner(ip)
+
+    defl = build_deflation(
+        A, U, M=M, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
+    )
+    d = defl.Uo.shape[1]
+    if d == 0:
+        return defl, None, None, None
+    UoT = defl.Uo.T
+
+    def proj_complement(z):
+        def once(z):
+            c = rows(UoT, z)
+            c = jnp.linalg.solve(defl.G, c)
+            return z - jnp.dot(defl.W2, c)
+        return once(once(z))
+
+    def op(v):
+        Av = apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+        return proj_complement(Av)
+
+    return defl, op, proj_complement, None
+
+
+def _deflated_short_recurrence(core, A, b, U, kwargs):
+    """Common driver for deflated CG / MINRES (reference: DeflatedCg /
+    DeflatedMinres, krypy/deflation.py:236-273): projected operator,
+    projected initial residual, corrected iterates."""
+    b = jnp.asarray(b)
+    bv = b.reshape(-1)
+    ip = kwargs.get("ip")
+    defl, op, proj, _ = _make_deflation_hooks(
+        A, U,
+        M=kwargs.get("M"), Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"),
+        ip=ip, ip_defl=kwargs.pop("ip_defl", None),
+    )
+    if op is None:
+        return core(A, b, **kwargs)
+
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(kwargs.get("Ml"))
+    _, rows = make_inner(ip)
+    UoT = defl.Uo.T
+
+    def correct(xk):
+        r = apply(Ml_mv, bv - A_mv(xk))
+        c = rows(UoT, r)
+        c = jnp.linalg.solve(defl.E, c)
+        return xk + jnp.dot(defl.Uo, c)
+
+    return core(
+        A, b,
+        operator_override=op,
+        projected_r0=proj,
+        correct_xk=correct,
+        **kwargs,
+    )
+
+
+def deflated_cg(A, b, U, **kwargs):
+    """Deflated preconditioned CG in one compiled while_loop
+    (reference: krypy/deflation.py DeflatedCg).  Accepts the parameters
+    of :func:`krypy_tpu.functional.cg.cg` plus the deflation basis U."""
+    from .cg import cg as _cg
+
+    return _deflated_short_recurrence(_cg, A, b, U, kwargs)
+
+
+def deflated_minres(A, b, U, **kwargs):
+    """Deflated preconditioned MINRES in one compiled while_loop
+    (reference: krypy/deflation.py DeflatedMinres)."""
+    from .minres import minres as _minres
+
+    return _deflated_short_recurrence(_minres, A, b, U, kwargs)
 
 
 def ritz_deflation_vectors(internals, n_vectors=3, which="sm",

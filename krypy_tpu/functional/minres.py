@@ -64,6 +64,9 @@ def minres(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    operator_override=None,
+    projected_r0=None,
+    correct_xk=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b` (:math:`M_l A M_r`
     self-adjoint w.r.t. ``ip``), :math:`x = M_r y`, with preconditioned
@@ -100,6 +103,8 @@ def minres(
     brk = breakdown_threshold(dtype)
 
     def MlAMr(v):
+        if operator_override is not None:
+            return operator_override(v)
         return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
 
     def residual_norm(x):
@@ -112,6 +117,8 @@ def minres(
     MMlb_norm = norm_from_pair(pair, Mlb, MMlb)
 
     Mlr0 = apply(Ml_mv, bv - A_mv(x0v))
+    if projected_r0 is not None:
+        Mlr0 = projected_r0(Mlr0)
     MMlr0 = apply(M_mv, Mlr0)
     MMlr0_norm = norm_from_pair(pair, Mlr0, MMlr0)
     rel0 = safe_div(MMlr0_norm, MMlb_norm)
@@ -133,7 +140,10 @@ def minres(
     p_cur0 = Mlr0 * inv0 if with_M else jnp.zeros(0, dtype)
 
     def xk_of(y):
-        return x0v + apply(Mr_mv, y)
+        xk = x0v + apply(Mr_mv, y)
+        if correct_xk is not None:
+            xk = correct_xk(xk)
+        return xk
 
     def cond(state):
         return (

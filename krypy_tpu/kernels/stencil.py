@@ -9,6 +9,13 @@ Alignment: TPU DMA slices must be tiling-aligned (8 sublanes for f32), so
 the vertical halo is fetched as separate aligned 8-row chunks above/below
 the block; the in-block neighbor shifts are sublane/lane rolls with
 boundary-row fixups.  Dirichlet zero boundary.
+
+Status: validated bit-accurate against the jnp stencil on TPU v5e.  In its
+current single-buffered form (DMA waits before compute) it measures ~2x
+slower than XLA's fused lowering of the jnp stencil at 1024^2 f32
+(~520us vs ~250us), so :mod:`krypy_tpu.ops` keeps the jnp formulation as
+the default; the kernel is the starting point for a double-buffered
+variant that overlaps the block DMA with the previous block's compute.
 """
 
 import functools

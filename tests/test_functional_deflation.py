@@ -154,3 +154,24 @@ def test_sharded_deflated_gmres():
         numpy.asarray(b) - numpy.asarray(lap(jnp.asarray(x)))
     ) / numpy.sqrt(N)
     assert rel <= 1e-6
+
+
+@pytest.mark.parametrize(
+    "solver, golden0",
+    [
+        (F.deflated_cg, 1004.1873775173271),
+        (F.deflated_minres, 1004.1873774950692),
+    ],
+)
+def test_golden_deflated_short_recurrence(solver, golden0):
+    """Functional deflated CG/MINRES reproduce the reference golden
+    values (test/test_convenience_wrappers.py:34-55)."""
+    n = 100
+    A = numpy.diag([1.0e-3] + list(range(2, n + 1)))
+    b = numpy.ones(n)
+    U = numpy.zeros((n, 1))
+    U[0, 0] = 1.0
+    res = solver(jnp.asarray(A), jnp.asarray(b), jnp.asarray(U), tol=1e-5)
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    assert abs(numpy.abs(x).sum() - golden0) < 1e-11 * golden0
