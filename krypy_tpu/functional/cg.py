@@ -38,6 +38,8 @@ class _CgState(NamedTuple):
     rho: jnp.ndarray        # <Mlr, MMlr> = squared residual M^{-1}-norm
     rho_old: jnp.ndarray
     cur_rel: jnp.ndarray    # current relative residual (drives the loop)
+    best_rel: jnp.ndarray   # best relative residual seen (stagnation)
+    since_best: jnp.ndarray  # iterations since the best improved
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray   # scalar-0 buffer when unused
     warn_explicit: jnp.ndarray
@@ -56,12 +58,19 @@ def cg(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    stagnation_window=0,
     operator_override=None,
     projected_r0=None,
     correct_xk=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned CG in one compiled while_loop.
+
+    :param stagnation_window: if > 0, stop when the relative residual has
+      not improved below 99% of its best value for this many consecutive
+      iterations -- the on-device stopping rule for reduced-precision
+      solves that stall at their attainable-accuracy floor (used by the
+      mixed-precision refinement driver in bench.py).
 
     ``operator_override`` / ``projected_r0`` / ``correct_xk`` are the
     deflation hooks (see :mod:`krypy_tpu.functional.deflation`): they
@@ -143,7 +152,10 @@ def cg(
         return xk
 
     def cond(state):
-        return (state.cur_rel > tol) & (state.k < maxiter)
+        go = (state.cur_rel > tol) & (state.k < maxiter)
+        if stagnation_window > 0:
+            go = go & (state.since_best < stagnation_window)
+        return go
 
     def body(state):
         k = state.k
@@ -185,9 +197,13 @@ def cg(
         else:
             errnorms = state.errnorms
 
+        improved = rel < 0.99 * state.best_rel
+        best_rel = jnp.minimum(state.best_rel, rel)
+        since_best = jnp.where(improved, 0, state.since_best + 1)
+
         return _CgState(
             k + 1, y, Mlr, MMlr, p, rho_corrected, state.rho, rel,
-            resnorms, errnorms, warn,
+            best_rel, since_best, resnorms, errnorms, warn,
         )
 
     init = _CgState(
@@ -199,6 +215,8 @@ def cg(
         MMlr0_norm**2,
         jnp.asarray(1.0, real_dtype),
         rel0,
+        rel0,
+        jnp.asarray(0),
         resnorms0,
         errnorms0,
         jnp.asarray(False),
