@@ -40,6 +40,7 @@ class _CgState(NamedTuple):
     cur_rel: jnp.ndarray    # current relative residual (drives the loop)
     best_rel: jnp.ndarray   # best relative residual seen (stagnation)
     since_best: jnp.ndarray  # iterations since the best improved
+    y_best: jnp.ndarray     # iterate at best_rel (kept when guarded)
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray   # scalar-0 buffer when unused
     warn_explicit: jnp.ndarray
@@ -200,10 +201,14 @@ def cg(
         improved = rel < 0.99 * state.best_rel
         best_rel = jnp.minimum(state.best_rel, rel)
         since_best = jnp.where(improved, 0, state.since_best + 1)
+        if stagnation_window > 0:
+            y_best = jnp.where(rel < state.best_rel, y, state.y_best)
+        else:
+            y_best = state.y_best
 
         return _CgState(
             k + 1, y, Mlr, MMlr, p, rho_corrected, state.rho, rel,
-            best_rel, since_best, resnorms, errnorms, warn,
+            best_rel, since_best, y_best, resnorms, errnorms, warn,
         )
 
     init = _CgState(
@@ -217,14 +222,22 @@ def cg(
         rel0,
         rel0,
         jnp.asarray(0),
+        jnp.zeros(N, dtype) if stagnation_window > 0 else jnp.zeros(0, dtype),
         resnorms0,
         errnorms0,
         jnp.asarray(False),
     )
     final = lax.while_loop(cond, body, init)
 
-    x = xk_of(final.y)
-    status = jnp.where(final.cur_rel <= tol, CONVERGED, MAXITER)
+    if stagnation_window > 0:
+        # with the stagnation guard, return the BEST iterate: pushing a
+        # reduced-precision solve past its floor can diverge hard
+        x = xk_of(jnp.where(final.cur_rel <= final.best_rel,
+                            final.y, final.y_best))
+        status = jnp.where(final.best_rel <= tol, CONVERGED, MAXITER)
+    else:
+        x = xk_of(final.y)
+        status = jnp.where(final.cur_rel <= tol, CONVERGED, MAXITER)
     return SolveResult(
         x=x if flat else x[:, None],
         resnorms=final.resnorms,

@@ -340,9 +340,20 @@ def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
     basis = V[:n]
     if d:
         basis = jnp.concatenate([V[:n], internals["Uo"].T], axis=0)
-    vecs = jnp.dot(jnp.asarray(sel.T), basis).T  # (N, n_vectors)
     if np.iscomplexobj(sel) and not jnp.iscomplexobj(V):
-        vecs = jnp.real(vecs)
+        # real basis: align each coefficient vector's phase at its
+        # largest entry, then keep the real part (exact for real Ritz
+        # vectors, a real-span surrogate for complex pairs)
+        idx = np.argmax(np.abs(sel), axis=0)
+        piv = sel[idx, np.arange(sel.shape[1])]
+        phase = piv / np.where(np.abs(piv) == 0, 1.0, np.abs(piv))
+        sel = np.real(sel / phase[None, :])
+        norms = np.linalg.norm(sel, axis=0)
+        sel = sel / np.where(norms == 0, 1.0, norms)
+    # keep the basis dtype: host eigensolves return f64/c128, which must
+    # not leak into the (possibly f32) device solve
+    sel = jnp.asarray(sel).astype(basis.dtype)
+    vecs = jnp.dot(sel.T, basis).T  # (N, n_vectors)
     return vecs
 
 

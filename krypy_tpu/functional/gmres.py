@@ -367,28 +367,36 @@ def restarted_gmres(
     tol=1e-5,
     **kwargs,
 ):
-    """Restarted GMRES: host loop over compiled inner solves, reusing the
-    last iterate as initial guess (reference: krypy/linsys.py:1021-1072).
+    """Restarted GMRES: host loop over ONE compiled inner solve (jitted
+    once with the initial guess as a traced argument), reusing the last
+    iterate as initial guess (reference: krypy/linsys.py:1021-1072).
 
-    The inner solve is one compiled dispatch; the outer restart loop runs
-    on host because its trip count is convergence-dependent and its cost
-    is one dispatch per restart.
+    The outer restart loop runs on host because its trip count is
+    convergence-dependent; its cost is one dispatch per restart.
     """
     b = jnp.asarray(b)
     x = kwargs.pop("x0", None)
+    if x is None:
+        x = jnp.zeros(b.reshape(-1).shape[0], b.dtype)
+        if b.ndim > 1:
+            x = x[:, None]
+
+    @jax.jit
+    def _inner(x0):
+        return gmres(A, b, x0=x0, tol=tol, maxiter=maxiter, **kwargs)
+
+    import numpy as _np
+
     resnorms = []
     result = None
     for _ in range(max_restarts + 1):
-        result = gmres(
-            A, b, x0=x, tol=tol, maxiter=maxiter, **kwargs
-        )
+        result = _inner(x)
         niter = int(result.niter)
-        chunk = [float(r) for r in result.resnorms[: niter + 1]]
+        chunk = list(_np.asarray(result.resnorms)[: niter + 1])
         resnorms = resnorms[:-1] + chunk if resnorms else chunk
         x = result.x
-        if int(result.status) == CONVERGED or int(result.status) == BREAKDOWN:
+        if int(result.status) in (CONVERGED, BREAKDOWN):
             break
-    import numpy as _np
 
     return result._replace(
         resnorms=jnp.asarray(_np.asarray(resnorms)),

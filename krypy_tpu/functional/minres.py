@@ -45,6 +45,8 @@ class _MinresState(NamedTuple):
     s2: jnp.ndarray
     hsq: jnp.ndarray
     cur_rel: jnp.ndarray
+    best_rel: jnp.ndarray
+    since_best: jnp.ndarray
     invariant: jnp.ndarray
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray
@@ -64,6 +66,7 @@ def minres(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    stagnation_window=0,
     operator_override=None,
     projected_r0=None,
     correct_xk=None,
@@ -146,11 +149,14 @@ def minres(
         return xk
 
     def cond(state):
-        return (
+        go = (
             (state.cur_rel > tol)
             & (state.k < m)
             & jnp.logical_not(state.invariant)
         )
+        if stagnation_window > 0:
+            go = go & (state.since_best < stagnation_window)
+        return go
 
     def body(state):
         k = state.k
@@ -216,6 +222,10 @@ def minres(
         else:
             errnorms = state.errnorms
 
+        improved = rel < 0.99 * state.best_rel
+        best_rel = jnp.minimum(state.best_rel, rel)
+        since_best = jnp.where(improved, 0, state.since_best + 1)
+
         return _MinresState(
             k + 1,
             yk,
@@ -233,6 +243,8 @@ def minres(
             s_new,
             hsq,
             rel,
+            best_rel,
+            since_best,
             invariant,
             resnorms,
             errnorms,
@@ -257,6 +269,8 @@ def minres(
         jnp.asarray(0.0, dtype),
         jnp.asarray(0.0, real_dtype),
         rel0,
+        rel0,
+        jnp.asarray(0),
         MMlr0_norm == 0,
         resnorms0,
         errnorms0,

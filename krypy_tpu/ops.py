@@ -320,9 +320,18 @@ def multigrid_poisson_preconditioner(
         diag = 4.0 / h2
 
         def smooth(u, n_sweeps):
-            for _ in range(n_sweeps):
-                u = u + (omega / diag) * (r - _lap2d_grid(u, h2))
-            return u
+            def step(u):
+                return u + (omega / diag) * (r - _lap2d_grid(u, h2))
+
+            if n_sweeps <= 4:
+                for _ in range(n_sweeps):
+                    u = step(u)
+                return u
+            # long smoothing chains compile as a rolled loop (XLA compile
+            # time grows superlinearly with unrolled stencil chains)
+            import jax.lax as lax
+
+            return lax.fori_loop(0, n_sweeps, lambda i, u: step(u), u)
 
         if nx_l <= coarsest:
             if coarse_solver is not None:
