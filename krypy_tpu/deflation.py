@@ -650,7 +650,10 @@ def bound_pseudo(
                 if pseudolen > 0:
                     polymax = np.max(np.abs(p(pseudo_path.vertices())))
                 else:
-                    polymax = np.inf
+                    # level set below grid resolution: no information at
+                    # this delta; report an infinite bound so the
+                    # minimizer moves on
+                    return np.inf
 
             return (
                 pseudolen
