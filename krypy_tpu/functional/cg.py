@@ -59,6 +59,7 @@ def cg(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    progress=False,
     stagnation_window=0,
     operator_override=None,
     projected_r0=None,
@@ -192,6 +193,10 @@ def cg(
             (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
         )
 
+        if progress:
+            jax.debug.print(
+                "cg iter {k}: rel={r:.3e}", k=k + 1, r=rel
+            )
         resnorms = state.resnorms.at[k + 1].set(rel)
         if track_err:
             errnorms = state.errnorms.at[k + 1].set(errnorm(xk_of(y)))

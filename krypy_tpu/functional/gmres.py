@@ -78,6 +78,7 @@ def gmres(
     ortho="cgs2",
     explicit_residual=False,
     exact_solution=None,
+    progress=False,
     operator_with_capture=None,
     capture_width=0,
     projected_r0=None,
@@ -298,6 +299,10 @@ def gmres(
             (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
         )
 
+        if progress:
+            jax.debug.print(
+                "gmres iter {k}: rel={r:.3e}", k=k + 1, r=rel
+            )
         resnorms = state.resnorms.at[k + 1].set(rel)
         if track_err:
             errnorms = state.errnorms.at[k + 1].set(

@@ -66,6 +66,7 @@ def minres(
     maxiter=None,
     explicit_residual=False,
     exact_solution=None,
+    progress=False,
     stagnation_window=0,
     operator_override=None,
     projected_r0=None,
@@ -216,6 +217,10 @@ def minres(
             (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
         )
 
+        if progress:
+            jax.debug.print(
+                "minres iter {k}: rel={r:.3e}", k=k + 1, r=rel
+            )
         resnorms = state.resnorms.at[k + 1].set(rel)
         if track_err:
             errnorms = state.errnorms.at[k + 1].set(errnorm(xk_of(yk)))

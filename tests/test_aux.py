@@ -244,3 +244,21 @@ def test_bound_pseudo_nonnormal():
     )
     assert len(bounds) >= 1
     assert numpy.isfinite(bounds).all()
+
+
+def test_bound_perturbed_gmres():
+    """GMRES perturbation bound with the native disk-union pseudospectrum
+    (reference: krypy/utils.py:2006-2033 + external pseudopy)."""
+    from krypy_tpu import pseudospectra
+
+    evals = numpy.array([1.0, 2.0, 3.0])
+    pseudo = pseudospectra.NormalEvals(evals)
+    p = utils.NormalizedRootsPolynomial(evals)
+    eps = 1e-3
+    bounds = utils.bound_perturbed_gmres(
+        pseudo, p, eps, deltas=[1e-2, 5e-2]
+    )
+    assert len(bounds) == 2
+    assert all(numpy.isfinite(b) and b >= 0 for b in bounds)
+    with pytest.raises(Exception):
+        utils.bound_perturbed_gmres(pseudo, p, eps, deltas=[1e-4])

@@ -264,3 +264,39 @@ def test_restarted_gmres_functional():
     # concatenated residual history is monotonically reasonable
     r = numpy.asarray(res.resnorms)
     assert r[-1] <= 1e-10
+
+
+@pytest.mark.parametrize("solver_name", ["cg", "minres", "gmres"])
+def test_complex_hpd(solver_name):
+    """Complex Hermitian positive definite systems through the functional
+    cores (the reference's complex coverage, TPU-lane side)."""
+    A = helpers.matrix_hpd()
+    b = A @ numpy.ones(10)
+    fn = getattr(F, solver_name)
+    res = fn(jnp.asarray(A), jnp.asarray(b), tol=1e-12, maxiter=20)
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    assert numpy.iscomplexobj(x)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel <= 1e-11
+
+
+def test_complex_nonsymm_gmres():
+    A = helpers.matrix_comp_nonsymm()
+    b = A @ (numpy.ones(10) + 1j * numpy.linspace(0, 1, 10))
+    res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-12, maxiter=20)
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel <= 1e-11
+
+
+def test_progress_streaming(capfd):
+    res = F.cg(
+        ops.readme_diag(10), jnp.ones(10), tol=1e-8, maxiter=12,
+        progress=True,
+    )
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "cg iter" in out
+    assert int(res.status) == F.CONVERGED
