@@ -22,6 +22,7 @@ from .common import (
     as_matvec,
     make_inner,
 )
+from .arnoldi import ArnoldiResult, arnoldi
 from .cg import cg
 from .minres import minres
 from .gmres import gmres, restarted_gmres
@@ -35,6 +36,8 @@ from .deflation import (
 )
 
 __all__ = [
+    "arnoldi",
+    "ArnoldiResult",
     "cg",
     "minres",
     "gmres",
