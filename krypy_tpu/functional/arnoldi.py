@@ -49,6 +49,49 @@ class _State(NamedTuple):
     invariant: jnp.ndarray
 
 
+class _HouseState(NamedTuple):
+    k: jnp.ndarray
+    V: jnp.ndarray       # (m+1, N) basis rows
+    Vh: jnp.ndarray      # (m+1, N) householder vector rows (zeros before j)
+    beta: jnp.ndarray    # (m+1,)
+    alpha: jnp.ndarray   # (m+1,) phase factors
+    H: jnp.ndarray
+    hsq: jnp.ndarray
+    invariant: jnp.ndarray
+
+
+def _house_masked(w, pos, dtype):
+    """Householder data for the tail ``w[pos:]`` of a full-length vector
+    (branch-free version of krypy_tpu.core.rotations.house_vector with the
+    pivot at a dynamic position): returns the full-length normalized
+    reflector v (zeros before ``pos``), beta, alpha, xnorm."""
+    n = w.shape[0]
+    idx = jnp.arange(n)
+    tail = jnp.where(idx >= pos, w, 0.0)
+    gamma = jnp.sum(jnp.where(idx == pos, w, 0.0))
+    abs_gamma = jnp.abs(gamma)
+    sigma = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(jnp.where(idx > pos, jnp.abs(w) ** 2, 0.0)), 0.0
+        )
+    )
+    xnorm = jnp.sqrt(abs_gamma**2 + sigma**2)
+
+    one = jnp.ones((), dtype)
+    direction = safe_div(gamma, abs_gamma.astype(dtype))
+    sign_pos = jnp.where(abs_gamma == 0, one, direction)
+    sign_neg = jnp.where(abs_gamma == 0, -one, direction)
+
+    tail_zero = sigma == 0
+    beta = jnp.where(tail_zero, 0.0, 2.0)
+    alpha = jnp.where(tail_zero, sign_pos, -sign_neg)
+    v0 = jnp.where(tail_zero, one, gamma + sign_neg * xnorm.astype(dtype))
+    v = jnp.where(idx == pos, v0, tail)
+    vnorm = jnp.sqrt(jnp.abs(v0) ** 2 + sigma**2)
+    v = v * safe_div(1.0, vnorm)
+    return v, beta, alpha, jnp.where(tail_zero, abs_gamma, xnorm)
+
+
 def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
     """Build the Arnoldi (or Lanczos, with ``ortho='lanczos'``) relation.
 
@@ -63,6 +106,14 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
     v = jnp.asarray(v).reshape(-1)
     N = v.shape[0]
     m = N if maxiter is None else int(maxiter)
+
+    if ortho == "house":
+        if M is not None or ip is not None:
+            raise ValueError(
+                "Householder orthogonalization requires the Euclidean "
+                "inner product and no preconditioner M"
+            )
+        return _arnoldi_house(A, v, m)
 
     A_mv = as_matvec(A)
     M_mv = as_matvec(M)
@@ -171,6 +222,113 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
         V=final.V,
         H=final.H,
         P=final.P if with_M else None,
+        niter=final.k,
+        invariant=final.invariant,
+    )
+
+
+def _arnoldi_house(A, v, m):
+    """Householder-orthogonalized Arnoldi in one compiled while_loop
+    (reference: krypy/utils.py:970-994).  Reflectors are stored as
+    full-length rows with zeros before their pivot, so 'apply to the
+    subvector x[j:]' is the plain full-length reflection."""
+    A_mv = as_matvec(A)
+    N = v.shape[0]
+    dtype = system_dtype(v)
+    v = v.astype(dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    brk = breakdown_threshold(dtype)
+    idx = jnp.arange(N)
+
+    v0h, beta0, alpha0, vnorm = _house_masked(v, jnp.asarray(0), dtype)
+    first = v * safe_div(1.0, vnorm.astype(real_dtype))
+    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(first)
+    Vh0 = jnp.zeros((m + 1, N), dtype).at[0].set(v0h)
+    beta_buf = jnp.zeros(m + 1, real_dtype).at[0].set(beta0)
+    alpha_buf = jnp.ones(m + 1, dtype).at[0].set(alpha0)
+
+    def reflect(Vh, beta, w, j):
+        """Apply reflector j (full-length form)."""
+        vj = Vh[j]
+        return w - beta[j] * vj * jnp.vdot(vj, w)
+
+    def cond(state):
+        return (state.k < m) & jnp.logical_not(state.invariant)
+
+    def body(state):
+        k = state.k
+        w = A_mv(state.V[k])
+
+        # forward sweep: reflect and phase-fix positions 0..k
+        def fwd(j, w):
+            active = j <= k
+            w2 = reflect(state.Vh, state.beta, w, j)
+            w2 = jnp.where(
+                idx == j, w2 * jnp.conj(state.alpha[j]), w2
+            )
+            return jnp.where(active, w2, w)
+
+        w = lax.fori_loop(0, m + 1, fwd, w)
+
+        # new reflector at position k+1
+        vh, beta_new, alpha_new, _ = _house_masked(w, k + 1, dtype)
+        w = w - beta_new * vh * jnp.vdot(vh, w)
+        w = jnp.where(idx == k + 1, w * jnp.conj(alpha_new), w)
+
+        # Hessenberg column: entries 0..k+1, with a real non-negative
+        # subdiagonal (the alpha phase factors guarantee it up to fp)
+        col_full = jnp.where(idx <= k + 1, w, 0.0)[: m + 1] if N >= m + 1 \
+            else jnp.pad(jnp.where(idx <= k + 1, w, 0.0), (0, m + 1 - N))
+        subdiag = jnp.abs(
+            jnp.sum(jnp.where(jnp.arange(m + 1) == k + 1, col_full, 0.0))
+        )
+        col_full = jnp.where(
+            jnp.arange(m + 1) == k + 1, subdiag.astype(dtype), col_full
+        )
+        H = state.H.at[:, k].set(col_full)
+
+        hsq = state.hsq + jnp.sum(jnp.abs(col_full) ** 2)
+        invariant = subdiag <= brk * jnp.sqrt(hsq)
+
+        Vh = state.Vh.at[k + 1].set(vh)
+        beta = state.beta.at[k + 1].set(beta_new)
+        alpha = state.alpha.at[k + 1].set(alpha_new)
+
+        # reconstruct the next basis vector: e_{k+1} through the
+        # reflectors in reverse, scaled by the newest phase
+        vnew = jnp.where(idx == k + 1, jnp.ones((), dtype), 0.0)
+
+        def bwd(i, vv):
+            j = m - i  # j runs m .. 0
+            active = j <= k + 1
+            vv2 = reflect(Vh, beta, vv, j)
+            return jnp.where(active, vv2, vv)
+
+        vnew = lax.fori_loop(0, m + 1, bwd, vnew)
+        vnew = vnew * alpha_new
+        V = state.V.at[k + 1].set(
+            jnp.where(invariant, state.V[k + 1], vnew)
+        )
+
+        return _HouseState(
+            k + 1, V, Vh, beta, alpha, H, hsq, invariant
+        )
+
+    init = _HouseState(
+        jnp.asarray(0),
+        V0,
+        Vh0,
+        beta_buf,
+        alpha_buf,
+        jnp.zeros((m + 1, m), dtype),
+        jnp.asarray(0.0, real_dtype),
+        vnorm == 0,
+    )
+    final = lax.while_loop(cond, body, init)
+    return ArnoldiResult(
+        V=final.V,
+        H=final.H,
+        P=None,
         niter=final.k,
         invariant=final.invariant,
     )

@@ -96,3 +96,38 @@ def test_functional_vs_eager_arnoldi():
         numpy.asarray(H_e),
         atol=1e-12,
     )
+
+
+@pytest.mark.parametrize(
+    "matrix", [helpers.matrix_spd(), helpers.matrix_nonsymm()]
+)
+@pytest.mark.parametrize("maxiter", [1, 5, 9, 10])
+def test_functional_arnoldi_house(matrix, maxiter):
+    """Householder scheme: unconditional orthogonality bound
+    (inequality (2.4) of Drkošová et al.)."""
+    res = F.arnoldi(
+        jnp.asarray(matrix), jnp.ones(10), maxiter=maxiter, ortho="house"
+    )
+    n = int(res.niter)
+    inv = bool(res.invariant)
+    cols = n if inv else n + 1
+    V = numpy.asarray(res.V)[:cols].T
+    H = numpy.asarray(res.H)[:cols, :n]
+    An = numpy.linalg.norm(matrix, 2)
+    assert numpy.linalg.norm(matrix @ V[:, :n] - V @ H) <= 1e-13 * An
+    assert (
+        numpy.linalg.norm(numpy.eye(cols) - V.conj().T @ V) <= 1e-13
+    )
+    if maxiter == 10:
+        assert inv  # full dimension reached
+    # subdiagonal real non-negative
+    sub = numpy.diag(H[1:, :n]) if not inv else numpy.diag(H, -1)
+    assert (numpy.real(sub) >= 0).all()
+
+
+def test_functional_arnoldi_house_requires_euclid():
+    with pytest.raises(ValueError):
+        F.arnoldi(
+            jnp.eye(4), jnp.ones(4), maxiter=2, ortho="house",
+            M=lambda x: x,
+        )
