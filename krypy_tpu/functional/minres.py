@@ -9,6 +9,7 @@ fused inner products (mesh all-reduces) and a handful of axpys.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
