@@ -8,7 +8,6 @@ residual policy of the reference (krypy/linsys.py:430-493) is preserved via
 ``lax.cond``.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -16,7 +15,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from .common import (
-    BREAKDOWN,
     CONVERGED,
     MAXITER,
     SolveResult,

@@ -22,13 +22,13 @@ All N-dim work (QR of U, projection applications, correction) consists of
 solver itself; the d x d factors are replicated.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import SolveResult, apply, as_matvec, make_inner, safe_div
+from .common import apply, as_matvec, make_inner, safe_div
 # note: the package re-exports the gmres *function* under the same name,
 # so bind the submodule explicitly through sys.modules
 import importlib

@@ -10,7 +10,7 @@ time); :class:`RitzFactorySimple` picks a fixed number by criterion.
 import numpy as np
 import jax.numpy as jnp
 
-from .. import deflation, utils
+from .. import deflation
 from ..errors import ArgumentError, AssumptionError
 from . import generators
 
