@@ -262,3 +262,39 @@ def test_bound_perturbed_gmres():
     assert all(numpy.isfinite(b) and b >= 0 for b in bounds)
     with pytest.raises(Exception):
         utils.bound_perturbed_gmres(pseudo, p, eps, deltas=[1e-4])
+
+
+@pytest.mark.parametrize("mode", ["ritz", "harmonic"])
+@pytest.mark.parametrize("with_U", [False, True])
+def test_deflated_ritz_resnorms_match_explicit(mode, with_U):
+    """The cheap Gram-matrix Ritz residual norms agree with explicitly
+    recomputed ones (both modes, with and without deflation basis)."""
+    N = 20
+    d = numpy.linspace(1, 2, N)
+    d[0] = 1e-2
+    ls = linsys.LinearSystem(
+        numpy.diag(d),
+        numpy.ones((N, 1)),
+        normal=True,
+        self_adjoint=True,
+        positive_definite=True,
+    )
+    U = numpy.eye(N, 2) if with_U else None
+    try:
+        sol = deflation.DeflatedGmres(
+            ls, U=U, tol=1e-10, maxiter=8, store_arnoldi=True
+        )
+    except ConvergenceError as e:
+        sol = e.solver
+    ritz = deflation.Ritz(sol, mode=mode)
+    explicit = ritz.get_explicit_resnorms()
+    # harmonic values can be infinite for singular pencils; compare the
+    # finite ones
+    finite = numpy.isfinite(ritz.values)
+    numpy.testing.assert_allclose(
+        ritz.resnorms[finite], explicit[finite], atol=1e-8
+    )
+    # vectors have unit coefficient norm
+    numpy.testing.assert_allclose(
+        numpy.linalg.norm(ritz.coeffs, axis=0), 1.0, atol=1e-12
+    )
