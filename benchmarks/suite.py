@@ -25,14 +25,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Synchronize by fetching a scalar: block_until_ready is not a
+    reliable barrier through remote-execution transports."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "sum")]
+    for leaf in leaves[:1]:
+        float(jnp.real(leaf.sum()))
+    return out
+
+
 def _timed(fn, *args, repeats=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _sync(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return out, best
 
@@ -169,7 +176,7 @@ def config5_recycling_sequence(n, n_sys):
         op = ops.diagonal(jnp.asarray(d, dtype=jnp.float32))
         t0 = time.perf_counter()
         r = rec.solve(op, b, tol=1e-4, maxiter=n)
-        jax.block_until_ready(r.x)
+        float(jnp.sum(r.x))
         walls.append(round(time.perf_counter() - t0, 4))
         iters.append(int(r.niter))
     return {

@@ -1,0 +1,34 @@
+"""Smoke tests: the examples run end to end (on the CPU test mesh)."""
+
+import runpy
+import sys
+
+
+def _run(path):
+    old_argv = sys.argv
+    sys.argv = [path]
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old_argv
+
+
+def test_readme_example(capsys):
+    _run("examples/readme_example.py")
+    out = capsys.readouterr().out
+    assert "compatibility lane" in out
+    assert "functional lane" in out
+
+
+def test_deflation_recycling_example(capsys):
+    _run("examples/deflation_recycling.py")
+    out = capsys.readouterr().out
+    assert "deflated" in out
+    assert "recycling" in out
+
+
+def test_multichip_example(capsys):
+    _run("examples/multichip.py")
+    out = capsys.readouterr().out
+    assert "8 devices" in out
+    assert "status=0" in out
