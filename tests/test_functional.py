@@ -300,3 +300,38 @@ def test_progress_streaming(capfd):
     out = capfd.readouterr().out
     assert "cg iter" in out
     assert int(res.status) == F.CONVERGED
+
+
+@pytest.mark.parametrize("solver_name", ["gmres", "minres"])
+def test_spd_preconditioner_dual_basis_matches_eager(solver_name):
+    """The M (inner-product-changing) preconditioner path maintains the
+    dual basis V = M P; residual histories match the eager lane."""
+    A = helpers.matrix_spd()
+    b = A @ numpy.ones(10)
+    Mdiag = numpy.linspace(1, 2, 10)
+
+    fn = getattr(F, solver_name)
+    res = fn(
+        jnp.asarray(A), jnp.asarray(b), M=lambda x: x / Mdiag,
+        tol=1e-11, maxiter=10,
+    )
+
+    from krypy_tpu import linsys
+    import warnings
+
+    ls = linsys.LinearSystem(
+        A, b.reshape(-1, 1),
+        M=numpy.diag(1.0 / Mdiag), Minv=numpy.diag(Mdiag),
+        self_adjoint=True, positive_definite=True,
+    )
+    cls = {"gmres": linsys.Gmres, "minres": linsys.Minres}[solver_name]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eager = cls(ls, tol=1e-11, maxiter=10)
+
+    n = int(res.niter)
+    numpy.testing.assert_allclose(
+        numpy.asarray(res.resnorms[: n + 1]),
+        numpy.asarray(eager.resnorms),
+        rtol=1e-6, atol=1e-12,
+    )
