@@ -403,6 +403,29 @@ class _KrylovSolver:
         )
 
 
+
+def _solver_repr(solver, name):
+    """Compact state dump (reference observability: the per-solver
+    __repr__ blocks, krypy/linsys.py:574-591/771-789/919-938)."""
+    lines = [f"krypy_tpu {name} object"]
+    lines.append(f"    tol: {solver.tol}")
+    lines.append(f"    maxiter: {solver.maxiter}")
+    lines.append(f"    iter: {solver.iter}")
+    lines.append(f"    explicit residual: {solver.explicit_residual}")
+    lines.append(f"    store_arnoldi: {solver.store_arnoldi}")
+    if solver.resnorms:
+        lines.append(
+            f"    resnorms: [{solver.resnorms[0]}, ..., "
+            f"{solver.resnorms[-1]}]"
+        )
+    if solver.xk is not None:
+        import numpy as _np
+
+        xk = _np.asarray(solver.xk)
+        lines.append(f"    xk: [{xk[0]}, ..., {xk[-1]}]")
+    return "\n".join(lines)
+
+
 class Cg(_KrylovSolver):
     r"""Preconditioned conjugate gradient method.
 
@@ -423,6 +446,9 @@ class Cg(_KrylovSolver):
                 "system. Consider using Minres or Gmres."
             )
         super().__init__(linear_system, **kwargs)
+
+    def __repr__(self):
+        return _solver_repr(self, "CG")
 
     def _solve(self):
         N = self.linear_system.N
@@ -550,6 +576,9 @@ class Minres(_KrylovSolver):
         self.ortho = ortho
         super().__init__(linear_system, **kwargs)
 
+    def __repr__(self):
+        return _solver_repr(self, "MINRES")
+
     def _solve(self):
         N = self.linear_system.N
         ls = self.linear_system
@@ -645,6 +674,9 @@ class Gmres(_KrylovSolver):
     def __init__(self, linear_system, ortho="mgs", **kwargs):
         self.ortho = ortho
         super().__init__(linear_system, **kwargs)
+
+    def __repr__(self):
+        return _solver_repr(self, "GMRES")
 
     def _get_xk(self, y):
         if y is None:
