@@ -1,78 +1,78 @@
-"""Candidate-subset generators for the greedy Ritz-subset search
-(reference: krypy/recycling/generators.py)."""
+"""Candidate-subset proposal strategies for the greedy Ritz-subset search
+(semantics per reference krypy/recycling/generators.py, restructured
+around a shared proposal helper).
+
+A generator inspects the Ritz data of the last solve and proposes which
+Ritz-vector indices the greedy search in
+:class:`~krypy_tpu.recycling.factories.RitzFactory` should consider adding
+next.  Each proposal is a set of indices; an empty list terminates the
+search.
+"""
 
 import numpy as np
 
 __all__ = ["RitzSmall", "RitzExtremal"]
 
 
-class _RitzSubsetsGenerator:
-    """Abstract base: propose index subsets of Ritz vectors to consider for
-    deflation."""
-
-    def generate(self, ritz, remaining_subset):
-        raise NotImplementedError(
-            "abstract base class cannot be instanciated"
-        )
+def _budget_exhausted(generator, ritz, remaining):
+    """True when no further proposals should be made: fewer than two
+    indices remain, or the number of already-selected vectors reached the
+    generator's cap."""
+    n_selected = len(ritz.values) - len(remaining)
+    return len(remaining) <= 1 or n_selected >= generator.max_vectors
 
 
-class RitzSmall(_RitzSubsetsGenerator):
-    """Propose the remaining Ritz value of smallest magnitude."""
+def _extreme_of(values):
+    """Indices (into ``values``) of its minimum and maximum."""
+    if len(values) == 0:
+        return []
+    order = np.argsort(values)
+    picks = [order[0]]
+    if len(values) > 1:
+        picks.append(order[-1])
+    return picks
+
+
+class RitzSmall:
+    """Propose the single remaining Ritz value of smallest magnitude --
+    the default generator: one new candidate per greedy round."""
 
     def __init__(self, max_vectors=np.inf):
         self.max_vectors = max_vectors
 
     def generate(self, ritz, remaining_subset):
-        remaining = list(remaining_subset)
-        if (
-            len(remaining) <= 1
-            or len(ritz.values) - len(remaining) >= self.max_vectors
-        ):
+        remaining = sorted(remaining_subset)
+        if _budget_exhausted(self, ritz, remaining):
             return []
-        order = np.argsort(np.abs(ritz.values[remaining]))
-        return [{remaining[order[0]]}]
+        magnitudes = np.abs(ritz.values[remaining])
+        return [{remaining[int(np.argmin(magnitudes))]}]
 
 
-class RitzExtremal(_RitzSubsetsGenerator):
+class RitzExtremal:
     """Propose extremal Ritz values.
 
-    Self-adjoint problems: min/max of the negative and positive branches
-    separately; otherwise min/max magnitude.
+    Self-adjoint systems get up to four proposals (the most negative /
+    least negative / smallest positive / largest positive values --
+    deflation targets at both spectrum ends); other systems get the
+    smallest- and largest-magnitude values.
     """
 
     def __init__(self, max_vectors=np.inf):
         self.max_vectors = max_vectors
 
     def generate(self, ritz, remaining_subset):
-        remaining = np.array(list(remaining_subset))
-        if (
-            len(remaining) <= 1
-            or len(ritz.values) - len(remaining) >= self.max_vectors
-        ):
+        remaining = np.array(sorted(remaining_subset))
+        if _budget_exhausted(self, ritz, remaining):
             return []
-        remaining_values = ritz.values[remaining]
+        vals = ritz.values[remaining]
 
-        def minmax_indices(values):
-            if len(values) == 0:
-                return []
-            order = np.argsort(values)
-            indices = [order[0]]
-            if len(values) > 1:
-                indices.append(order[-1])
-            return indices
-
+        picks = []
         if ritz._deflated_solver.linear_system.self_adjoint:
-            indices = []
-            negative = np.where(remaining_values < 0)[0]
-            positive = np.where(remaining_values > 0)[0]
-            for selection in (negative, positive):
-                indices += list(
-                    remaining[selection][
-                        minmax_indices(remaining_values[selection])
-                    ]
-                )
+            for branch in (vals < 0, vals > 0):
+                branch_idx = np.flatnonzero(branch)
+                for local in _extreme_of(vals[branch_idx]):
+                    picks.append(int(remaining[branch_idx[local]]))
         else:
-            indices = remaining[
-                minmax_indices(np.abs(remaining_values))
-            ]
-        return [{int(i)} for i in indices]
+            for local in _extreme_of(np.abs(vals)):
+                picks.append(int(remaining[local]))
+        return [{i} for i in picks]
