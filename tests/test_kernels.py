@@ -69,3 +69,37 @@ def test_laplacian_kernel(nx, ny, block_rows):
     numpy.testing.assert_allclose(
         numpy.asarray(out), numpy.asarray(ref_op(x)), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("nx, ny, T", [
+    (16, 16, 8), (32, 16, 8), (24, 16, 8), (8, 8, 8),
+])
+def test_laplacian_pipelined(nx, ny, T):
+    from krypy_tpu.kernels.stencil import laplacian_2d_pipelined
+
+    ref_op = ops.poisson_2d(nx, ny)
+    rng = numpy.random.RandomState(3)
+    x = jnp.asarray(rng.randn(nx * ny))
+    out = laplacian_2d_pipelined(
+        x, nx=nx, ny=ny, block_rows=T, interpret=True
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(out), numpy.asarray(ref_op(x)), rtol=1e-12
+    )
+
+
+def test_poisson_2d_impl_selector():
+    import jax as _jax
+
+    op = ops.poisson_2d(16, impl="pallas")
+    ref = ops.poisson_2d(16)
+    x = jnp.asarray(numpy.random.RandomState(4).randn(256))
+    # interpret-mode execution of the pallas path on CPU
+    from krypy_tpu.kernels import stencil
+
+    out = stencil.laplacian_2d_pipelined(x, nx=16, ny=16, interpret=True)
+    numpy.testing.assert_allclose(
+        numpy.asarray(out), numpy.asarray(ref(x)), rtol=1e-12
+    )
+    with pytest.raises(ValueError):
+        ops.poisson_2d(16, impl="bogus")
