@@ -62,7 +62,8 @@ def _make_pipelined_kernel(nx, ny, T, hx2, hy2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nx", "ny", "block_rows", "interpret")
+    jax.jit,
+    static_argnames=("nx", "ny", "block_rows", "hx2", "hy2", "interpret"),
 )
 def laplacian_2d_pipelined(x, *, nx, ny, block_rows=256, hx2=None,
                            hy2=None, interpret=False):
@@ -181,7 +182,8 @@ def _make_kernel(nx, ny, block_rows, hx2, hy2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nx", "ny", "block_rows", "interpret")
+    jax.jit,
+    static_argnames=("nx", "ny", "block_rows", "hx2", "hy2", "interpret"),
 )
 def laplacian_2d_kernel(x, *, nx, ny, block_rows=256, hx2=None, hy2=None,
                         interpret=False):
