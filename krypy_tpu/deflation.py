@@ -275,207 +275,313 @@ class DeflatedGmres(_DeflationMixin, linsys.Gmres):
 
 
 # ---------------------------------------------------------------------------
-# Arnoldifyer: predict deflated-solver behavior without new matvecs
+# Predicting deflated solves: extended-basis calculus
 # ---------------------------------------------------------------------------
+#
+# After a deflated solve we know how the preconditioned operator
+# :math:`\hat A = M M_l A M_r` acts on the computed subspace
+# :math:`\mathrm{span}[V_n, U]` -- exactly, with no further N-dimensional
+# work.  All prediction machinery below is phrased in the ORTHONORMAL
+# (w.r.t. the :math:`M^{-1}`-B inner product) extended basis
+#
+#     S_ext = [ V_{n+1} | U | Z ],
+#
+# where Z completes :math:`\hat A U` beyond span[V_{n+1}, U]; Z is obtained
+# by a rank-revealing inner-product-aware Gram-Schmidt that runs on device.
+# A single small matrix carries all operator information: ``action`` (G
+# below), the S_ext-coordinates of :math:`\hat A [V_n, U]`.  Restricting
+# coordinates to the [V_n, U] rows is mere row selection, so every oblique
+# projection needed by the candidate analysis becomes a plain Euclidean
+# one on coordinates.  (The reference krypy/deflation.py:286-470 achieves
+# the same predictions in the non-orthonormal basis [V_{n+1}, MlAMr U] and
+# pays for it with basis-conversion matrices; the orthonormal formulation
+# removes those conversions.)
+#
+# Derivation of G: the deflated Arnoldi relation gives
+#   \hat A V_n = V_{n+1} \underline{H} + (M M_l A M_r U) E^{-1} C,
+# and the extended basis expands M M_l A M_r U = V B_ + U E + Z R_Z, hence
+#
+#        [ \underline{H} + B_ E^{-1}C    B_  ]   <- V_{n+1} rows
+#   G  = [ C                             E   ]   <- U rows
+#        [ R_Z E^{-1} C                  R_Z ]   <- Z rows
+
+
+def _orthonormal_span(X, ip_B, drop_tol):
+    """Orthonormal basis (in ``ip_B``) of the numerical column span of X.
+
+    Column-pivoted Gram-Schmidt with a reorthogonalization pass; pivots
+    whose residual norm falls below ``drop_tol`` terminate the sweep.  The
+    N-dimensional contractions run on device; only the (tiny) pivot
+    decisions live on host.  Returns ``Q`` with shape ``(N, rank)``.
+    """
+    X = jnp.asarray(X)
+    d = X.shape[1]
+    if d == 0:
+        return X
+    work = X
+    columns = []
+    for _ in range(d):
+        sq = np.real(np.diag(np.asarray(utils.inner(work, work, ip_B=ip_B))))
+        pivot = int(np.argmax(sq))
+        size = float(np.sqrt(max(sq[pivot], 0.0)))
+        if size <= drop_tol:
+            break
+        q = work[:, pivot] / size
+        if columns:
+            Qsofar = jnp.column_stack(columns)
+            q = q - jnp.dot(
+                Qsofar, utils.inner(Qsofar, q[:, None], ip_B=ip_B)
+            ).reshape(-1)
+            q = q / utils.norm(q[:, None], ip_B=ip_B)
+        columns.append(q)
+        # deflate the remaining columns and retire the pivot
+        work = work - jnp.outer(q, utils.inner(q[:, None], work, ip_B=ip_B))
+        work = work.at[:, pivot].set(0.0)
+    if not columns:
+        return X[:, :0]
+    return jnp.column_stack(columns)
+
+
+def _unitary_from_column(q):
+    """Small dense unitary whose first column is ``q/||q||`` (identity when
+    q vanishes).  Complex-safe via a phase-corrected LAPACK QR."""
+    m = q.shape[0]
+    dt = np.result_type(q.dtype, np.float64)
+    size = np.linalg.norm(q)
+    if m == 0 or size == 0:
+        return np.eye(m, dtype=dt)
+    Qf, Rf = np.linalg.qr(q.reshape(m, 1).astype(dt), mode="complete")
+    Qf = np.array(Qf)
+    Qf[:, 0] *= Rf[0, 0] / abs(Rf[0, 0])
+    return Qf
+
+
 class Arnoldifyer:
-    r"""Construct Arnoldi relations for *candidate* deflation subspaces from
-    the data of a finished deflated solve -- without any new N-dimensional
-    operator applications (reference: krypy/deflation.py:286-470).
+    r"""Predict the Arnoldi relation a *candidate* deflation subspace would
+    generate, from the data of a finished deflated solve -- without any new
+    N-dimensional operator applications.
+
+    Matches the semantics of the reference Arnoldifyer
+    (krypy/deflation.py:286-470); see the module-level notes for the
+    (different) construction used here.
 
     :param deflated_solver: a completed deflated solver instance (with
       ``store_arnoldi=True``).
+
+    Attributes: ``Z`` -- device basis of the leak space
+    :math:`[V_{n:}, Z]` that candidate relations are perturbed through;
+    ``action`` -- the extended-coordinate operator matrix G;
+    ``galerkin`` -- its [V_n, U]-row restriction
+    :math:`\langle [V_n,U], \hat A [V_n,U]\rangle`.
     """
 
     def __init__(self, deflated_solver):
         self._deflated_solver = deflated_solver
-        H = np.asarray(deflated_solver.H)
-        B_ = np.asarray(deflated_solver.B_)
-        C = np.asarray(deflated_solver.C)
-        E = np.asarray(deflated_solver.E)
+        ls = deflated_solver.linear_system
+        H = np.asarray(deflated_solver.H)  # (n_, n)
+        B_ = np.asarray(deflated_solver.B_)  # (n_, d)
+        C = np.asarray(deflated_solver.C)  # (d, n)
+        E = np.asarray(deflated_solver.E)  # (d, d)
+        n_, n = H.shape
+        d = E.shape[0]
+        self.n_, self.n, self.d = n_, n, d
+
         V = deflated_solver.V
         U = deflated_solver.projection.U
-        ls = deflated_solver.linear_system
-        MAU = deflated_solver.projection.MAU
+        dt = np.result_type(H.dtype, B_.dtype, C.dtype, E.dtype, np.float64)
 
-        n_, n = self.n_, self.n = H.shape
-        d = self.d = U.shape[1]
+        # U-coordinates of \hat A V_n
+        ucoords = np.linalg.solve(E, C) if d else np.zeros((0, n), dt)
 
-        EinvC = np.linalg.solve(E, C) if d > 0 else np.zeros((0, n))
+        # Galerkin restriction onto [V_n, U] -- assembled first because its
+        # norm scales the rank decision below.
+        galerkin = np.zeros((n + d, n + d), dt)
+        galerkin[:n, :n] = H[:n, :] + B_[:n, :] @ ucoords
+        galerkin[:n, n:] = B_[:n, :]
+        galerkin[n:, :n] = C
+        galerkin[n:, n:] = E
+        self.galerkin = galerkin
+        self.op_norm = np.linalg.norm(galerkin, 2) if n + d else 0.0
 
-        # block matrices describing the augmented operator action on [V, U]
-        self.L = np.block(
-            [[H, np.zeros((n_, d))], [EinvC, np.eye(d)]]
-        )
-        self.J = np.block(
-            [[np.eye(n, n_), B_[:n, :]], [np.zeros((d, n_)), E]]
-        )
-        self.M = np.block(
-            [[H[:n, :n] + B_[:n, :] @ EinvC, B_[:n, :]], [C, E]]
-        )
-        self.A_norm = np.linalg.norm(self.M, 2)
-
-        if d > 0:
-            # rank-revealing pivoted QR of the residual of MAU w.r.t. the
-            # computed bases
-            resid = np.asarray(MAU - jnp.dot(U, jnp.asarray(E))
-                               - jnp.dot(V, jnp.asarray(B_)))
-            Q, R, perm = scipy.linalg.qr(
-                resid, mode="economic", pivoting=True
+        # complete the extended basis: the part of M MlAMr U outside
+        # span[V_{n+1}, U], orthonormalized on device in the M^{-1}-B ip
+        ip_x = ls.get_ip_Minv_B()
+        if d:
+            MAU = deflated_solver.projection.MAU
+            leftover = (
+                MAU - jnp.dot(V, jnp.asarray(B_)) - jnp.dot(U, jnp.asarray(E))
             )
-            perm_inv = np.argsort(perm)
-            rank = int(
-                (np.abs(np.diag(R)) > 1e-14 * self.A_norm).sum()
-            )
-            Q1 = Q[:, :rank]
-            self.R12 = R[:rank, perm_inv]
-
-            # reorthonormalize in the correct inner product
-            Q1, Rt = utils.qr(jnp.asarray(Q1), ip_B=ls.get_ip_Minv_B())
-            self.R12 = np.asarray(Rt) @ self.R12
-
-            # residual helper matrix
-            self.N = np.column_stack(
-                [
-                    np.eye(rank + n_ - n, n_ - n),
-                    np.vstack([B_[n:, :], self.R12]),
-                ]
-            ) @ np.block(
-                [[np.zeros((d + n_ - n, n)), np.eye(d + n_ - n)]]
-            )
+            Zq = _orthonormal_span(leftover, ip_x, 1e-14 * self.op_norm)
+            R_Z = np.asarray(utils.inner(Zq, leftover, ip_B=ip_x))
         else:
-            Q1 = jnp.zeros((U.shape[0], 0))
-            self.R12 = np.zeros((0, 0))
-            self.N = np.block(
-                [[np.zeros((n_ - n, n)), np.eye(n_ - n, n_ - n)]]
-            )
+            Zq = jnp.zeros((U.shape[0], 0), dtype=V.dtype)
+            R_Z = np.zeros((0, 0), dt)
+        r = R_Z.shape[0]
 
-        # basis of the residual space
-        self.Z = jnp.column_stack([V[:, n:], jnp.asarray(Q1)])
+        # extended-coordinate action matrix G (see module notes)
+        G = np.zeros((n_ + d + r, n + d), dt)
+        G[:n_, :n] = H + B_ @ ucoords
+        G[:n_, n:] = B_
+        G[n_: n_ + d, :n] = C
+        G[n_: n_ + d, n:] = E
+        G[n_ + d:, :n] = R_Z @ ucoords
+        G[n_ + d:, n:] = R_Z
+        self.action = G
+
+        # coordinate row bookkeeping: [V_n, U] rows vs leak rows
+        self._span_rows = np.concatenate([np.arange(n), n_ + np.arange(d)])
+        self._leak_rows = np.concatenate(
+            [np.arange(n, n_), n_ + d + np.arange(r)]
+        )
+
+        #: device basis of the leak space (columns pair with Rh rows)
+        self.Z = jnp.column_stack([V[:, n:], Zq])
+
+        # extended coordinates of the original (unprojected) initial
+        # residual: its deflated part is MMlr0_norm * v_0, its deflation-
+        # space part is (M MlAMr U) E^{-1} <U, Mlr0>
+        r0 = np.zeros(n_ + d + r, dt)
+        r0[0] = float(deflated_solver.MMlr0_norm)
+        if d:
+            r0 = r0 + G[:, n:] @ np.linalg.solve(
+                E, np.asarray(deflated_solver.UMlr).reshape(-1)
+            )
+        self._r0 = r0
 
     def get(self, Wt, full=False):
         r"""Arnoldi relation for the deflation-subspace choice
-        :math:`W = [V_n, U]\tilde{W}` (``Wt.shape == (n+d, k)``,
-        :math:`\tilde W^*\tilde W = I_k`).
+        :math:`W = [V_n, U]\tilde{W}` (``Wt.shape == (n+d, k)``).
 
         :return: ``Hh, Rh, q_norm, vdiff_norm, PWAW_norm`` (+ ``Vh, F`` if
           ``full=True``): the Hessenberg matrix of the predicted deflated
-          operator, the perturbation core matrix, the norm of the projected
-          initial vector, the initial-vector difference norm, and the norm
-          of the projection :math:`P_{\mathcal{W}^\perp, A\mathcal{W}}`.
+          operator, the leak-space perturbation coefficients, the norm of
+          the projected initial vector, the initial-vector leak norm, and
+          the norm of the projection
+          :math:`P_{\mathcal{W}^\perp, A\mathcal{W}}`.
         """
         n, n_, d = self.n, self.n_, self.d
+        G = self.action
+        span = self._span_rows
+        leak = self._leak_rows
         Wt = np.asarray(Wt)
         k = Wt.shape[1]
 
-        # orthonormal basis of Wt and its complement
-        if k > 0:
-            Wto, _ = scipy.linalg.qr(Wt)
-            Wt = Wto[:, :k]
-            Wto = Wto[:, k:]
+        # orthonormalize the selection and take its complement in C^{n+d}
+        if k:
+            Qw = scipy.linalg.qr(Wt)[0]
+            Wt, Wco = Qw[:, :k], Qw[:, k:]
         else:
-            Wto = np.eye(Wt.shape[0])
+            Wco = np.eye(n + d, dtype=G.dtype)
 
-        dsolver = self._deflated_solver
+        GW = G @ Wt  # coordinates of \hat A W
+        EW = Wt.conj().T @ (self.galerkin @ Wt)  # <W, \hat A W>
 
-        Pt = utils.Projection(
-            jnp.asarray(self.L @ Wt), jnp.asarray(self.J.conj().T @ Wt)
-        ).operator_complement()
-        if d > 0:
-            qt = Pt * jnp.asarray(
-                np.vstack(
-                    [
-                        [[float(dsolver.MMlr0_norm)]],
-                        np.zeros((n_ - 1, 1)),
-                        np.linalg.solve(
-                            np.asarray(dsolver.E), np.asarray(dsolver.UMlr)
-                        ),
-                    ]
-                )
-            )
-        else:
-            tmp = np.zeros((n_, 1))
-            tmp[0] = float(dsolver.MMlr0_norm)
-            qt = Pt * jnp.asarray(tmp)
-        qt = np.asarray(qt)
+        def deflate(X):
+            """Euclidean-coordinate form of the oblique projection along
+            span(AW) with test space W (identity when k == 0)."""
+            if k == 0:
+                return X
+            return X - GW @ np.linalg.solve(EW, Wt.conj().T @ X[span, :])
 
-        q = Wto.conj().T @ (self.J @ qt)
+        # projected initial vector: its [V_n,U]-complement coords and leak
+        q_ext = deflate(self._r0[:, None])
+        q_span = (Wco.conj().T @ q_ext[span, :]).reshape(-1)
+        q_norm = float(np.linalg.norm(q_span))
+        vdiff_norm = float(np.linalg.norm(q_ext[leak, :]))
 
-        # rotate the nearest [V_n, U]-vector onto the first coordinate
-        Q = utils.House(jnp.asarray(q))
-        q_norm = float(Q.xnorm)
-
-        # Arnoldify: Householder + Hessenberg reduction
-        WtoQ = np.asarray(Q.apply(jnp.asarray(Wto.conj().T))).conj().T
-
-        Hh, T = scipy.linalg.hessenberg(
-            np.asarray(
-                Q.apply(
-                    jnp.asarray(
-                        Wto.conj().T
-                        @ (self.J @ np.asarray(Pt * jnp.asarray(self.L @ WtoQ)))
-                    )
-                )
-            ),
-            calc_q=True,
+        # compression of the projected operator onto the complement of W,
+        # rotated so the first basis vector matches the initial vector,
+        # then Hessenberg-reduced
+        PGW = deflate(G @ Wco)
+        compressed = Wco.conj().T @ PGW[span, :]
+        U1 = _unitary_from_column(q_span)
+        Hh, U2 = scipy.linalg.hessenberg(
+            U1.conj().T @ compressed @ U1, calc_q=True
         )
-        QT = np.asarray(Q.apply(jnp.asarray(T)))
+        rotation = U1 @ U2  # unitary; first column = q_span/||q_span||
 
-        # perturbation core matrix
-        Rh = self.N @ np.asarray(Pt * jnp.asarray(self.L @ (Wto @ QT)))
+        # leak coefficients: \hat A_defl Vh = Vh Hh + Z Rh
+        Rh = PGW[leak, :] @ rotation
 
-        # norm of difference between initial vectors
-        vdiff = self.N @ qt
-        vdiff_norm = 0 if vdiff.size == 0 else np.linalg.norm(vdiff, 2)
-
-        # norm of the projection P_{W^perp, AW}
-        if k > 0:
-            B_ = np.asarray(dsolver.B_)
-            E = np.asarray(dsolver.E)
-            Y = np.block(
-                [
-                    [np.eye(n_), B_],
-                    [np.zeros((d, n_)), E],
-                    [np.zeros((self.R12.shape[0], n_)), self.R12],
-                ]
+        # norm of P_{W^perp, AW} = 1/cos(max principal angle <W, AW>)
+        if k:
+            AW_on = scipy.linalg.qr(GW, mode="economic")[0]
+            PWAW_norm = 1.0 / np.min(
+                scipy.linalg.svdvals(Wt.conj().T @ AW_on[span, :])
             )
-            YL_Q, _ = scipy.linalg.qr(Y @ (self.L @ Wt), mode="economic")
-            WX = Wt.conj().T @ np.vstack(
-                [YL_Q[:n, :], YL_Q[n_: n_ + d, :]]
-            )
-            PWAW_norm = 1.0 / np.min(scipy.linalg.svdvals(WX))
         else:
             PWAW_norm = 1.0
 
-        if full:
-            Vh = jnp.dot(
-                jnp.column_stack(
-                    [dsolver.V[:, :n], dsolver.projection.U]
-                ),
-                jnp.asarray(Wto @ QT),
-            )
-            ip_Minv_B = dsolver.linear_system.get_ip_Minv_B()
-            Z = self.Z
-            Rh_j = jnp.asarray(Rh)
+        if not full:
+            return Hh, Rh, q_norm, vdiff_norm, PWAW_norm
 
-            def _apply_F(x):
-                """Perturbation operator
-                :math:`F = -Z R_h V_h^* - V_h R_h^* Z^*`."""
-                return -(
-                    jnp.dot(Z, jnp.dot(Rh_j, utils.inner(Vh, x, ip_B=ip_Minv_B)))
-                    + jnp.dot(
-                        Vh,
-                        jnp.dot(
-                            Rh_j.conj().T,
-                            utils.inner(Z, x, ip_B=ip_Minv_B),
-                        ),
-                    )
+        ds = self._deflated_solver
+        Vh = jnp.dot(
+            jnp.column_stack([ds.V[:, :n], ds.projection.U]),
+            jnp.asarray(Wco @ rotation),
+        )
+        ip_x = ds.linear_system.get_ip_Minv_B()
+        Z = self.Z
+        Rh_dev = jnp.asarray(Rh)
+
+        def perturbation(x):
+            """:math:`F = -(Z R_h V_h^* + V_h R_h^* Z^*)` in the
+            :math:`M^{-1}`-B geometry."""
+            return -(
+                jnp.dot(Z, jnp.dot(Rh_dev, utils.inner(Vh, x, ip_B=ip_x)))
+                + jnp.dot(
+                    Vh,
+                    jnp.dot(Rh_dev.conj().T, utils.inner(Z, x, ip_B=ip_x)),
                 )
-
-            F = utils.LinearOperator(
-                (Vh.shape[0], Vh.shape[0]), dtype=dsolver.dtype, dot=_apply_F
             )
-            return Hh, Rh, q_norm, vdiff_norm, PWAW_norm, Vh, F
-        return Hh, Rh, q_norm, vdiff_norm, PWAW_norm
+
+        F = utils.LinearOperator(
+            (Vh.shape[0], Vh.shape[0]), dtype=ds.dtype, dot=perturbation
+        )
+        return Hh, Rh, q_norm, vdiff_norm, PWAW_norm, Vh, F
+
+
+def _spectral_norm(X):
+    """2-norm of a (possibly empty) small dense matrix."""
+    return 0.0 if X.size == 0 else float(np.linalg.norm(X, 2))
+
+
+def _replayed_resnorms(arnoldifyer, Hh, q_norm, tol):
+    """Residual-norm history of the small projected system
+    ``Hh y = q_norm e_1``, replayed with the same solver family that
+    produced the deflated solve (absolute norms)."""
+    ds = arnoldifyer._deflated_solver
+    ls = ds.linear_system
+    solver_cls = type(ds)
+    if issubclass(solver_cls, (linsys.Minres, linsys.Gmres)):
+        history = utils.get_residual_norms(Hh, self_adjoint=ls.self_adjoint)
+    else:
+        small = linsys.LinearSystem(
+            jnp.asarray(Hh),
+            jnp.eye(Hh.shape[0], 1) * q_norm,
+            normal=ls.normal,
+            self_adjoint=ls.self_adjoint,
+            positive_definite=ls.positive_definite,
+        )
+        try:
+            replay = solver_cls(small, tol=tol, maxiter=Hh.shape[0])
+        except ConvergenceError as caught:
+            replay = caught.solver
+        history = np.array(replay.resnorms)
+    return np.asarray(history) * q_norm
+
+
+def _residual_poly_roots(Hh, steps, solver_cls, self_adjoint):
+    """Roots of the step-``steps`` residual polynomial of the replayed
+    solve: Ritz values for the Galerkin (CG) family, harmonic Ritz values
+    for the residual-minimizing (MINRES/GMRES) family."""
+    if issubclass(solver_cls, linsys.Cg):
+        roots = scipy.linalg.eigvalsh(Hh[:steps, :steps])
+    else:
+        Qs, Rs = scipy.linalg.qr(Hh[: steps + 1, :steps], mode="economic")
+        recip = scipy.linalg.eigvals(Qs[:steps, :].conj().T, Rs)
+        roots = 1.0 / recip[np.abs(recip) > 1e-14]
+    return np.real(roots) if self_adjoint else roots
 
 
 def bound_pseudo(
@@ -492,8 +598,12 @@ def bound_pseudo(
     terminate_factor=1.0,
 ):
     r"""Bound the residual norms of the *next* deflated system solved with
-    the candidate deflation vectors :math:`W = [V, U]\tilde W`
-    (reference: krypy/deflation.py:473-734).
+    the candidate deflation vectors :math:`W = [V, U]\tilde W`.
+
+    Matches the semantics of the reference bound (krypy/deflation.py:473-734,
+    after Gaul's dissertation): the perturbation of the predicted Krylov
+    relation is pushed through an :math:`\varepsilon`-pseudospectral
+    residual-polynomial estimate, minimized over the pseudospectrum radius.
 
     ``pseudo_type`` selects how perturbations enter the bound:
     ``'auto'``/``'nonnormal'``/``'normal'``/``'hermitian'`` use
@@ -502,181 +612,134 @@ def bound_pseudo(
     skips perturbation analysis and returns the approximate-Krylov residual
     norms only.
     """
-    if pseudo_kwargs is None:
-        pseudo_kwargs = {}
+    pseudo_kwargs = pseudo_kwargs or {}
+    ds = arnoldifyer._deflated_solver
+    ls = ds.linear_system
+    solver_cls = type(ds)
 
     Hh, Rh, q_norm, vdiff_norm, PWAW_norm = arnoldifyer.get(Wt)
-    ls_orig = arnoldifyer._deflated_solver.linear_system
 
-    k = Wt.shape[1]
-    if k > 0:
-        # smallest singular value of W^* A W
-        WAW = np.asarray(Wt).conj().T @ (
-            arnoldifyer.J @ (arnoldifyer.L @ np.asarray(Wt))
-        )
-        sigma_min = np.min(scipy.linalg.svdvals(WAW))
-        if sigma_min <= WGW_norm:
+    # perturbation budget: how far the candidate relation can drift under
+    # the user-supplied operator/rhs perturbation norms
+    k = np.asarray(Wt).shape[1]
+    if k:
+        WAW = np.asarray(Wt).conj().T @ (arnoldifyer.galerkin @ np.asarray(Wt))
+        sv_floor = np.min(scipy.linalg.svdvals(WAW))
+        if sv_floor <= WGW_norm:
             raise AssumptionError(
-                "sigma_min(W^*AW) > ||W^*GW|| not satisfied."
+                "candidate deflation space is too ill-conditioned: the "
+                "smallest singular value of <W, A W> does not dominate "
+                "the perturbation norm ||W^* G W||"
             )
-        eta = GW_norm / (sigma_min - WGW_norm)
+        drift = GW_norm / (sv_floor - WGW_norm)
     else:
-        eta = 0.0
-    b_norm = float(ls_orig.MMlb_norm)
-    beta = PWAW_norm * (eta * (b_norm + g_norm) + g_norm) + vdiff_norm
-
+        drift = 0.0
+    b_norm = float(ls.MMlb_norm)
     if g_norm >= b_norm:
-        raise AssumptionError("||g_norm|| < ||b_norm|| not satisfied")
-
-    # residual norms of the small system Hh z = e_1 q_norm
-    ls_small = linsys.LinearSystem(
-        jnp.asarray(Hh),
-        jnp.eye(Hh.shape[0], 1) * q_norm,
-        normal=ls_orig.normal,
-        self_adjoint=ls_orig.self_adjoint,
-        positive_definite=ls_orig.positive_definite,
-    )
-
-    Solver = type(arnoldifyer._deflated_solver)
-    if issubclass(Solver, (linsys.Minres, linsys.Gmres)):
-        aresnorms = utils.get_residual_norms(
-            Hh, self_adjoint=ls_orig.self_adjoint
+        raise AssumptionError(
+            "the right-hand-side perturbation exceeds the right-hand side "
+            "itself (g_norm >= ||b||); no bound is possible"
         )
-    else:
-        try:
-            solver = Solver(ls_small, tol=tol, maxiter=Hh.shape[0])
-        except ConvergenceError as e:
-            solver = e.solver
-        aresnorms = np.array(solver.resnorms)
-    aresnorms = aresnorms * q_norm
+    beta = PWAW_norm * (drift * (b_norm + g_norm) + g_norm) + vdiff_norm
+
+    curve = _replayed_resnorms(arnoldifyer, Hh, q_norm, tol)
+    rhs_scale = b_norm - g_norm
 
     if pseudo_type == "omit":
-        return aresnorms / (b_norm - g_norm)
+        return curve / rhs_scale
+    if pseudo_type == "contain":
+        raise NotImplementedError(
+            "pseudo_type='contain' is not implemented (matching the "
+            "reference, krypy/deflation.py:661)"
+        )
 
-    # spectrum and norm of Hh
-    evals, evecs = scipy.linalg.eig(Hh)
-    if ls_small.self_adjoint:
+    evals = scipy.linalg.eigvals(Hh)
+    if ls.self_adjoint:
         evals = np.real(evals)
-    Hh_norm = np.linalg.norm(Hh, 2)
+    Hh_norm = _spectral_norm(Hh)
 
     if pseudo_type == "auto":
-        if np.linalg.norm(Hh - Hh.conj().T, 2) < 1e-14 * Hh_norm:
+        if _spectral_norm(Hh - Hh.conj().T) < 1e-14 * Hh_norm:
             pseudo_type = "hermitian"
-        elif np.linalg.cond(evecs, 2) < 1 + 1e-14:
+        elif np.linalg.cond(scipy.linalg.eig(Hh)[1], 2) < 1 + 1e-14:
             pseudo_type = "normal"
         else:
             pseudo_type = "nonnormal"
+    hermitian_like = ls.self_adjoint
 
-    delta_max = 1e2 * np.max(np.abs(evals))
+    radius_cap = 1e2 * np.max(np.abs(evals))
+    operator_eps = PWAW_norm * (drift * (Hh_norm + G_norm) + G_norm)
 
-    # minimal delta is defined via the perturbation core Rh
-    _, Rhsvd, _ = scipy.linalg.svd(Rh[:, :1]) if Rh.size else (0, [0], 0)
-    delta_min = PWAW_norm * (eta * (Hh_norm + G_norm) + G_norm) + np.max(
-        Rhsvd
-    )
-    if delta_min == 0:
-        delta_min = 1e-16
-
+    # backend selection follows the system flags (as in the reference:
+    # pseudo_type only distinguishes omit/contain/auto resolution)
     from . import pseudospectra
 
-    if not ls_small.normal:
-        pseudo = pseudospectra.NonnormalAuto(
-            Hh, delta_min * 0.99, delta_max * 1.01, **pseudo_kwargs
+    if not ls.normal:
+        radius_floor = max(
+            operator_eps + _spectral_norm(Rh[:, :1]), 1e-16
         )
-    elif not ls_small.self_adjoint:
+        pseudo = pseudospectra.NonnormalAuto(
+            Hh, radius_floor * 0.99, radius_cap * 1.01, **pseudo_kwargs
+        )
+    elif not ls.self_adjoint:
         pseudo = pseudospectra.NormalEvals(evals)
     else:
         pseudo = None
 
-    bounds = [aresnorms[0]]
-    for i in range(1, len(aresnorms)):
-        # roots of the residual polynomial of step i
-        if issubclass(Solver, linsys.Cg):
-            roots = scipy.linalg.eigvalsh(Hh[:i, :i])
+    def perturbed_poly_bound(p, minmax_candidates, epsilon, delta_log):
+        """Cauchy-integral style estimate of the perturbed residual
+        polynomial over the radius-``delta`` pseudospectrum boundary."""
+        delta = 10.0**delta_log
+        if hermitian_like:
+            # the pseudospectrum degenerates to a union of real intervals
+            bands = utils.Intervals(
+                [utils.Interval(ev - delta, ev + delta) for ev in evals]
+            )
+            inside = [c for c in minmax_candidates if bands.contains(c)]
+            probes = np.hstack([bands.get_endpoints(), np.array(inside)])
+            poly_max = np.max(np.abs(p(probes)))
+            boundary_len = 2 * delta
         else:
-            HhQ, HhR = scipy.linalg.qr(Hh[: i + 1, :i], mode="economic")
-            roots_inv = scipy.linalg.eigvals(HhQ[:i, :].conj().T, HhR)
-            roots = 1.0 / roots_inv[np.abs(roots_inv) > 1e-14]
-        if ls_small.self_adjoint:
-            roots = np.real(roots)
+            paths = pseudo.contour_paths(delta)
+            boundary_len = paths.length()
+            if boundary_len <= 0:
+                # level set below grid resolution: no information at this
+                # radius; an infinite value steers the minimizer away
+                return np.inf
+            poly_max = np.max(np.abs(p(paths.vertices())))
+        return (
+            boundary_len
+            / (2 * np.pi * delta)
+            * (epsilon / (delta - epsilon) * (q_norm + beta) + beta)
+            * poly_max
+        )
 
-        p = utils.NormalizedRootsPolynomial(roots)
-        if ls_small.self_adjoint:
-            p_minmax_candidates = p.minmax_candidates()
+    from scipy.optimize import minimize_scalar
 
-        aresnorm = aresnorms[i]
-
-        _, Rhsvd, _ = scipy.linalg.svd(Rh[:, :i])
-        Rhnrm = np.max(Rhsvd)
-        epsilon = PWAW_norm * (eta * (Hh_norm + G_norm) + G_norm) + Rhnrm
-        if epsilon == 0:
-            epsilon = 1e-16
-
-        if pseudo_type == "contain":
-            raise NotImplementedError("contain not yet implemented")
-        if epsilon >= delta_max:
+    bounds = [curve[0]]
+    for step in range(1, len(curve)):
+        epsilon = max(operator_eps + _spectral_norm(Rh[:, :step]), 1e-16)
+        if epsilon >= radius_cap:
             break
 
-        delta_log_range = np.linspace(
-            np.log10(1.01 * epsilon), np.log10(delta_max), delta_n + 2
-        )[0:-1]
+        roots = _residual_poly_roots(Hh, step, solver_cls, hermitian_like)
+        p = utils.NormalizedRootsPolynomial(roots)
+        minmax_candidates = p.minmax_candidates() if hermitian_like else ()
 
-        def compute_pseudo(delta_log):
-            delta = 10**delta_log
-            if ls_small.self_adjoint:
-                # pseudospectrum is a union of intervals
-                pseudo_intervals = utils.Intervals(
-                    [
-                        utils.Interval(ev - delta, ev + delta)
-                        for ev in evals
-                    ]
-                )
-                candidates = [
-                    c
-                    for c in p_minmax_candidates
-                    if pseudo_intervals.contains(c)
-                ]
-                all_candidates = np.hstack(
-                    [
-                        pseudo_intervals.get_endpoints(),
-                        np.array(candidates),
-                    ]
-                )
-                polymax = np.max(np.abs(p(all_candidates)))
-                pseudolen = 2 * delta
-            else:
-                pseudo_path = pseudo.contour_paths(delta)
-                pseudolen = pseudo_path.length()
-                if pseudolen > 0:
-                    polymax = np.max(np.abs(p(pseudo_path.vertices())))
-                else:
-                    # level set below grid resolution: no information at
-                    # this delta; report an infinite bound so the
-                    # minimizer moves on
-                    return np.inf
-
-            return (
-                pseudolen
-                / (2 * np.pi * delta)
-                * (epsilon / (delta - epsilon) * (q_norm + beta) + beta)
-                * polymax
-            )
-
-        from scipy.optimize import minimize_scalar
-
-        opt_res = minimize_scalar(
-            compute_pseudo,
-            bounds=(delta_log_range[0], delta_log_range[-1]),
+        best = minimize_scalar(
+            lambda dl: perturbed_poly_bound(
+                p, minmax_candidates, epsilon, dl
+            ),
+            bounds=(np.log10(1.01 * epsilon), np.log10(radius_cap)),
             method="bounded",
             options={"maxiter": delta_n},
         )
-        min_val = opt_res.fun
-        boundval = aresnorm + min_val
+        value = curve[step] + best.fun
 
-        if i > 1 and boundval / bounds[-1] > terminate_factor:
+        if step > 1 and value / bounds[-1] > terminate_factor:
             break
-        bounds.append(np.min([boundval, bounds[-1]]))
-    return np.array(bounds) / (b_norm - g_norm)
+        bounds.append(min(value, bounds[-1]))
+    return np.array(bounds) / rhs_scale
 
 
 class Ritz:

@@ -1,11 +1,20 @@
-"""Subset evaluators: predict the wall-clock cost of solving the next
-system with a candidate set of deflation vectors
-(reference: krypy/recycling/evaluators.py).
+"""Subset evaluators: price a candidate deflation subspace in predicted
+wall-clock seconds for the *next* solve.
 
-Both evaluators turn "predicted iteration count" into "predicted seconds"
-through :meth:`~krypy_tpu.deflation._DeflationMixin.estimate_time`, which
-combines the analytic operation-count models with measured per-op timings
--- the timing-to-decision feedback loop of the recycling machinery.
+Semantics follow krypy/recycling/evaluators.py: an evaluator maps
+``(ritz, subset)`` to seconds, combining a predicted iteration count with
+the measured per-operation timings through
+:meth:`~krypy_tpu.deflation._DeflationMixin.estimate_time` -- the
+timing-to-decision feedback loop of the recycling machinery.  Candidates
+whose prediction premises fail raise :class:`AssumptionError`, which the
+factories treat as "skip this candidate".
+
+Two pricing strategies:
+
+* :class:`RitzApriori` -- pure theory: an a-priori convergence bound on
+  the Ritz values that are *kept* (not deflated).
+* :class:`RitzApproxKrylov` -- simulation: predict the actual residual
+  curve with the :class:`~krypy_tpu.deflation.Arnoldifyer` machinery.
 """
 
 import warnings
@@ -19,22 +28,31 @@ __all__ = ["RitzApriori", "RitzApproxKrylov"]
 
 
 class _RitzSubsetEvaluator:
+    """Interface: :meth:`evaluate` prices a subset in predicted seconds."""
+
     def evaluate(self, ritz, subset):
-        """Return the predicted cost (seconds) of deflating ``subset``."""
-        raise NotImplementedError(
-            "abstract base class cannot be instanciated"
-        )
+        raise NotImplementedError("subclasses implement evaluate()")
+
+
+def _split_indices(ritz, subset):
+    """Deterministically ordered (deflated, kept) index lists."""
+    chosen = sorted(subset)
+    kept = sorted(set(range(len(ritz.values))) - set(subset))
+    return chosen, kept
 
 
 class RitzApriori(_RitzSubsetEvaluator):
-    """Score a subset via an a-priori bound (CG kappa-bound or MINRES
-    bound) on the non-deflated Ritz values.
+    """Price a subset with an a-priori residual bound on the kept Ritz
+    values (reference semantics: krypy/recycling/evaluators.py:13-134).
 
     :param Bound: :class:`~krypy_tpu.utils.BoundCG` or
       :class:`~krypy_tpu.utils.BoundMinres`.
-    :param strategy: ``'simple'`` uses the complementary Ritz values
-      directly; ``'intervals'`` inflates them to inclusion intervals from
-      the residual norms and the spectral gap.
+    :param tol: target tolerance (default: the last solver's).
+    :param strategy: ``'simple'`` feeds the kept Ritz values to the bound
+      directly; ``'intervals'`` first inflates them to eigenvalue inclusion
+      intervals derived from the Ritz residuals and the spectral gap.
+    :param deflweight: weight of the deflation-overhead term in the time
+      estimate.
     """
 
     def __init__(self, Bound, tol=None, strategy="simple", deflweight=1.0):
@@ -44,105 +62,103 @@ class RitzApriori(_RitzSubsetEvaluator):
         self.deflweight = deflweight
 
     def evaluate(self, ritz, subset):
-        ndefl = len(subset)
-        if not ritz._deflated_solver.linear_system.self_adjoint:
+        solver = ritz._deflated_solver
+        if not solver.linear_system.self_adjoint:
             warnings.warn(
-                "RitzApriori is designed for self-adjoint problems but "
-                "the provided LinearSystem is not marked as self-adjoint."
+                "a-priori bounds assume a self-adjoint operator; the "
+                "linear system is not flagged self_adjoint, so the "
+                "prediction may be meaningless."
             )
-        tol = self.tol
-        if tol is None:
-            tol = ritz._deflated_solver.tol
-
-        indices = list(subset)
-        indices_remaining = list(
-            set(range(len(ritz.values))).difference(subset)
-        )
+        tol = solver.tol if self.tol is None else self.tol
+        chosen, kept = _split_indices(ritz, subset)
 
         if self.strategy == "simple":
-            bound = self.Bound(ritz.values[indices_remaining])
-            nsteps = bound.get_step(tol)
+            spectrum = ritz.values[kept]
         elif self.strategy == "intervals":
-            intervals = self._estimate_eval_intervals(
-                ritz, indices, indices_remaining
-            )
-            bound = self.Bound(intervals)
-            nsteps = bound.get_step(tol)
+            spectrum = self._inclusion_intervals(ritz, chosen, kept)
         else:
             raise ArgumentError(
-                f"Invalid value '{self.strategy}' for argument 'strategy'. "
-                "Valid are simple and intervals."
+                f"unknown strategy {self.strategy!r}; choose 'simple' or "
+                "'intervals'"
             )
-
-        return ritz._deflated_solver.estimate_time(
-            nsteps, ndefl, deflweight=self.deflweight
+        nsteps = self.Bound(spectrum).get_step(tol)
+        return solver.estimate_time(
+            nsteps, len(chosen), deflweight=self.deflweight
         )
 
     @staticmethod
-    def _estimate_eval_intervals(
-        ritz, indices, indices_remaining, eps_min=0, eps_max=0, eps_res=None
+    def _inclusion_intervals(
+        ritz, chosen, kept, eps_min=0, eps_max=0, eps_res=None
     ):
-        """Inclusion intervals for the eigenvalues associated with the
-        non-deflated Ritz values, from an eigenvalue inclusion theorem plus
-        a gap heuristic (reference: krypy/recycling/evaluators.py:99-134)."""
-        if len(indices) == 0:
+        """Inclusion intervals for the eigenvalues behind the *kept* Ritz
+        values.
+
+        Each kept eigenvalue is trapped within ``spread`` of its Ritz
+        value, where ``spread`` combines the chosen pairs' residuals with
+        their separation from the kept values (eigenvalue inclusion
+        theorem + gap heuristic; reference semantics:
+        krypy/recycling/evaluators.py:99-134).  ``eps_*`` model an
+        additional operator perturbation.
+        """
+        if not chosen:
+            # nothing deflated: fall back to plain residual intervals
             return utils.Intervals(
                 [
-                    utils.Interval(mu - resnorm, mu + resnorm)
-                    for mu, resnorm in zip(ritz.values, ritz.resnorms)
+                    utils.Interval(v - r, v + r)
+                    for v, r in zip(ritz.values, ritz.resnorms)
                 ]
             )
-        if len(ritz.values) == len(indices):
+        if not kept:
             raise AssumptionError(
-                "selection of all Ritz pairs does not allow estimation."
+                "cannot build inclusion intervals when every Ritz pair "
+                "is deflated"
             )
         if eps_res is None:
-            eps_res = np.max(np.abs([eps_min, eps_max]))
+            eps_res = max(abs(eps_min), abs(eps_max))
 
-        delta_sel = np.linalg.norm(ritz.resnorms[indices], 2)
-        delta_non_sel = np.linalg.norm(ritz.resnorms[indices_remaining], 2)
-        delta = utils.gap(
-            ritz.values[indices], ritz.values[indices_remaining]
-        )
-        mu_ints = utils.Intervals(
+        res_chosen = np.linalg.norm(ritz.resnorms[chosen], 2)
+        separation = utils.gap(ritz.values[chosen], ritz.values[kept])
+        if res_chosen + eps_max - eps_min >= separation:
+            raise AssumptionError(
+                "chosen Ritz pairs are not separated well enough from the "
+                f"kept ones (residual {res_chosen:.3e} vs gap "
+                f"{separation:.3e})"
+            )
+        chosen_bands = utils.Intervals(
             [
-                utils.Interval(mu + eps_min, mu + eps_max)
-                for mu in ritz.values[indices]
+                utils.Interval(v + eps_min, v + eps_max)
+                for v in ritz.values[chosen]
             ]
         )
-        mu_min = mu_ints.min_abs()
-
-        if delta_sel + eps_max - eps_min >= delta:
+        closest_to_zero = chosen_bands.min_abs()
+        if closest_to_zero == 0:
             raise AssumptionError(
-                "delta_sel + delta_non_sel + eps_max - eps_min >= delta "
-                f"({delta_sel + delta_non_sel + eps_max - eps_min} >= "
-                f"{delta})"
+                "a chosen Ritz interval touches zero; the inclusion "
+                "estimate degenerates"
             )
-        if mu_min == 0:
-            raise AssumptionError("mu_min == 0 not allowed")
 
-        eta = (delta_sel + eps_res) ** 2 * (
-            1.0 / (delta - eps_max + eps_min) + 1.0 / mu_min
+        spread = (res_chosen + eps_res) ** 2 * (
+            1.0 / (separation - eps_max + eps_min) + 1.0 / closest_to_zero
         )
-        left = eps_min - eta
-        right = eps_max + eta
-
         return utils.Intervals(
             [
-                utils.Interval(mu + left, mu + right)
-                for mu in ritz.values[indices_remaining]
+                utils.Interval(v + eps_min - spread, v + eps_max + spread)
+                for v in ritz.values[kept]
             ]
         )
 
 
 class RitzApproxKrylov(_RitzSubsetEvaluator):
-    """Score a subset by actually predicting the residual curve of the next
-    solve via :class:`~krypy_tpu.deflation.Arnoldifyer` and
-    :func:`~krypy_tpu.deflation.bound_pseudo`.
+    """Price a subset by simulating the next solve: predict its residual
+    curve via :class:`~krypy_tpu.deflation.Arnoldifyer` +
+    :func:`~krypy_tpu.deflation.bound_pseudo`, then convert the curve to an
+    iteration count (reference semantics:
+    krypy/recycling/evaluators.py:137-238).
 
-    :param mode: ``'extrapolate'`` fits a geometric convergence rate to the
-      predicted curve; ``'direct'`` counts predicted steps directly.
-    :param pseudospectra: include pseudospectral perturbation bounds.
+    :param mode: ``'extrapolate'`` fits the worst geometric rate along the
+      predicted curve; ``'direct'`` counts the predicted steps above tol.
+    :param pseudospectra: include pseudospectral perturbation terms in the
+      curve prediction (slower, sharper for nonnormal problems).
     """
 
     def __init__(
@@ -157,58 +173,61 @@ class RitzApproxKrylov(_RitzSubsetEvaluator):
         self.mode = mode
         self.tol = tol
         self.pseudospectra = pseudospectra
-        self.bound_pseudo_kwargs = bound_pseudo_kwargs or {}
+        self.bound_pseudo_kwargs = dict(bound_pseudo_kwargs or {})
         self.deflweight = deflweight
 
+    def _arnoldifyer_for(self, solver):
+        """One Arnoldifyer per finished solve: its construction is the
+        expensive part, candidate pricing reuses it."""
+        cached = self._arnoldifyer
+        if cached is None or cached._deflated_solver is not solver:
+            cached = deflation.Arnoldifyer(solver)
+            self._arnoldifyer = cached
+        return cached
+
     def evaluate(self, ritz, subset):
-        ndefl = len(subset)
-        tol = self.tol if self.tol is not None else ritz._deflated_solver.tol
+        solver = ritz._deflated_solver
+        tol = solver.tol if self.tol is None else self.tol
+        chosen, _ = _split_indices(ritz, subset)
 
-        # cache the Arnoldifyer per solver instance
-        if (
-            self._arnoldifyer is not None
-            and self._arnoldifyer._deflated_solver is ritz._deflated_solver
-        ):
-            arnoldifyer = self._arnoldifyer
-        else:
-            arnoldifyer = deflation.Arnoldifyer(ritz._deflated_solver)
-            self._arnoldifyer = arnoldifyer
-
-        Wt = ritz.coeffs[:, list(subset)]
-        bound = deflation.bound_pseudo(
-            arnoldifyer,
-            Wt,
+        curve = deflation.bound_pseudo(
+            self._arnoldifyer_for(solver),
+            ritz.coeffs[:, chosen],
             tol=tol,
-            pseudo_type="omit" if not self.pseudospectra else "auto",
+            pseudo_type="auto" if self.pseudospectra else "omit",
             **self.bound_pseudo_kwargs,
         )
-
-        if len(bound) <= 1:
-            raise AssumptionError("no bound computed")
+        if len(curve) < 2:
+            raise AssumptionError(
+                "the predicted residual curve is too short to price this "
+                "candidate"
+            )
 
         if self.mode == "direct":
-            if (bound > tol).all():
+            above = curve > tol
+            if above.all():
                 raise AssumptionError(
-                    "tolerance not reached with mode==`direct`."
+                    "predicted curve never reaches the tolerance "
+                    "(mode='direct')"
                 )
-            nsteps = (bound > tol).sum()
+            nsteps = int(above.sum())
         elif self.mode == "extrapolate":
-            # minimal overall residual reduction rate
-            alpha = np.max(
-                (bound[1:] / bound[0])
-                ** (1.0 / np.arange(1, len(bound)))
+            # most pessimistic geometric rate observed along the curve
+            rate = np.max(
+                (curve[1:] / curve[0]) ** (1.0 / np.arange(1, len(curve)))
             )
-            if alpha >= 1 or alpha == 0:
+            if not 0 < rate < 1:
                 raise AssumptionError(
-                    f"Cannot compute bound because alpha == {alpha} >= 1"
+                    f"predicted curve is not contracting (rate={rate}); "
+                    "extrapolation impossible"
                 )
-            nsteps = np.log(tol / bound[0]) / np.log(alpha)
+            nsteps = np.log(tol / curve[0]) / np.log(rate)
         else:
             raise ArgumentError(
-                f"Invalid value `{self.mode}` for argument `mode`. "
-                "Valid are `direct` and `extrapolate`."
+                f"unknown mode {self.mode!r}; choose 'direct' or "
+                "'extrapolate'"
             )
 
-        return ritz._deflated_solver.estimate_time(
-            nsteps, ndefl, deflweight=self.deflweight
+        return solver.estimate_time(
+            nsteps, len(chosen), deflweight=self.deflweight
         )

@@ -1,10 +1,12 @@
-"""Deflation-vector factories (reference: krypy/recycling/factories.py).
+"""Deflation-vector factories: turn the state of the last (deflated) solve
+into the deflation basis for the next one.
 
-A factory turns the state of the last (deflated) solve into the deflation
-basis for the next solve.  :class:`RitzFactory` performs a greedy search
-over candidate subsets of Ritz vectors, scoring each subset with a
-:mod:`~krypy_tpu.recycling.evaluators` evaluator (predicted wall-clock
-time); :class:`RitzFactorySimple` picks a fixed number by criterion.
+Semantics follow krypy/recycling/factories.py.  :class:`RitzFactory`
+searches subsets of the last solve's Ritz pairs, pricing each candidate
+with an :mod:`~krypy_tpu.recycling.evaluators` evaluator (predicted
+wall-clock seconds) and growing the set greedily;
+:class:`RitzFactorySimple` picks a fixed number by a sort criterion;
+:class:`UnionFactory` concatenates the output of several factories.
 """
 
 import numpy as np
@@ -22,21 +24,26 @@ __all__ = [
 
 
 class _DeflationVectorFactory:
-    """Abstract base class of deflation-vector factories."""
+    """Interface: :meth:`get` maps a finished solver to an ``(N, k)``
+    deflation basis."""
 
     def get(self, solver):
-        """Return deflation vectors, shape ``(N, k)``."""
-        raise NotImplementedError(
-            "abstract base class cannot be instanciated"
-        )
+        raise NotImplementedError("subclasses implement get()")
 
 
 class RitzFactory(_DeflationVectorFactory):
-    """Automatic deflation-subspace selection by greedy subset search.
+    """Automatic deflation-subspace selection by greedy subset growth.
 
-    :param subset_evaluator: scores a candidate index subset (see
+    Each round, the generator proposes ways to extend the current index
+    set; every proposal is priced by the evaluator; the cheapest priced
+    candidate becomes the new current set.  Across all rounds the globally
+    cheapest priced set wins.  A proposal whose pricing premises fail
+    (:class:`AssumptionError`) is skipped -- failure as control flow, as in
+    the reference (krypy/recycling/factories.py:58-63).
+
+    :param subset_evaluator: prices a candidate index set (see
       :mod:`~krypy_tpu.recycling.evaluators`).
-    :param subsets_generator: proposes candidate index subsets (default:
+    :param subsets_generator: proposes candidate extensions (default:
       :class:`~krypy_tpu.recycling.generators.RitzSmall`).
     :param mode: Ritz mode passed to :class:`~krypy_tpu.deflation.Ritz`.
     :param print_results: ``None`` | ``'number'`` | ``'values'`` |
@@ -61,103 +68,96 @@ class RitzFactory(_DeflationVectorFactory):
 
     def get(self, deflated_solver):
         ritz = deflation.Ritz(deflated_solver, mode=self.mode)
-        return ritz.get_vectors(self._get_best_subset(ritz))
+        return ritz.get_vectors(self._select(ritz))
 
-    def _get_best_subset(self, ritz):
-        """Greedy search for the subset with the smallest predicted cost.
-
-        An :class:`AssumptionError` from the evaluator marks a candidate as
-        unevaluable and it is skipped (failure-as-control-flow, reference:
-        krypy/recycling/factories.py:58-63)."""
-        overall_evaluations = {}
-
-        def evaluate(subset, evaluations):
+    def _select(self, ritz):
+        def price(candidate):
             try:
-                evaluations[subset] = self.subset_evaluator.evaluate(
-                    ritz, subset
-                )
+                return self.subset_evaluator.evaluate(ritz, candidate)
             except AssumptionError:
-                pass  # unevaluable candidate: skip
+                return None  # not priceable -> skip
 
-        current_subset = frozenset()
-        evaluate(current_subset, overall_evaluations)
+        scored = {}
+        current = frozenset()
+        empty_cost = price(current)
+        if empty_cost is not None:
+            scored[current] = empty_cost
 
+        universe = set(range(len(ritz.values)))
         while True:
-            remaining = set(range(len(ritz.values))).difference(
-                current_subset
+            proposals = self.subsets_generator.generate(
+                ritz, universe - current
             )
-            subsets = self.subsets_generator.generate(ritz, remaining)
-            if len(subsets) == 0:
+            if not proposals:
                 break
 
-            evaluations = {}
-            for subset in subsets:
-                evaluate(
-                    frozenset(current_subset.union(subset)), evaluations
-                )
+            round_scores = {}
+            for extension in proposals:
+                candidate = frozenset(current | set(extension))
+                cost = price(candidate)
+                if cost is not None:
+                    round_scores[candidate] = cost
 
-            if evaluations:
-                current_subset = min(evaluations, key=evaluations.get)
+            if round_scores:
+                current = min(round_scores, key=round_scores.get)
+                scored.update(round_scores)
             else:
-                # fallback: extend by the subset with smallest residual
-                resnorms = [
-                    np.sum(ritz.resnorms[list(subset)])
-                    for subset in subsets
-                ]
-                current_subset = frozenset(
-                    current_subset.union(subsets[int(np.argmin(resnorms))])
+                # no proposal was priceable this round: keep growing along
+                # the one with the smallest combined Ritz residual
+                cheapest_res = min(
+                    proposals,
+                    key=lambda s: float(np.sum(ritz.resnorms[list(s)])),
                 )
-            overall_evaluations.update(evaluations)
+                current = frozenset(current | set(cheapest_res))
 
-        if overall_evaluations:
-            selection = list(
-                min(overall_evaluations, key=overall_evaluations.get)
-            )
-        else:
-            selection = []
-
-        self._report(ritz, selection, overall_evaluations)
+        winner = min(scored, key=scored.get) if scored else frozenset()
+        selection = sorted(winner)
+        self._announce(ritz, selection, scored)
         return selection
 
-    def _report(self, ritz, selection, overall_evaluations):
+    def _announce(self, ritz, selection, scored):
         if self.print_results is None:
             return
         if self.print_results == "number":
-            print(f"# of selected deflation vectors: {len(selection)}")
+            print(f"deflation subspace size: {len(selection)}")
         elif self.print_results == "values":
+            shown = ", ".join(str(v) for v in ritz.values[selection])
             print(
-                f"{len(selection)} Ritz values corresponding to selected "
-                "deflation vectors: "
-                + ", ".join(str(el) for el in ritz.values[selection])
+                f"deflating {len(selection)} Ritz value(s): {shown}"
             )
         elif self.print_results == "timings":
-            print(
-                "Timings for all successfully evaluated choices of "
-                "deflation vectors with corresponding Ritz values:"
-            )
-            for subset, time in sorted(
-                overall_evaluations.items(), key=lambda item: item[1]
+            print("predicted solve time per priced candidate set:")
+            for candidate, cost in sorted(
+                scored.items(), key=lambda item: item[1]
             ):
-                print(
-                    f" {time}s: "
-                    + ", ".join(
-                        str(el) for el in ritz.values[list(subset)]
-                    )
+                vals = ", ".join(
+                    str(v) for v in ritz.values[sorted(candidate)]
                 )
+                print(f"  {cost}s <- [{vals}]")
         else:
             raise ArgumentError(
-                f"Invalid value `{self.print_results}` for argument "
-                "`print_result`. Valid are `None`, `number`, `values` and "
-                "`timings`."
+                f"unknown print_results value {self.print_results!r}; "
+                "choose None, 'number', 'values' or 'timings'"
             )
 
 
 class RitzFactorySimple(_DeflationVectorFactory):
-    """Select a fixed number of Ritz vectors by criterion.
+    """Select a fixed number of Ritz vectors by sort criterion.
 
     :param which: ``lm``/``sm`` (largest/smallest magnitude), ``lr``/``sr``
-      (real part), ``li``/``si`` (imaginary part), or ``smallest_res``.
+      (real part), ``li``/``si`` (imaginary part), or ``smallest_res``
+      (smallest Ritz residual).
     """
+
+    #: criterion -> (sort key on the Ritz values, take from the large end)
+    _CRITERIA = {
+        "lm": (np.abs, True),
+        "sm": (np.abs, False),
+        "lr": (np.real, True),
+        "sr": (np.real, False),
+        "li": (np.imag, True),
+        "si": (np.imag, False),
+    }
 
     def __init__(self, mode="ritz", n_vectors=0, which="sm"):
         self.mode = mode
@@ -166,33 +166,28 @@ class RitzFactorySimple(_DeflationVectorFactory):
 
     def get(self, solver):
         ritz = deflation.Ritz(solver, mode=self.mode)
-        values = ritz.values
-        n_vectors = self.n_vectors
-        which = self.which
+        return ritz.get_vectors(self._pick(ritz))
 
-        keys = {
-            "lm": lambda: np.argsort(np.abs(values))[-n_vectors:],
-            "sm": lambda: np.argsort(np.abs(values))[:n_vectors],
-            "lr": lambda: np.argsort(np.real(values))[-n_vectors:],
-            "sr": lambda: np.argsort(np.real(values))[:n_vectors],
-            "li": lambda: np.argsort(np.imag(values))[-n_vectors:],
-            "si": lambda: np.argsort(np.imag(values))[:n_vectors],
-            "smallest_res": lambda: np.argsort(ritz.resnorms)[:n_vectors],
-        }
-        if which not in keys:
+    def _pick(self, ritz):
+        n = self.n_vectors
+        if self.which == "smallest_res":
+            return np.argsort(ritz.resnorms)[:n]
+        if self.which not in self._CRITERIA:
             raise ArgumentError(
-                f"Invalid value '{which}' for 'which'. "
-                "Valid are lm, sm, lr, sr, li, si and smallest_res."
+                f"unknown criterion {self.which!r}; choose one of "
+                f"{sorted(self._CRITERIA)} or 'smallest_res'"
             )
-        return ritz.get_vectors(keys[which]())
+        key, from_top = self._CRITERIA[self.which]
+        order = np.argsort(key(ritz.values))
+        # note: order[-n:] would return everything for n == 0
+        return order[len(order) - n:] if from_top else order[:n]
 
 
 class UnionFactory(_DeflationVectorFactory):
-    """Concatenate the vectors produced by several factories."""
+    """Concatenate the bases produced by several factories."""
 
     def __init__(self, factories):
-        self._factories = factories
+        self._factories = list(factories)
 
     def get(self, solver):
-        vectors = [factory.get(solver) for factory in self._factories]
-        return jnp.column_stack(vectors)
+        return jnp.column_stack([f.get(solver) for f in self._factories])
