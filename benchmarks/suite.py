@@ -60,6 +60,9 @@ def config1_readme_gmres():
 
 
 def config2_poisson_cg_minres(nx):
+    """CG + MINRES on the weighted Poisson system to a float64 relative
+    residual of 1e-8: float32 inner solves + mixed-precision refinement
+    (BASELINE.md measures wall-time to 1e-8)."""
     from krypy_tpu import functional as F, ops
 
     lap = ops.poisson_2d(nx)
@@ -70,8 +73,10 @@ def config2_poisson_cg_minres(nx):
     # preconditioner M ~ (W^{-1} L)^{-1} = L^{-1} W reuses the Poisson
     # multigrid V-cycle and is W-self-adjoint positive definite.
     w = jnp.linspace(1.0, 2.0, N).astype(jnp.float32)
-    A = lambda x: lap(x) / w
-    ip = lambda x, y: jnp.vdot(x, w * y)
+    w64 = jnp.asarray(w, jnp.float64)
+    A = lambda x: lap(x) / w.astype(x.dtype)
+    A64 = lambda x: lap(x) / w64
+    ip = lambda x, y: jnp.vdot(x, w.astype(x.dtype) * y)
     if (nx + 1) & nx == 0:
         mg = ops.multigrid_poisson_preconditioner(
             nx, coarsest=min(31, nx), coarse_sweeps=60
@@ -82,50 +87,66 @@ def config2_poisson_cg_minres(nx):
 
     out = {}
     for name, solver in (("cg", F.cg), ("minres", F.minres)):
-        solve = jax.jit(
-            lambda bb, s=solver: s(
-                A, bb, M=M, ip=ip, tol=1e-4, maxiter=200,
+        inner = jax.jit(
+            lambda rr, s=solver: s(
+                A, rr, M=M, ip=ip, tol=1e-4, maxiter=200,
                 stagnation_window=20,
             )
         )
-        res, wall = _timed(solve, b)
+        # warm-up compile outside the timed refinement
+        _sync(inner(b))
+        res, info = F.refine_to(A64, b, inner, tol=1e-8)
         out[name] = {
-            "niter": int(res.niter),
             "rel": float(res.resnorms[int(res.niter)]),
-            "wall_s": round(wall, 4),
+            "converged": bool(res.converged),
+            "cycles": info["cycles"],
+            "inner_iters": info["inner_iters"],
+            "wall_s": round(info["wall_s"], 4),
         }
-    return {"config": f"2_poisson{N}_cg_minres_jacobi_weighted_ip", **out}
+    return {
+        "config": f"2_poisson{N}_cg_minres_jacobi_weighted_ip_tol1e-8",
+        **out,
+    }
 
 
 def config3_convdiff_restarted_gmres(nx):
+    """Restarted GMRES with the FULL Ml/M/Mr preconditioner triple
+    (BASELINE.md config 3) on nonsymmetric convection-diffusion, refined
+    to a float64 relative residual of 1e-8.
+
+    * ``Ml``: multigrid V-cycle of the diffusive part (the operator is
+      Laplacian-dominated at this Peclet number);
+    * ``M``: SPD diagonal inner-product-changing preconditioner;
+    * ``Mr``: Jacobi right preconditioner.
+    """
     from krypy_tpu import functional as F, ops
     from krypy_tpu.functional.gmres import restarted_gmres
 
     cd = ops.convection_diffusion_2d(nx)
-    # left preconditioner: multigrid of the diffusive part (the operator
-    # is Laplacian-dominated at this Peclet number)
     Ml = ops.multigrid_poisson_preconditioner(
         nx, coarsest=min(31, nx), coarse_sweeps=60
     )
     N = nx * nx
+    h2 = (1.0 / (nx + 1)) ** 2
+    M = ops.diagonal(jnp.full(N, 1.0 + 0.5 * h2, jnp.float32))
+    Mr = ops.jacobi_preconditioner(jnp.full(N, 4.0 / h2, jnp.float32))
     b = jnp.ones(N, jnp.float32)
 
-    t0 = time.perf_counter()
     restart_len = 30
-    res = restarted_gmres(
-        cd, b, Ml=Ml, tol=1e-4, maxiter=restart_len, max_restarts=10
+    inner = lambda rr: restarted_gmres(
+        cd, rr, Ml=Ml, M=M, Mr=Mr, tol=1e-4, maxiter=restart_len,
+        max_restarts=10,
     )
-    wall = time.perf_counter() - t0
-    x = res.x
-    rel = float(
-        jnp.linalg.norm(Ml(b - cd(x))) / jnp.linalg.norm(Ml(b))
-    )
+    inner(b)  # warm-up compile
+    res, info = F.refine_to(cd, b, inner, tol=1e-8)
     return {
-        "config": f"3_convdiff{N}_restarted_gmres",
+        "config": f"3_convdiff{N}_restarted_gmres_MlMMr_tol1e-8",
         "restart_len": restart_len,
-        "rel": rel,
-        "converged": bool(int(res.status) == 0),
-        "wall_s": round(wall, 4),
+        "rel": float(res.resnorms[int(res.niter)]),
+        "converged": bool(res.converged),
+        "cycles": info["cycles"],
+        "inner_iters": info["inner_iters"],
+        "wall_s": round(info["wall_s"], 4),
     }
 
 
@@ -148,16 +169,19 @@ def config4_shifted_laplacian_deflated(nx):
         internals, n_vectors=6, which="sm", hermitian=True
     )
 
-    solve = jax.jit(
-        lambda bb: F.deflated_gmres(sl, bb, U, tol=1e-4, maxiter=250)
+    inner = jax.jit(
+        lambda rr: F.deflated_gmres(sl, rr, U, tol=1e-4, maxiter=250)
     )
-    res, wall = _timed(solve, b)
+    _sync(inner(b))  # warm-up compile
+    res, info = F.refine_to(sl, b, inner, tol=1e-8)
     return {
-        "config": f"4_shifted_laplacian{N}_deflated_gmres",
+        "config": f"4_shifted_laplacian{N}_deflated_gmres_tol1e-8",
         "plain_niter": int(res0.niter),
-        "deflated_niter": int(res.niter),
         "rel": float(res.resnorms[int(res.niter)]),
-        "wall_s": round(wall, 4),
+        "converged": bool(res.converged),
+        "cycles": info["cycles"],
+        "inner_iters": info["inner_iters"],
+        "wall_s": round(info["wall_s"], 4),
     }
 
 

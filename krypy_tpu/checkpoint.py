@@ -185,7 +185,10 @@ class CheckpointedRecycling:
         from .functional.deflation import ritz_deflation_vectors
 
         result = self._rec.solve(A, b, **kwargs)
-        # extract and persist the next solve's deflation basis now
+        # extract and persist the next solve's deflation basis now; a
+        # failure here must not lose the solve result, but it must not be
+        # silent either -- a checkpoint that quietly never checkpoints is
+        # worse than a warning
         try:
             U_next = ritz_deflation_vectors(
                 self._rec._last_internals,
@@ -194,6 +197,13 @@ class CheckpointedRecycling:
                 hermitian=self._rec.hermitian,
             )
             save(self.checkpoint_dir, {"U": U_next})
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 -- persist-or-warn barrier
+            import warnings
+
+            warnings.warn(
+                "recycling checkpoint NOT saved: extraction/persistence "
+                f"of the deflation basis failed with {exc!r}; the solve "
+                "result is unaffected but a process restart will not "
+                "resume the recycling sequence from this solve."
+            )
         return result

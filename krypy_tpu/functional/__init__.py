@@ -34,8 +34,10 @@ from .deflation import (
     ritz_deflation_vectors,
     weighted_qr,
 )
+from .refine import refine_to
 
 __all__ = [
+    "refine_to",
     "arnoldi",
     "ArnoldiResult",
     "cg",

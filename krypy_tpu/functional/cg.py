@@ -20,6 +20,7 @@ from .common import (
     SolveResult,
     apply,
     as_matvec,
+    cast_matvec,
     make_inner,
     norm_from_pair,
     safe_div,
@@ -101,6 +102,9 @@ def cg(
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
+    A_mv, M_mv, Ml_mv, Mr_mv = (
+        cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
+    )
     x0v = jnp.zeros(N, dtype) if x0 is None else jnp.asarray(x0).reshape(-1).astype(dtype)
     exact = (
         None

@@ -73,6 +73,19 @@ def apply(mv, x):
     return x if mv is None else mv(x)
 
 
+def cast_matvec(mv, dtype):
+    """Pin a matvec's output to the system dtype.
+
+    The functional lane's contract is that the right-hand side's dtype
+    governs all device state; an operator that internally computes in a
+    wider dtype (e.g. a float64 diagonal against a float32 rhs) would
+    otherwise leak promotion into the loop-carried state and break the
+    while_loop/cond type matching."""
+    if mv is None:
+        return None
+    return lambda x: mv(x).astype(dtype)
+
+
 def make_inner(ip):
     """Build the two inner-product forms used by the cores.
 

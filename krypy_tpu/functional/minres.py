@@ -20,6 +20,7 @@ from .common import (
     SolveResult,
     apply,
     as_matvec,
+    cast_matvec,
     breakdown_threshold,
     givens_traced,
     make_inner,
@@ -94,6 +95,9 @@ def minres(
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
+    A_mv, M_mv, Ml_mv, Mr_mv = (
+        cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
+    )
     x0v = (
         jnp.zeros(N, dtype)
         if x0 is None

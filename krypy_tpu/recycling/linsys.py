@@ -71,8 +71,11 @@ class _RecyclingSolver:
                 U = vector_factory.get(self.last_solver)
 
         with self.timings["solve"]:
+            # recycling needs the Arnoldi data of every solve; tolerate a
+            # redundant user-supplied store_arnoldi=True
+            kwargs["store_arnoldi"] = True
             self.last_solver = self._DeflatedSolver(
-                linear_system, U=U, store_arnoldi=True, *args, **kwargs
+                linear_system, U=U, *args, **kwargs
             )
 
         return self.last_solver

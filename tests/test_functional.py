@@ -41,13 +41,53 @@ def test_golden_functional(fn, golden):
         assert numpy.isnan(numpy.asarray(res.resnorms[n + 1:])).all()
 
 
-@pytest.mark.parametrize("ortho", ["cgs", "cgs2", "mgs", "dmgs"])
+@pytest.mark.parametrize(
+    "ortho", ["cgs", "cgs2", "mgs", "dmgs", "bmgs2", "cgs2_pallas"]
+)
 def test_gmres_ortho_modes(ortho):
     A, b = _readme_system()
     res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-8, ortho=ortho)
     x = numpy.asarray(res.x)
     rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
     assert rel <= 1e-8
+
+
+@pytest.mark.parametrize("maxiter", [5, 37, 100])
+def test_gmres_bmgs_panel_edges(maxiter):
+    """Blocked-MGS panel clamping: maxiter+1 below/not a multiple of/above
+    the panel height must reproduce the cgs2 iterates."""
+    A, b = _readme_system()
+    ref = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=maxiter)
+    res = F.gmres(
+        jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=maxiter,
+        ortho="bmgs2",
+    )
+    assert int(res.niter) == int(ref.niter)
+    assert numpy.allclose(
+        numpy.asarray(res.x), numpy.asarray(ref.x), rtol=1e-8, atol=1e-12
+    )
+
+
+def test_gmres_bmgs_preconditioned_dual_basis():
+    """bmgs2 slices the dual basis consistently when M maintains V = M P."""
+    from krypy_tpu import ops
+
+    lap = ops.poisson_2d(16)
+    Mj = ops.jacobi_preconditioner(lap)
+    b = jnp.ones(256)
+    ref = F.gmres(lap, b, M=Mj, tol=1e-10, maxiter=120)
+    res = F.gmres(lap, b, M=Mj, tol=1e-10, maxiter=120, ortho="bmgs2")
+    assert int(res.niter) == int(ref.niter)
+    assert float(jnp.linalg.norm(res.x - ref.x)) < 1e-10
+
+
+def test_gmres_pallas_rejects_custom_ip():
+    A, b = _readme_system()
+    with pytest.raises(ValueError):
+        F.gmres(
+            jnp.asarray(A), jnp.asarray(b),
+            ip=lambda x, y: jnp.vdot(x, y), ortho="cgs2_pallas",
+        )
 
 
 @pytest.mark.parametrize("solver_name", ["cg", "minres", "gmres"])
