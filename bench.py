@@ -34,15 +34,21 @@ import jax.numpy as jnp
 
 
 def build_problem(nx):
+    """Returns (lap32, lap64, b64, N): the float32 hot-loop operator uses
+    the Pallas stencil on TPU (Mosaic has no float64, so the float64
+    outer-residual operator stays on the jnp lowering)."""
     from krypy_tpu import ops
 
-    lap = ops.poisson_2d(nx)
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    lap32 = ops.poisson_2d(nx, impl=impl)
+    lap64 = ops.poisson_2d(nx)
     N = nx * nx
     b64 = jnp.ones(N, jnp.float64)
-    return lap, b64, N
+    return lap32, lap64, b64, N
 
 
-def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
+def tpu_solve(lap32, lap64, b64, nx, tol=1e-8, inner_tol=1e-4,
+              inner_maxiter=12):
     """Mixed-precision multigrid-CG with f64 refinement; returns
     (x64, rel_res, wall_seconds, inner_iterations).
 
@@ -53,19 +59,20 @@ def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
     orders of magnitude."""
     from krypy_tpu import functional as F, ops
 
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     Mmg = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60
+        nx, coarsest=31, coarse_sweeps=60, impl=impl
     )
     bnorm = float(jnp.linalg.norm(b64))
 
     @jax.jit
     def residual64(x64):
-        return b64 - lap(x64)
+        return b64 - lap64(x64)
 
     @jax.jit
     def inner_solve(r32):
         return F.cg(
-            lap, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
+            lap32, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
             stagnation_window=4,
         )
 
@@ -163,8 +170,8 @@ def main():
     nx = int(os.environ.get("BENCH_NX", "1023"))
     tol = 1e-8
 
-    lap, b64, N = build_problem(nx)
-    x, rel, wall_tpu, inner_iters = tpu_solve(lap, b64, nx, tol=tol)
+    lap32, lap64, b64, N = build_problem(nx)
+    x, rel, wall_tpu, inner_iters = tpu_solve(lap32, lap64, b64, nx, tol=tol)
 
     scipy_wall, scipy_iters, extrapolated, scipy_rel = scipy_baseline(
         nx, tol=tol

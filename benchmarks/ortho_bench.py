@@ -24,7 +24,8 @@ def main():
     from krypy_tpu import functional as F, ops
 
     N = nx * nx
-    cd = ops.convection_diffusion_2d(nx)
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    cd = ops.convection_diffusion_2d(nx, impl=impl)
     dtype = jnp.float32
 
     modes = ["cgs2", "bmgs2", "cgs2_pallas"]

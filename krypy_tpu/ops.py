@@ -109,39 +109,84 @@ def poisson_2d(nx, ny=None, impl="jnp"):
     return matvec
 
 
-def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0):
+def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
+                            impl="jnp"):
     """Nonsymmetric convection-diffusion operator
     ``-eps * Lap(u) + w . grad(u)`` with first-order upwind convection;
-    the BASELINE config-3 operator."""
+    the BASELINE config-3 operator.
+
+    ``impl="pallas"``: the whole operator is ONE fused 5-point Pallas
+    stencil (diffusion + upwind coefficients combined), reading and
+    writing each grid element once.
+    """
     ny = nx if ny is None else ny
     hx = 1.0 / (nx + 1)
     hy = 1.0 / (ny + 1)
+    hx2, hy2 = hx * hx, hy * hy
     wx, wy = wind
-    lap = poisson_2d(nx, ny)
 
-    def matvec(x):
-        u = x.reshape(nx, ny)
-        # upwind differences (wind components assumed non-negative)
-        dux = (u - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))) / hx
-        duy = (u - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))) / hy
-        conv = wx * dux + wy * duy
-        return eps * lap(x) + conv.reshape(-1)
+    if impl == "pallas":
+        from .kernels.stencil import stencil5_pipelined
+
+        coeffs = (
+            eps * (2.0 / hx2 + 2.0 / hy2) + wx / hx + wy / hy,
+            -eps / hx2 - wx / hx,
+            -eps / hx2,
+            -eps / hy2 - wy / hy,
+            -eps / hy2,
+        )
+
+        def matvec(x):
+            return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
+    elif impl == "jnp":
+        lap = poisson_2d(nx, ny)
+
+        def matvec(x):
+            u = x.reshape(nx, ny)
+            # upwind differences (wind components assumed non-negative)
+            dux = (u - jnp.pad(u[:-1, :], ((1, 0), (0, 0)))) / hx
+            duy = (u - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))) / hy
+            conv = wx * dux + wy * duy
+            return eps * lap(x) + conv.reshape(-1)
+    else:
+        raise ValueError(f"unknown impl {impl}")
 
     matvec.shape = (nx * ny, nx * ny)
-    matvec.diag = eps * lap.diag + wx / hx + wy / hy
+    matvec.diag = (
+        eps * (2.0 / hx2 + 2.0 / hy2) + wx / hx + wy / hy
+    ) * jnp.ones(nx * ny)
     return matvec
 
 
-def shifted_laplacian_2d(nx, ny=None, sigma=0.0):
+def shifted_laplacian_2d(nx, ny=None, sigma=0.0, impl="jnp"):
     """Shifted Laplacian ``Lap - sigma I`` (indefinite for sigma inside
-    the spectrum); the BASELINE config-4 operator."""
-    lap = poisson_2d(nx, ny)
+    the spectrum); the BASELINE config-4 operator.  ``impl="pallas"``
+    fuses the shift into the 5-point Pallas stencil."""
+    ny = nx if ny is None else ny
+    hx2 = (1.0 / (nx + 1)) ** 2
+    hy2 = (1.0 / (ny + 1)) ** 2
 
-    def matvec(x):
-        return lap(x) - sigma * x
+    if impl == "pallas":
+        from .kernels.stencil import stencil5_pipelined
 
-    matvec.shape = lap.shape
-    matvec.diag = lap.diag - sigma
+        coeffs = (
+            2.0 / hx2 + 2.0 / hy2 - sigma,
+            -1.0 / hx2,
+            -1.0 / hx2,
+            -1.0 / hy2,
+            -1.0 / hy2,
+        )
+
+        def matvec(x):
+            return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
+    else:
+        lap = poisson_2d(nx, ny, impl=impl)
+
+        def matvec(x):
+            return lap(x) - sigma * x
+
+    matvec.shape = (nx * ny, nx * ny)
+    matvec.diag = (2.0 / hx2 + 2.0 / hy2 - sigma) * jnp.ones(nx * ny)
     return matvec
 
 
@@ -305,7 +350,7 @@ def poisson_dst_solver(nx, ny=None):
 
 def multigrid_poisson_preconditioner(
     nx, nu_pre=2, nu_post=2, omega=0.8, coarsest=7, coarse_sweeps=20,
-    coarse_solver=None,
+    coarse_solver=None, impl="jnp",
 ):
     r"""Geometric multigrid V-cycle preconditioner for the 2-D Dirichlet
     Poisson operator -- the mesh-independent production preconditioner.
@@ -326,13 +371,28 @@ def multigrid_poisson_preconditioner(
     if coarse_solver == "dst":
         coarse_solver = poisson_dst_solver(coarsest)
 
+    def lap_grid(u, nx_l, h2):
+        """Level Laplacian: the Pallas stencil earns its call overhead on
+        fine grids; small levels stay on the fused jnp path."""
+        if impl == "pallas" and nx_l >= 256:
+            from .kernels.stencil import stencil5_pipelined
+
+            return stencil5_pipelined(
+                u.reshape(-1),
+                nx=nx_l,
+                ny=nx_l,
+                coeffs=(4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2,
+                        -1.0 / h2),
+            ).reshape(nx_l, nx_l)
+        return _lap2d_grid(u, h2)
+
     def vcycle(r, nx_l):
         h2 = (1.0 / (nx_l + 1)) ** 2
         diag = 4.0 / h2
 
         def smooth(u, n_sweeps):
             def step(u):
-                return u + (omega / diag) * (r - _lap2d_grid(u, h2))
+                return u + (omega / diag) * (r - lap_grid(u, nx_l, h2))
 
             if n_sweeps <= 4:
                 for _ in range(n_sweeps):
@@ -350,7 +410,7 @@ def multigrid_poisson_preconditioner(
             return smooth(jnp.zeros_like(r), coarse_sweeps)
 
         u = smooth(jnp.zeros_like(r), nu_pre)
-        res = r - _lap2d_grid(u, h2)
+        res = r - lap_grid(u, nx_l, h2)
         ec = vcycle(_restrict_fw(res), (nx_l - 1) // 2)
         u = u + _prolong_bilinear(ec, nx_l)
         return smooth(u, nu_post)

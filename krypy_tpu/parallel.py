@@ -21,6 +21,7 @@ Typical usage::
     result = solve(b)                       # partitioned automatically
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -29,11 +30,80 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
+    "make_global_vector",
     "shard_vector",
     "replicate",
     "sharded_solve",
 ]
+
+
+def init_distributed(
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
+    local_device_count=None,
+):
+    """Initialize multi-host (DCN) execution.
+
+    Wraps :func:`jax.distributed.initialize`: after it returns,
+    ``jax.devices()`` spans every host and the same jitted solver program
+    runs unchanged on a global mesh -- GSPMD inserts ICI collectives
+    within a host/pod slice and DCN collectives across slices.  Must be
+    called before any jax computation (it has to run before the backend
+    initializes).
+
+    On TPU pods all arguments are auto-detected from the environment;
+    pass them explicitly on CPU/GPU clusters (and in the 2-process CPU
+    test, tests/test_distributed.py).
+
+    :param coordinator_address: ``"host:port"`` of process 0.
+    :param num_processes: world size.
+    :param process_id: this process's rank.
+    :param local_device_count: if given, force this many virtual CPU
+      devices per process (testing without hardware; sets XLA_FLAGS, so
+      it must precede backend initialization).
+    """
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count="
+                f"{local_device_count}"
+            ).strip()
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_vector(mesh, data_for_index, global_shape, dtype=None,
+                       axis_name=None):
+    """Assemble a process-spanning sharded vector on a (possibly
+    multi-host) mesh.
+
+    :param data_for_index: callable mapping an index tuple (the shard's
+      slice into the global array) to the shard's numpy data -- each
+      process only materializes the shards it hosts.
+    :param global_shape: full logical shape.
+    """
+    axis_name = mesh.axis_names[0] if axis_name is None else axis_name
+    spec = P(*([None] * (len(global_shape) - 1) + [axis_name]))
+    sharding = NamedSharding(mesh, spec)
+
+    def _cb(index):
+        arr = np.asarray(data_for_index(index))
+        return arr if dtype is None else arr.astype(dtype)
+
+    return jax.make_array_from_callback(
+        tuple(global_shape), sharding, _cb
+    )
 
 
 def make_mesh(n_devices=None, axis_name="n", devices=None):

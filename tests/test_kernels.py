@@ -103,3 +103,38 @@ def test_poisson_2d_impl_selector():
     )
     with pytest.raises(ValueError):
         ops.poisson_2d(16, impl="bogus")
+
+
+@pytest.mark.parametrize("nx, ny", [(13, 13), (31, 17), (16, 16), (9, 24)])
+def test_stencil5_odd_sizes_convdiff_shifted(nx, ny):
+    """The generalized 5-point kernel pads non-multiple-of-8 row counts
+    (e.g. the 2^k-1 multigrid grids) and must match the jnp operators for
+    every gallery stencil."""
+    rng = numpy.random.RandomState(5)
+    x = jnp.asarray(rng.randn(nx * ny))
+    pairs = [
+        (ops.poisson_2d(nx, ny), ops.poisson_2d(nx, ny, impl="pallas")),
+        (
+            ops.convection_diffusion_2d(nx, ny),
+            ops.convection_diffusion_2d(nx, ny, impl="pallas"),
+        ),
+        (
+            ops.shifted_laplacian_2d(nx, ny, sigma=7.5),
+            ops.shifted_laplacian_2d(nx, ny, sigma=7.5, impl="pallas"),
+        ),
+    ]
+    for ref_op, pallas_op in pairs:
+        numpy.testing.assert_allclose(
+            numpy.asarray(pallas_op(x)),
+            numpy.asarray(ref_op(x)),
+            rtol=1e-11, atol=1e-11,
+        )
+
+
+def test_multigrid_pallas_matches_jnp():
+    mg_j = ops.multigrid_poisson_preconditioner(31, coarsest=7)
+    mg_p = ops.multigrid_poisson_preconditioner(31, coarsest=7, impl="pallas")
+    x = jnp.asarray(numpy.random.RandomState(6).randn(31 * 31))
+    numpy.testing.assert_allclose(
+        numpy.asarray(mg_p(x)), numpy.asarray(mg_j(x)), rtol=1e-10
+    )
