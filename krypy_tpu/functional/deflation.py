@@ -82,21 +82,47 @@ class DeflationOperator(NamedTuple):
     E: jnp.ndarray       # (d, d) = <Uo, AU>
 
 
-def build_deflation(A, U, *, M=None, Ml=None, Mr=None, ip=None,
+def _ip_for_U(ip, M, Minv, ip_defl):
+    """Inner product in which the deflation basis is orthonormalized.
+
+    Reference semantics (krypy/linsys.py:163-176 get_ip_Minv_B +
+    krypy/deflation.py:40): with an inner-product-changing preconditioner
+    M the basis must be orthonormal in :math:`\\langle x, M^{-1}y
+    \\rangle_B`, which needs the INVERSE of M -- hence the explicit
+    ``Minv`` argument (mirroring the reference's LinearSystem(Minv=...)).
+    """
+    if ip_defl is not None:
+        return ip_defl
+    if M is None:
+        return ip
+    if Minv is None:
+        raise ValueError(
+            "deflation with the inner-product-changing preconditioner M "
+            "requires Minv (or an explicit ip_defl) to orthonormalize U "
+            "in the M^{-1} inner product"
+        )
+    base_pair, _ = make_inner(ip)
+    Minv_mv = as_matvec(Minv)
+    return lambda x, y: base_pair(x, Minv_mv(y))
+
+
+def build_deflation(A, U, *, M=None, Minv=None, Ml=None, Mr=None, ip=None,
                     ip_defl=None):
     """Assemble the deflation data for basis U (shape ``(N, d)``).
 
     :param ip: solver inner product (defines the projection geometry).
-    :param ip_defl: inner product in which U is orthonormalized (the
-      :math:`M^{-1}`-product when M is present; defaults to ``ip``).
+    :param Minv: inverse of M, needed to orthonormalize U in the
+      :math:`M^{-1}` inner product when M is present.
+    :param ip_defl: explicit override of the orthonormalization product.
     """
     A_mv = as_matvec(A)
     Ml_mv = as_matvec(Ml)
     Mr_mv = as_matvec(Mr)
     pair, rows = make_inner(ip)
+    ip_defl = _ip_for_U(ip, M, Minv, ip_defl)
 
     U = jnp.asarray(U)
-    Uo, _ = weighted_qr(U, ip_defl if ip_defl is not None else ip)
+    Uo, _ = weighted_qr(U, ip_defl)
     AUcols = jax.vmap(
         lambda u: apply(Ml_mv, A_mv(apply(Mr_mv, u))), in_axes=1,
         out_axes=1,
@@ -123,6 +149,7 @@ def deflated_gmres(
     U,
     *,
     M=None,
+    Minv=None,
     Ml=None,
     Mr=None,
     ip=None,
@@ -151,7 +178,7 @@ def deflated_gmres(
     pair, rows = make_inner(ip)
 
     defl = build_deflation(
-        A, U, M=M, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
+        A, U, M=M, Minv=Minv, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
     )
     d = defl.Uo.shape[1]
 
@@ -210,7 +237,7 @@ def deflated_gmres(
     return out
 
 
-def _make_deflation_hooks(A, U, *, M, Ml, Mr, ip, ip_defl):
+def _make_deflation_hooks(A, U, *, M, Minv, Ml, Mr, ip, ip_defl):
     """Shared hook construction for the short-recurrence deflated
     solvers: returns (defl, operator_override, projected_r0, correct_xk)
     or Nones when d == 0."""
@@ -220,7 +247,7 @@ def _make_deflation_hooks(A, U, *, M, Ml, Mr, ip, ip_defl):
     _, rows = make_inner(ip)
 
     defl = build_deflation(
-        A, U, M=M, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
+        A, U, M=M, Minv=Minv, Ml=Ml, Mr=Mr, ip=ip, ip_defl=ip_defl
     )
     d = defl.Uo.shape[1]
     if d == 0:
@@ -250,7 +277,8 @@ def _deflated_short_recurrence(core, A, b, U, kwargs):
     ip = kwargs.get("ip")
     defl, op, proj, _ = _make_deflation_hooks(
         A, U,
-        M=kwargs.get("M"), Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"),
+        M=kwargs.get("M"), Minv=kwargs.pop("Minv", None),
+        Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"),
         ip=ip, ip_defl=kwargs.pop("ip_defl", None),
     )
     if op is None:

@@ -1,0 +1,233 @@
+r"""Communication-avoiding s-step CG.
+
+Classic CG performs 2 dependent global reductions per iteration (the
+alpha and beta inner products); on a mesh each is an all-reduce, and on
+this class of accelerator runtime the *sequential chain* of small ops is
+the bottleneck even on one chip.  The s-step reformulation (after
+Chronopoulos & Gear's s-step CG and Van Rosendale) advances s CG
+iterations per loop step with THREE fused reductions total:
+
+1. build the block Krylov basis V = [Mr, (MA)Mr, ..., (MA)^{s-1} Mr]
+   (s matvecs, no reductions; powers scaled by a one-time spectral-radius
+   estimate to keep the monomial basis bounded);
+2. A-conjugate the block against the previous direction block with ONE
+   (s, N) x (N, s) contraction;
+3. form the block Gram/projection [P^T A P, P^T r] with ONE
+   (s, N) x (N, s+1) contraction, solve the s x s system, and update
+   x and r with two GEMMs;
+4. one residual-norm reduction for the convergence check.
+
+In exact arithmetic the trajectory equals CG (conjugating against the
+previous block only is the s-step analog of the three-term recurrence).
+The monomial basis conditions like kappa(MA)^s, so s is kept small
+(default 4) and intended for use with a good SPD preconditioner M; the
+solver reports BREAKDOWN when the block Gram matrix stops being usable.
+
+Reference baseline: krypy has no communication-avoiding variant (its CG
+is krypy/linsys.py:520-708); this solver is TPU-native surface.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    BREAKDOWN,
+    CONVERGED,
+    MAXITER,
+    SolveResult,
+    apply,
+    as_matvec,
+    cast_matvec,
+    safe_div,
+    system_dtype,
+)
+
+__all__ = ["ca_cg"]
+
+
+class _CaCgState(NamedTuple):
+    j: jnp.ndarray            # block counter
+    x: jnp.ndarray
+    r: jnp.ndarray
+    Mr: jnp.ndarray           # M r (reused as the next block's seed)
+    P: jnp.ndarray            # (N, s) previous direction block
+    AP: jnp.ndarray           # (N, s) = A P
+    W: jnp.ndarray            # (s, s) = P^T A P of the previous block
+    cur_rel: jnp.ndarray
+    best_rel: jnp.ndarray
+    stall: jnp.ndarray
+    broken: jnp.ndarray
+    resnorms: jnp.ndarray     # one entry per block boundary
+
+
+def ca_cg(
+    A,
+    b,
+    *,
+    s=4,
+    M=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=None,
+    lam_est=None,
+    power_iters=8,
+    stagnation_window=20,
+    explicit_residual=True,
+):
+    """Solve SPD ``A x = b`` (optionally with SPD preconditioner M) by
+    s-step CG in one compiled while_loop.
+
+    :param s: CG steps advanced per loop iteration (keep small, <= 8).
+    :param lam_est: scaling for the monomial basis powers; estimated by
+      ``power_iters`` power iterations on MA when not given.
+    :param maxiter: total CG-iteration budget (rounded up to blocks).
+    :param stagnation_window: stop after this many blocks without
+      improvement of the residual (float32 attainable-accuracy guard;
+      note CG residual norms are non-monotone, so this is generous).
+    :param explicit_residual: recompute the TRUE residual ``b - A x``
+      once per block (amortized 1/s matvec) instead of trusting the
+      block recurrence -- this self-corrects the monomial-basis drift
+      that otherwise makes the recurrence residual diverge from the
+      true one at larger s.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult`;
+      ``resnorms`` holds one relative residual per s-step block,
+      ``niter`` counts CG iterations (blocks * s).
+
+    ``s >= 2`` is the intended regime (s=1 pays the block overhead for
+    no amortization and CG's non-monotone start can trip the stagnation
+    guard).
+    """
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    maxiter = N if maxiter is None else int(maxiter)
+    blocks = -(-maxiter // s)
+    s = int(s)
+
+    A_mv = as_matvec(A)
+    M_mv = as_matvec(M)
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    A_mv, M_mv = (cast_matvec(f, dtype) for f in (A_mv, M_mv))
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    x0v = (
+        jnp.zeros(N, dtype)
+        if x0 is None
+        else jnp.asarray(x0).reshape(-1).astype(dtype)
+    )
+
+    def m_norm(r, Mr):
+        # the M-weighted residual norm tracked by classic preconditioned
+        # CG (cf. krypy/linsys.py:664-665); CG's Euclidean residual norm
+        # is strongly non-monotone and would trip the stagnation guard
+        return jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(r, Mr)), 0.0))
+
+    Mb = apply(M_mv, bv)
+    bnorm = m_norm(bv, Mb)
+    r0 = bv - A_mv(x0v)
+    Mr0 = apply(M_mv, r0)
+    rel0 = safe_div(m_norm(r0, Mr0), bnorm)
+
+    if lam_est is None:
+        # one-time spectral-radius estimate of MA (setup cost, outside
+        # the solve loop)
+        def power_body(_, u):
+            w = apply(M_mv, A_mv(u))
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+        u = lax.fori_loop(
+            0, power_iters, power_body,
+            r0 / jnp.maximum(jnp.linalg.norm(r0), 1e-30),
+        )
+        lam = jnp.linalg.norm(apply(M_mv, A_mv(u)))
+        lam = jnp.maximum(lam, 1e-30).astype(real_dtype)
+    else:
+        lam = jnp.asarray(lam_est, real_dtype)
+
+    eye_s = jnp.eye(s, dtype=dtype)
+
+    def body(state):
+        # 1. monomial basis of the preconditioned Krylov block (the seed
+        # M r was already computed by the previous block's residual check)
+        v = state.Mr
+        Vcols, AVcols = [v], [A_mv(v)]
+        for _ in range(s - 1):
+            v = apply(M_mv, AVcols[-1]) / lam
+            Vcols.append(v)
+            AVcols.append(A_mv(v))
+        V = jnp.stack(Vcols, axis=1)     # (N, s)
+        AV = jnp.stack(AVcols, axis=1)
+
+        # 2. A-conjugate against the previous block: ONE contraction
+        cross = jnp.dot(state.AP.conj().T, V)       # (s, s)
+        Bc = -jnp.linalg.solve(state.W, cross)
+        P = V + jnp.dot(state.P, Bc)
+        AP = AV + jnp.dot(state.AP, Bc)
+
+        # 3. fused block Gram + projection: ONE contraction
+        G = jnp.dot(P.conj().T, jnp.concatenate(
+            [AP, state.r[:, None]], axis=1
+        ))                                            # (s, s+1)
+        W = G[:, :s]
+        g = G[:, s]
+        a = jnp.linalg.solve(W, g)
+        x = state.x + jnp.dot(P, a)
+        if explicit_residual:
+            r = bv - A_mv(x)
+        else:
+            r = state.r - jnp.dot(AP, a)
+
+        # 4. convergence / stagnation bookkeeping (one reduction)
+        Mr = apply(M_mv, r)
+        rel = safe_div(m_norm(r, Mr), bnorm)
+        broken = ~jnp.isfinite(rel)
+        improved = rel < state.best_rel
+        stall = jnp.where(improved, 0, state.stall + 1)
+        best = jnp.minimum(rel, state.best_rel)
+        resnorms = state.resnorms.at[state.j + 1].set(rel)
+        return _CaCgState(
+            state.j + 1, x, r, Mr, P, AP, W, rel, best, stall, broken,
+            resnorms,
+        )
+
+    def cond(state):
+        return (
+            (state.cur_rel > tol)
+            & (state.j < blocks)
+            & (state.stall < stagnation_window)
+            & ~state.broken
+        )
+
+    init = _CaCgState(
+        jnp.asarray(0),
+        x0v,
+        r0,
+        Mr0,
+        jnp.zeros((N, s), dtype),
+        jnp.zeros((N, s), dtype),
+        eye_s,
+        rel0,
+        rel0,
+        jnp.asarray(0),
+        jnp.asarray(False),
+        jnp.full(blocks + 1, jnp.nan, real_dtype).at[0].set(rel0),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        final.cur_rel <= tol,
+        CONVERGED,
+        jnp.where(final.broken, BREAKDOWN, MAXITER),
+    )
+    x = final.x
+    return SolveResult(
+        x=x if flat else x[:, None],
+        resnorms=final.resnorms,
+        niter=final.j * s,
+        status=status,
+    )

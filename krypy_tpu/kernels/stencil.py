@@ -103,6 +103,12 @@ def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
     # the Dirichlet boundary; the kernel masks the last true row's lower
     # neighbor so it does not read pad garbage -- pads ARE zero though,
     # so the mask is belt and braces)
+    # VMEM budget: the pipeline multi-buffers center+out (+halo views);
+    # empirically ~6 block-sized buffers live at once, so keep the block
+    # small enough that 6 of them fit in ~11MB of the 16MB VMEM
+    bpe = jnp.dtype(x.dtype).itemsize
+    vmem_cap = max(8, (11 * 2**20) // (6 * ny * bpe) // 8 * 8)
+    block_rows = min(block_rows, vmem_cap)
     while block_rows > max(nx, 8):
         block_rows //= 2
     block_rows = max(block_rows, 8)
