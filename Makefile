@@ -14,3 +14,4 @@ suite:
 
 lint:
 	python -m compileall -q krypy_tpu tests benchmarks examples
+	python tools/lint.py

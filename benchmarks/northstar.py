@@ -20,7 +20,6 @@ Prints one JSON line per side plus a summary line.
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("KRYPY_TPU_X64", "1")
@@ -66,9 +65,11 @@ def tpu_side(nx):
         internals, n_vectors=N_DEFL, which="sm", hermitian=False
     )
 
+    # U must be a traced argument: closing over it would bake an
+    # N x d constant into the uploaded HLO (hundreds of MB at 16.8M dof)
     cycle = jax.jit(
-        lambda rr, x0: F.deflated_gmres(
-            cd32, rr, U, Ml=Ml, x0=x0, tol=INNER_TOL, maxiter=RESTART
+        lambda rr, x0, UU: F.deflated_gmres(
+            cd32, rr, UU, Ml=Ml, x0=x0, tol=INNER_TOL, maxiter=RESTART
         )
     )
 
@@ -79,7 +80,7 @@ def tpu_side(nx):
         x = jnp.zeros_like(r32)
         best = None
         for _ in range(max_restarts):
-            res = cycle(r32, x)
+            res = cycle(r32, x, U)
             x = res.x
             matvecs["n"] += int(res.niter) + 1 + N_DEFL
             rel = float(res.resnorms[int(res.niter)])

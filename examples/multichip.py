@@ -9,7 +9,6 @@ The solver code contains no collectives: sharding the operands over the
 mesh makes GSPMD insert the all-reduces (inner products) and halo
 exchanges (stencil) automatically."""
 
-import jax
 import jax.numpy as jnp
 
 from krypy_tpu import functional as F, ops, parallel

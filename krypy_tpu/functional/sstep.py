@@ -29,7 +29,6 @@ is krypy/linsys.py:520-708); this solver is TPU-native surface.
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

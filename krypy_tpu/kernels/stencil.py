@@ -181,7 +181,9 @@ def _make_kernel(nx, ny, block_rows, hx2, hy2):
         i = pl.program_id(0)
 
         cp = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(pl.multiple_of(jnp.int32(i * T), 8), T), :], center, sems.at[jnp.int32(0)]
+            u_hbm.at[pl.ds(pl.multiple_of(jnp.int32(i * T), 8), T), :],
+            center,
+            sems.at[jnp.int32(0)],
         )
         cp.start()
 
@@ -189,7 +191,11 @@ def _make_kernel(nx, ny, block_rows, hx2, hy2):
             @pl.when(i > 0)
             def _up():
                 cpu_ = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(pl.multiple_of(jnp.int32(i * T - 8), 8), 8), :], up8, sems.at[jnp.int32(1)]
+                    u_hbm.at[
+                        pl.ds(pl.multiple_of(jnp.int32(i * T - 8), 8), 8), :
+                    ],
+                    up8,
+                    sems.at[jnp.int32(1)],
                 )
                 cpu_.start()
                 cpu_.wait()
@@ -197,7 +203,11 @@ def _make_kernel(nx, ny, block_rows, hx2, hy2):
             @pl.when(i < n_blocks - 1)
             def _dn():
                 cpd = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(pl.multiple_of(jnp.int32((i + 1) * T), 8), 8), :], dn8, sems.at[jnp.int32(2)]
+                    u_hbm.at[
+                        pl.ds(pl.multiple_of(jnp.int32((i + 1) * T), 8), 8), :
+                    ],
+                    dn8,
+                    sems.at[jnp.int32(2)],
                 )
                 cpd.start()
                 cpd.wait()

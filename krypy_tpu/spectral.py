@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .errors import ArgumentError, AssumptionError
 from .core.operators import get_linearoperator
-from .core.products import inner, norm
+from .core.products import inner
 from .core.rotations import Givens
 from .core.qr import qr
 

@@ -7,7 +7,7 @@ and vector shape dualities."""
 import numpy
 import jax.numpy as jnp
 
-import krypy_tpu
+import krypy_tpu  # noqa: F401 -- import enables x64 policy
 from krypy_tpu import utils
 
 

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-import krypy_tpu
+import krypy_tpu  # noqa: F401 -- import enables x64 policy
 from krypy_tpu import functional as F
 from krypy_tpu import ops, parallel
 

@@ -89,8 +89,6 @@ def test_laplacian_pipelined(nx, ny, T):
 
 
 def test_poisson_2d_impl_selector():
-    import jax as _jax
-
     op = ops.poisson_2d(16, impl="pallas")
     ref = ops.poisson_2d(16)
     x = jnp.asarray(numpy.random.RandomState(4).randn(256))
