@@ -42,13 +42,30 @@ def tpu_side(nx):
     from krypy_tpu import functional as F, ops
 
     N = nx * nx
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    cd32 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS, impl=impl)
-    cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
-    Ml = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60, impl=impl
+    h = 1.0 / (nx + 1)
+    h2 = h * h
+    # float32 inner system is h^2-EQUILIBRATED: the raw stencil's 1/h^2
+    # coefficients (~1.7e7 at this mesh) amplify float32 rounding into a
+    # ~1e-2 true-residual floor; with O(1) coefficients each refinement
+    # cycle gains ~4 orders instead of ~2 (measured).  The scaled
+    # operator is built from scaled coefficients -- scaling the OUTPUT
+    # would round first and scale the damage.
+    cd32 = ops.convection_diffusion_2d(
+        nx, wind=(WIND[0] * h2, WIND[1] * h2), eps=EPS * h2
     )
+    cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
+    # multigrid of the (unscaled-spectrum) diffusive part: the V-cycle on
+    # the scaled operator is the same cycle with 1/h^2-scaled output.
+    # NOTE: the Pallas stencil is NOT used here -- multigrid grids are
+    # 2^k-1, always lane-unaligned, where the jnp lowering measured 4.5x
+    # faster (docs/DESIGN.md section 8).
+    Ml_raw = ops.multigrid_poisson_preconditioner(
+        nx, coarsest=31, coarse_sweeps=60
+    )
+    Ml = lambda r: Ml_raw(r) * (1.0 / h2)
     b = jnp.ones(N, jnp.float32)
+
+    h2_f32 = jnp.float32(h2)
 
     # cycle 1: plain GMRES collecting the Krylov data for Ritz extraction
     first = jax.jit(
@@ -57,7 +74,7 @@ def tpu_side(nx):
             return_internal=True,
         )
     )
-    res0, internals = first(b)
+    res0, internals = first(b * h2_f32)
     internals = dict(internals)
     internals["niter"] = int(res0.niter)
     internals["E"] = jnp.zeros((0, 0))
@@ -76,11 +93,13 @@ def tpu_side(nx):
     matvecs = {"n": 0}
 
     def inner_solve(r32, max_restarts=8):
-        """Deflated restarted GMRES at the float32 floor."""
+        """Deflated restarted GMRES (on the equilibrated system) at the
+        float32 floor."""
+        rs = r32 * h2_f32
         x = jnp.zeros_like(r32)
         best = None
         for _ in range(max_restarts):
-            res = cycle(r32, x, U)
+            res = cycle(rs, x, U)
             x = res.x
             matvecs["n"] += int(res.niter) + 1 + N_DEFL
             rel = float(res.resnorms[int(res.niter)])

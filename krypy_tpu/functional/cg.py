@@ -105,6 +105,11 @@ def cg(
     A_mv, M_mv, Ml_mv, Mr_mv = (
         cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
     )
+    # deflation hooks must obey the system-dtype contract too (they can
+    # close over wider-precision operators/bases)
+    projected_r0 = cast_matvec(projected_r0, dtype)
+    correct_xk = cast_matvec(correct_xk, dtype)
+    operator_override = cast_matvec(operator_override, dtype)
     x0v = jnp.zeros(N, dtype) if x0 is None else jnp.asarray(x0).reshape(-1).astype(dtype)
     exact = (
         None

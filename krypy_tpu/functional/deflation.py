@@ -399,6 +399,77 @@ class RecyclingGmres:
         self.hermitian = hermitian
         self._last_internals = None
         self._U = None
+        # compiled-solve cache: (id(A), U-shape-or-None, option items) ->
+        # jitted fn; entries hold the keepalive refs so ids stay valid
+        self._compiled = {}
+
+    def _solver_for(self, A, U_shape, kwargs):
+        """One compilation per (operator, deflation width, options): a
+        sequence of systems with the same structure then costs one trace
+        total instead of one per solve (the round-1 per-solve retrace was
+        the dominant wall in the recycling benchmark).
+
+        Operators exposing the family protocol (``family``/``params``/
+        ``rebuild``, see :func:`krypy_tpu.ops.diagonal`) share ONE
+        compilation across the whole sequence: the parameters enter as a
+        traced argument and the operator is rebuilt inside the trace.
+        """
+        key_items = tuple(
+            (k, v if isinstance(v, (bool, int, float, str, type(None)))
+             else id(v))
+            for k, v in sorted(kwargs.items())
+        )
+        family = getattr(A, "family", None)
+        parametric = (
+            family is not None
+            and hasattr(A, "params")
+            and hasattr(A, "rebuild")
+        )
+        if parametric:
+            p = jnp.asarray(A.params)
+            op_key = ("family", family, p.shape, str(p.dtype))
+            keepalive = (A.rebuild, kwargs)
+        else:
+            op_key = id(A)
+            keepalive = (A, kwargs)
+        key = (op_key, U_shape, key_items)
+
+        entry = self._compiled.get(key)
+        if entry is None:
+            if parametric:
+                rebuild = A.rebuild
+                if U_shape is None:
+                    @jax.jit
+                    def core(b, params):
+                        return _gmres_mod.gmres(
+                            rebuild(params), b, return_internal=True,
+                            **kwargs,
+                        )
+                else:
+                    @jax.jit
+                    def core(b, U, params):
+                        return deflated_gmres(
+                            rebuild(params), b, U, return_internal=True,
+                            **kwargs,
+                        )
+            else:
+                if U_shape is None:
+                    @jax.jit
+                    def core(b):
+                        return _gmres_mod.gmres(
+                            A, b, return_internal=True, **kwargs
+                        )
+                else:
+                    @jax.jit
+                    def core(b, U):
+                        return deflated_gmres(
+                            A, b, U, return_internal=True, **kwargs
+                        )
+            entry = (core, parametric, keepalive)
+            if len(self._compiled) > 16:
+                self._compiled.pop(next(iter(self._compiled)))
+            self._compiled[key] = entry
+        return entry[0], entry[1]
 
     def solve(self, A, b, **kwargs):
         if self._last_internals is not None:
@@ -412,16 +483,24 @@ class RecyclingGmres:
             except np.linalg.LinAlgError:
                 self._U = None
 
+        b = jnp.asarray(b)
         if self._U is None:
-            result, internals = _gmres_mod.gmres(
-                A, jnp.asarray(b), return_internal=True, **kwargs
-            )
+            core, parametric = self._solver_for(A, None, kwargs)
+            args = (b, jnp.asarray(A.params)) if parametric else (b,)
+            result, internals = core(*args)
+            internals = dict(internals)
             internals["E"] = jnp.zeros((0, 0))
         else:
-            result, internals = deflated_gmres(
-                A, jnp.asarray(b), self._U, return_internal=True,
-                **kwargs,
+            core, parametric = self._solver_for(
+                A, tuple(self._U.shape), kwargs
             )
+            args = (
+                (b, self._U, jnp.asarray(A.params))
+                if parametric
+                else (b, self._U)
+            )
+            result, internals = core(*args)
+            internals = dict(internals)
         internals["niter"] = int(result.niter)
         self._last_internals = internals
         return result

@@ -150,6 +150,15 @@ def gmres(
     A_mv, M_mv, Ml_mv, Mr_mv = (
         cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
     )
+    # deflation hooks must obey the system-dtype contract too (they can
+    # close over wider-precision operators/bases)
+    projected_r0 = cast_matvec(projected_r0, dtype)
+    correct_xk = cast_matvec(correct_xk, dtype)
+    if operator_with_capture is not None:
+        _owc = operator_with_capture
+        operator_with_capture = lambda v: tuple(
+            t.astype(dtype) for t in _owc(v)
+        )
     x0v = (
         jnp.zeros(N, dtype)
         if x0 is None

@@ -68,6 +68,10 @@ def refine_to(
         if x0 is None
         else jnp.asarray(x0, jnp.float64)
     )
+    # warm the outer-residual and norm compiles before the timer starts
+    # (compiles through this environment's remote-compile tunnel can take
+    # minutes at large N and must not be billed to the solve)
+    float(jnp.linalg.norm(true_residual(x)))
     t0 = time.perf_counter()
     outer = []
     inner_iters = 0

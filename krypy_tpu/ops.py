@@ -32,7 +32,13 @@ __all__ = [
 
 
 def diagonal(d):
-    """diag(d) as a matvec; ``d`` has shape ``(N,)``."""
+    """diag(d) as a matvec; ``d`` has shape ``(N,)``.
+
+    Exposes the *operator-family* protocol (``family``/``params``/
+    ``rebuild``): sequence drivers like
+    :class:`krypy_tpu.functional.deflation.RecyclingGmres` compile one
+    solver per family and pass ``params`` as a traced argument, so a
+    sequence of different diagonals reuses a single compilation."""
     d = jnp.asarray(d)
 
     def matvec(x):
@@ -40,6 +46,9 @@ def diagonal(d):
 
     matvec.diag = d
     matvec.shape = (d.shape[0], d.shape[0])
+    matvec.family = "diagonal"
+    matvec.params = d
+    matvec.rebuild = lambda p: (lambda x: p * x)
     return matvec
 
 
@@ -442,6 +451,11 @@ def nls_jacobian_sequence(n, n_sys=5, kappa=1.0, seed=0):
 
         matvec.shape = (n, n)
         matvec.diag = lap.diag + d
+        # operator family: the whole Jacobian sequence shares one
+        # compiled solver, with the diagonal part as a traced argument
+        matvec.family = ("nls_jacobian", id(lap))
+        matvec.params = d
+        matvec.rebuild = lambda p, _lap=lap: (lambda x: _lap(x) + p * x)
         ops.append(matvec)
     return ops
 
