@@ -34,13 +34,13 @@ import jax.numpy as jnp
 
 
 def build_problem(nx):
-    """Returns (lap32, lap64, b64, N): the float32 hot-loop operator uses
-    the Pallas stencil on TPU (Mosaic has no float64, so the float64
-    outer-residual operator stays on the jnp lowering)."""
+    """Returns (lap32, lap64, b64, N).  The jnp stencil is used on both
+    lanes: at the 2^k-1 bench sizes the grid is lane-unaligned, where
+    the jnp lowering matches or beats the Pallas kernel (measured,
+    benchmarks/RESULTS_r2.md)."""
     from krypy_tpu import ops
 
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    lap32 = ops.poisson_2d(nx, impl=impl)
+    lap32 = ops.poisson_2d(nx)
     lap64 = ops.poisson_2d(nx)
     N = nx * nx
     b64 = jnp.ones(N, jnp.float64)
@@ -59,9 +59,11 @@ def tpu_solve(lap32, lap64, b64, nx, tol=1e-8, inner_tol=1e-4,
     orders of magnitude."""
     from krypy_tpu import functional as F, ops
 
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # NOTE: the Pallas stencil is not used inside the multigrid -- the
+    # 2^k-1 grids are lane-unaligned, where the jnp lowering measured
+    # 4.5x faster (docs/DESIGN.md section 8 / benchmarks/RESULTS_r2.md)
     Mmg = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60, impl=impl
+        nx, coarsest=31, coarse_sweeps=60
     )
     bnorm = float(jnp.linalg.norm(b64))
 

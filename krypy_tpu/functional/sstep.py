@@ -25,6 +25,13 @@ solver reports BREAKDOWN when the block Gram matrix stops being usable.
 
 Reference baseline: krypy has no communication-avoiding variant (its CG
 is krypy/linsys.py:520-708); this solver is TPU-native surface.
+
+When to use: on MESHES, where each reduction is an all-reduce over
+ICI/DCN.  Measured single-chip (v5e, 1M dof, benchmarks/RESULTS_r2.md):
+ca_cg is ~0.85x of classic cg -- inside one compiled while_loop the two
+CG reductions carry no dispatch latency, and the block formulation adds
+basis-stacking traffic.  Keep :func:`~krypy_tpu.functional.cg.cg` for
+single-device work.
 """
 
 from typing import NamedTuple
