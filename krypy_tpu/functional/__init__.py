@@ -36,10 +36,12 @@ from .deflation import (
 )
 from .refine import refine_to
 from .sstep import ca_cg
+from .block import block_cg
 
 __all__ = [
     "refine_to",
     "ca_cg",
+    "block_cg",
     "arnoldi",
     "ArnoldiResult",
     "cg",

@@ -1,0 +1,72 @@
+"""Mixed-precision iterative refinement (functional.refine_to)."""
+
+import numpy
+import jax
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F, ops
+
+
+def _poisson_problem(nx=63):
+    lap = ops.poisson_2d(nx)
+    Mg = ops.multigrid_poisson_preconditioner(nx, coarsest=7)
+    b = jnp.ones(nx * nx)
+    return lap, Mg, b
+
+
+def test_refine_reaches_f64_tolerance_from_f32_inner():
+    lap, Mg, b = _poisson_problem()
+    inner = jax.jit(
+        lambda r: F.cg(lap, r, M=Mg, tol=1e-4, maxiter=30,
+                       stagnation_window=5)
+    )
+    res, info = F.refine_to(lap, b, inner, tol=1e-10)
+    assert bool(res.converged)
+    rel = float(
+        jnp.linalg.norm(b - lap(res.x.astype(jnp.float64)))
+        / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-10
+    assert info["cycles"] >= 1
+    assert info["inner_iters"] > 0
+    # per-cycle history is monotone down to convergence
+    outer = numpy.asarray(res.resnorms)
+    assert (numpy.diff(outer) < 0).all()
+
+
+def test_refine_stops_on_stagnation_and_returns_best():
+    """An inner 'solver' that stops helping must not loop forever, and
+    the BEST iterate (not the last) is returned."""
+    lap, Mg, b = _poisson_problem(31)
+
+    calls = {"n": 0}
+
+    def flaky_inner(r):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return F.cg(lap, r, M=Mg, tol=1e-3, maxiter=20)
+        # afterwards: return garbage corrections
+        return F.cg(lap, r, M=Mg, tol=1e-3, maxiter=20)._replace(
+            x=jnp.full_like(r, 1e3)
+        )
+
+    res, info = F.refine_to(lap, b, flaky_inner, tol=1e-14,
+                            max_cycles=10)
+    assert not bool(res.converged)
+    # the garbage cycle must not be the returned iterate
+    rel = float(
+        jnp.linalg.norm(b - lap(res.x.astype(jnp.float64)))
+        / jnp.linalg.norm(b)
+    )
+    assert rel < 1e-2
+    assert calls["n"] <= 3  # stagnation detected immediately
+
+
+def test_refine_with_x0():
+    lap, Mg, b = _poisson_problem(31)
+    inner = jax.jit(lambda r: F.cg(lap, r, M=Mg, tol=1e-4, maxiter=30))
+    # start from a partially converged iterate
+    x0 = F.cg(lap, b, M=Mg, tol=1e-2, maxiter=30).x
+    res, info = F.refine_to(lap, b, inner, tol=1e-10, x0=x0)
+    assert bool(res.converged)
+    assert float(res.resnorms[0]) < 1e-1  # started warm
