@@ -34,22 +34,21 @@ import jax.numpy as jnp
 
 
 def build_problem(nx):
-    """Returns (lap32, lap64, b64, N).  The jnp stencil is used on both
-    lanes: at the 2^k-1 bench sizes the grid is lane-unaligned, where
+    """Returns (lap, b64, N).  The jnp stencil is used (its matvec dtype
+    follows the input, serving both the f32 inner lane and the f64 outer
+    residual); at the 2^k-1 bench sizes the grid is lane-unaligned, where
     the jnp lowering matches or beats the Pallas kernel (measured,
     benchmarks/RESULTS_r2.md)."""
     from krypy_tpu import ops
 
-    lap32 = ops.poisson_2d(nx)
-    lap64 = ops.poisson_2d(nx)
+    lap = ops.poisson_2d(nx)
     N = nx * nx
     b64 = jnp.ones(N, jnp.float64)
-    return lap32, lap64, b64, N
+    return lap, b64, N
 
 
-def tpu_solve(lap32, lap64, b64, nx, tol=1e-8, inner_tol=1e-4,
-              inner_maxiter=12):
-    """Mixed-precision multigrid-CG with f64 refinement; returns
+def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
+    """Mixed-precision multigrid-CG via functional.refine_to; returns
     (x64, rel_res, wall_seconds, inner_iterations).
 
     The V-cycle coarsens to a 31-grid (deeper levels are latency-bound on
@@ -65,46 +64,23 @@ def tpu_solve(lap32, lap64, b64, nx, tol=1e-8, inner_tol=1e-4,
     Mmg = ops.multigrid_poisson_preconditioner(
         nx, coarsest=31, coarse_sweeps=60
     )
-    bnorm = float(jnp.linalg.norm(b64))
-
-    @jax.jit
-    def residual64(x64):
-        return b64 - lap64(x64)
 
     @jax.jit
     def inner_solve(r32):
         return F.cg(
-            lap32, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
+            lap, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
             stagnation_window=4,
         )
 
-    # warm up compiles (excluded from timing; a production deployment
-    # compiles once and solves many systems)
-    x = jnp.zeros_like(b64)
-    r = residual64(x)
-    w = inner_solve(r.astype(jnp.float32))
+    # warm up the inner compile (refine_to warms the outer residual
+    # itself; a production deployment compiles once and solves many)
+    w = inner_solve(b64.astype(jnp.float32))
     w.x.block_until_ready()
 
     def timed_solve():
-        t0 = time.perf_counter()
-        x = jnp.zeros_like(b64)
-        rel = float("inf")
-        iters = 0
-        for _ in range(20):
-            r = residual64(x)
-            new_rel = float(jnp.linalg.norm(r)) / bnorm
-            if new_rel <= tol or new_rel >= rel:
-                rel = min(rel, new_rel)
-                break
-            rel = new_rel
-            res = inner_solve(r.astype(jnp.float32))
-            iters += int(res.niter)
-            x = x + res.x.astype(jnp.float64)
-        else:
-            r = residual64(x)
-            rel = float(jnp.linalg.norm(r)) / bnorm
-        x.block_until_ready()
-        return x, rel, time.perf_counter() - t0, iters
+        result, info = F.refine_to(lap, b64, inner_solve, tol=tol)
+        rel = float(jnp.nanmin(result.resnorms))
+        return result.x, rel, info["wall_s"], info["inner_iters"]
 
     # best of 3: the solve is deterministic, the transport jitter is not
     runs = [timed_solve() for _ in range(3)]
@@ -172,8 +148,8 @@ def main():
     nx = int(os.environ.get("BENCH_NX", "1023"))
     tol = 1e-8
 
-    lap32, lap64, b64, N = build_problem(nx)
-    x, rel, wall_tpu, inner_iters = tpu_solve(lap32, lap64, b64, nx, tol=tol)
+    lap, b64, N = build_problem(nx)
+    x, rel, wall_tpu, inner_iters = tpu_solve(lap, b64, nx, tol=tol)
 
     scipy_wall, scipy_iters, extrapolated, scipy_rel = scipy_baseline(
         nx, tol=tol

@@ -83,6 +83,11 @@ def block_cg(
     if B.ndim != 2:
         raise ValueError("block_cg expects B with shape (N, k)")
     N, k = B.shape
+    # NOTE: ceil(N/k) is NOT a safe default bound -- it assumes a
+    # full-rank block (rank-deficient rhs, e.g. duplicated columns,
+    # converge like single-rhs CG).  The default matches cg's N; pass
+    # maxiter explicitly at large N, since the per-column history
+    # buffer is (maxiter+1, k).
     maxiter = N if maxiter is None else int(maxiter)
 
     A_mv = as_matvec(A)
@@ -94,14 +99,17 @@ def block_cg(
 
     def blk(mv):
         """Lift a matvec to blocks: operators that natively accept
-        ``(N, k)`` (matrices) are used directly; matvec-only operators
-        (stencils) are applied columnwise.  The probe runs at trace
-        time, so the decision is static."""
+        ``(N, j)`` blocks (matrices) are used directly; matvec-only
+        operators (stencils) are applied columnwise.  The probe uses a
+        SINGLE column, so elementwise operators whose broadcast happens
+        to reproduce B's shape when k == N cannot fool it; it runs at
+        trace time, so the decision is static and the probe op is dead
+        code the compiler drops."""
         if mv is None:
             return None
         try:
-            probe = mv(B)
-            if probe.shape == B.shape:
+            probe = mv(B[:, :1])
+            if probe.shape == (N, 1):
                 return mv
         except Exception:  # noqa -- shape/rank mismatch: columnwise
             pass

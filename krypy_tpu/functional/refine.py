@@ -76,13 +76,19 @@ def refine_to(
     outer = []
     inner_iters = 0
     best_x, best_rel = x, float("inf")
-    for _ in range(max_cycles):
+    # max_cycles + 1 residual evaluations bracket max_cycles corrections,
+    # so the final correction is always measured (and can win best_x)
+    for cycle in range(max_cycles + 1):
         r = true_residual(x)
         rel = float(jnp.linalg.norm(r)) / bnorm if bnorm else 0.0
         outer.append(rel)
         if rel < best_rel:
             best_x, best_rel = x, rel
-        if rel <= tol or (len(outer) > 1 and rel >= outer[-2]):
+        if (
+            rel <= tol
+            or cycle == max_cycles
+            or (len(outer) > 1 and rel >= outer[-2])
+        ):
             break
         res = inner_solve(r.astype(inner_dtype))
         inner_iters += int(res.niter)

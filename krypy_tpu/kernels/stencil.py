@@ -105,13 +105,15 @@ def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
     # so the mask is belt and braces)
     # VMEM budget: the pipeline multi-buffers center+out (+halo views);
     # empirically ~6 block-sized buffers live at once, so keep the block
-    # small enough that 6 of them fit in ~11MB of the 16MB VMEM
+    # small enough that 6 of them fit in ~11MB of the 16MB VMEM.
+    # block_rows MUST stay a multiple of 8: the halo views are addressed
+    # in 8-row units (r8 = T//8), so any other block height silently
+    # misaligns the halos and corrupts the block-boundary rows.
     bpe = jnp.dtype(x.dtype).itemsize
-    vmem_cap = max(8, (11 * 2**20) // (6 * ny * bpe) // 8 * 8)
-    block_rows = min(block_rows, vmem_cap)
-    while block_rows > max(nx, 8):
-        block_rows //= 2
-    block_rows = max(block_rows, 8)
+    vmem_cap = max(8, (11 * 2**20) // (6 * ny * bpe))
+    nx_ceil8 = -(-nx // 8) * 8
+    block_rows = min(block_rows, vmem_cap, nx_ceil8)
+    block_rows = max(8, block_rows // 8 * 8)
     nx_pad = -(-nx // block_rows) * block_rows
     if nx_pad != nx:
         u = jnp.pad(u, ((0, nx_pad - nx), (0, 0)))

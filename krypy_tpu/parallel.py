@@ -67,11 +67,18 @@ def init_distributed(
     """
     if local_device_count is not None:
         flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
+        marker = "--xla_force_host_platform_device_count="
+        if marker in flags:
+            existing = flags.split(marker, 1)[1].split()[0]
+            if existing != str(local_device_count):
+                raise ValueError(
+                    f"XLA_FLAGS already forces {existing} host devices "
+                    f"but local_device_count={local_device_count} was "
+                    "requested; clear the flag or pass a matching count"
+                )
+        else:
             os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count="
-                f"{local_device_count}"
+                flags + f" {marker}{local_device_count}"
             ).strip()
     kwargs = {}
     if coordinator_address is not None:

@@ -136,3 +136,16 @@ def test_multigrid_pallas_matches_jnp():
     numpy.testing.assert_allclose(
         numpy.asarray(mg_p(x)), numpy.asarray(mg_j(x)), rtol=1e-10
     )
+
+
+@pytest.mark.parametrize("nx, ny", [(200, 260), (9, 140), (100, 136)])
+def test_stencil5_block_height_stays_8_aligned(nx, ny):
+    """Regression: the VMEM-cap heuristic must never yield a block height
+    that is not a multiple of 8 -- the halo views are addressed in 8-row
+    units and any other height silently corrupts block-boundary rows."""
+    rng = numpy.random.RandomState(11)
+    x = jnp.asarray(rng.randn(nx * ny).astype(numpy.float32))
+    ref = ops.poisson_2d(nx, ny)(x)
+    pal = ops.poisson_2d(nx, ny, impl="pallas")(x)
+    rel = float(jnp.max(jnp.abs(pal - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-5
