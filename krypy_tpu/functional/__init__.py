@@ -35,12 +35,13 @@ from .deflation import (
     weighted_qr,
 )
 from .refine import refine_to
-from .sstep import ca_cg
+from .sstep import ca_cg, ca_gmres
 from .block import block_cg
 
 __all__ = [
     "refine_to",
     "ca_cg",
+    "ca_gmres",
     "block_cg",
     "arnoldi",
     "ArnoldiResult",

@@ -80,9 +80,15 @@ def test_two_process_global_mesh(tmp_path):
     worker.write_text(_WORKER)
     coord = f"localhost:{_free_port()}"
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker script lives in tmp_path, so Python puts tmp_path (not
+    # the cwd) on sys.path -- the package must come via PYTHONPATH
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
 
     procs = [
         subprocess.Popen(
@@ -91,7 +97,7 @@ def test_two_process_global_mesh(tmp_path):
             stderr=subprocess.PIPE,
             text=True,
             env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo_root,
         )
         for rank in (0, 1)
     ]

@@ -81,3 +81,101 @@ def test_ca_cg_sharded():
         )(b)
     assert int(res.status) == 0
     assert len({s.device for s in res.x.addressable_shards}) == 8
+
+
+@pytest.mark.parametrize("s", [1, 2, 4])
+def test_ca_gmres_matches_gmres_at_block_boundaries(s):
+    """In exact arithmetic CA-GMRES equals GMRES at every block
+    boundary; in float64 the residual histories agree to rounding."""
+    r = numpy.random.RandomState(0)
+    A = numpy.diag(numpy.linspace(1, 10, 80)) + 0.1 * r.randn(80, 80)
+    b = jnp.asarray(r.randn(80))
+    ref = F.gmres(jnp.asarray(A), b, tol=1e-12, maxiter=60)
+    res = F.ca_gmres(jnp.asarray(A), b, s=s, tol=1e-12, maxiter=60)
+    assert int(res.status) == 0
+    rg = numpy.asarray(ref.resnorms)
+    rc = numpy.asarray(res.resnorms)
+    for j in range(1, int(res.niter) // s):
+        if j * s <= int(ref.niter):
+            assert rc[j] == pytest.approx(rg[j * s], rel=1e-6)
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-11
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_ca_gmres_arnoldi_relation(s):
+    """The recovered Hessenberg satisfies A V_K = V_{K+1} H_K and the
+    basis is orthonormal (the basis-change algebra is exact)."""
+    r = numpy.random.RandomState(1)
+    A = numpy.diag(numpy.linspace(1, 10, 60)) + 0.05 * r.randn(60, 60)
+    b = jnp.asarray(r.randn(60))
+    res, internal = F.ca_gmres(
+        jnp.asarray(A), b, s=s, tol=1e-12, maxiter=40,
+        return_internal=True,
+    )
+    K = int(res.niter)
+    V = numpy.asarray(internal["V"])[: K + 1]
+    H = numpy.asarray(internal["H"])[: K + 1, :K]
+    arn = numpy.linalg.norm(A @ V[:K].T - V[: K + 1].T @ H)
+    assert arn / numpy.linalg.norm(H) < 1e-12
+    orth = numpy.linalg.norm(V @ V.T.conj() - numpy.eye(K + 1))
+    assert orth < 1e-11
+
+
+def test_ca_gmres_preconditioned():
+    """Left/right preconditioning (Ml, Mr) as in gmres."""
+    nx = 32
+    lap = ops.poisson_2d(nx)
+    Mj = ops.jacobi_preconditioner(lap)
+    b = jnp.ones(nx * nx)
+    res = F.ca_gmres(lap, b, s=4, Ml=Mj, Mr=Mj, tol=1e-10, maxiter=512)
+    assert int(res.status) == 0
+    rel = float(jnp.linalg.norm(b - lap(res.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-8
+
+
+def test_ca_gmres_multigrid_convdiff():
+    """The intended regime: a spectrum-clustering preconditioner keeps
+    the monomial basis well conditioned."""
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    Mg = ops.multigrid_poisson_preconditioner(nx, coarsest=7)
+    b = jnp.ones(nx * nx)
+    res = F.ca_gmres(lap, b, s=4, Ml=Mg, tol=1e-10, maxiter=64)
+    assert int(res.status) == 0
+    assert int(res.niter) <= 16
+
+
+def test_ca_gmres_f32_floor_reports_maxiter():
+    """Below-floor tolerances must stagnate-stop (true residual per
+    block), never claim convergence."""
+    nx = 64
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    res = F.ca_gmres(lap, b, s=4, tol=1e-13, maxiter=256)
+    assert int(res.status) != 0
+    assert numpy.nanmin(numpy.asarray(res.resnorms)) < 1e-3
+
+
+def test_ca_gmres_zero_rhs():
+    res = F.ca_gmres(jnp.eye(16), jnp.zeros(16), s=2, maxiter=8)
+    assert int(res.status) == 0
+    assert float(jnp.linalg.norm(res.x)) == 0.0
+
+
+def test_ca_gmres_sharded():
+    mesh = parallel.make_mesh(8)
+    nx = 64
+    lap = ops.poisson_2d(nx)
+    Mj = ops.jacobi_preconditioner(lap)
+    b = parallel.shard_vector(jnp.ones(nx * nx), mesh)
+    with mesh:
+        res = jax.jit(
+            lambda v: F.ca_gmres(
+                lap, v, s=4, Ml=Mj, tol=1e-8, maxiter=512
+            )
+        )(b)
+    assert int(res.status) == 0
+    assert len({sh.device for sh in res.x.addressable_shards}) == 8
