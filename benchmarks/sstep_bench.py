@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Per-iteration cost: classic CG vs s-step CG at 1M dof on the real TPU
-(VERDICT r1 item 9: communication-avoiding variant bench line).
+"""Per-iteration cost: classic vs s-step solvers at 1M dof on the real
+TPU (VERDICT r1 item 9: communication-avoiding variant bench line).
 
 Both run a fixed iteration budget (tol=0) on the Jacobi-preconditioned
 1M-dof Poisson system, so the wall ratio is the per-iteration speedup of
 the fused-reduction formulation.
+
+``--gmres`` benchmarks GMRES(m) vs CA-GMRES instead: the s-step
+formulation replaces the per-iteration CGS2 sweep (4 reductions, 2
+full-basis HBM passes per vector) with 6/s reductions and block GEMMs
+over the basis, so the orthogonalization traffic drops ~s-fold.
 """
 
 import json
@@ -15,7 +20,80 @@ import jax
 import jax.numpy as jnp
 
 
+def gmres_main(argv):
+    iters = int(argv[1]) if len(argv) > 1 else 40
+    nx = int(argv[2]) if len(argv) > 2 else 1023
+
+    from krypy_tpu import functional as F, ops
+
+    N = nx * nx
+    lap = ops.poisson_2d(nx)
+
+    def timed(solve, label):
+        b = jnp.ones(N, jnp.float32)
+        r = solve(b)
+        niter = int(r.niter)
+        float(jnp.sum(r.x))
+        walls = []
+        for rep in range(4):
+            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            t0 = time.perf_counter()
+            rr = solve(bb)
+            float(jnp.sum(rr.x))
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        out = {
+            "solver": label,
+            "niter": niter,
+            "final_rel": float(rr.resnorms[int(jnp.nanargmin(
+                jnp.where(jnp.isnan(rr.resnorms), jnp.inf, rr.resnorms)
+            ))]),
+            "wall_s": round(wall, 4),
+            "per_iter_us": round(wall / max(niter, 1) * 1e6, 1),
+        }
+        print(json.dumps(out), flush=True)
+        return out
+
+    g = timed(
+        jax.jit(lambda b: F.gmres(lap, b, tol=0.0, maxiter=iters,
+                                  ortho="cgs2")),
+        "gmres_cgs2",
+    )
+    results = {}
+    for s in (2, 4, 8):
+        for basis in ("monomial", "newton"):
+            kw = {}
+            if basis == "newton":
+                # precompute shifts eagerly: the axon runtime has no
+                # host-callback support inside jitted computations
+                kw["shifts"] = F.newton_shifts(lap, jnp.ones(N, jnp.float32), s)
+            results[s, basis] = timed(
+                jax.jit(
+                    lambda b, s=s, basis=basis, kw=kw: F.ca_gmres(
+                        lap, b, s=s, basis=basis, tol=0.0, maxiter=iters,
+                        stagnation_window=10**9, **kw,
+                    )
+                ),
+                f"ca_gmres_s{s}_{basis}",
+            )
+    print(
+        json.dumps(
+            {
+                "summary": f"gmres_vs_ca_gmres_{N}dof_{iters}iters",
+                "speedup_s4_newton_vs_gmres": round(
+                    g["per_iter_us"]
+                    / results[4, "newton"]["per_iter_us"], 2
+                ),
+                "devices": str(jax.devices()),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
+    if "--gmres" in sys.argv:
+        return gmres_main([a for a in sys.argv if a != "--gmres"])
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 

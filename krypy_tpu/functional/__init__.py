@@ -35,13 +35,15 @@ from .deflation import (
     weighted_qr,
 )
 from .refine import refine_to
-from .sstep import ca_cg, ca_gmres
+from .sstep import ca_cg, ca_gmres, modified_leja, newton_shifts
 from .block import block_cg
 
 __all__ = [
     "refine_to",
     "ca_cg",
     "ca_gmres",
+    "modified_leja",
+    "newton_shifts",
     "block_cg",
     "arnoldi",
     "ArnoldiResult",

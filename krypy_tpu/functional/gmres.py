@@ -92,6 +92,7 @@ def gmres(
     projected_r0=None,
     correct_xk=None,
     return_internal=False,
+    basis_dtype=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned GMRES in one compiled while_loop.
@@ -113,6 +114,21 @@ def gmres(
       residual evaluation (the deflation correction).
     :param return_internal: also return the final loop state (Krylov
       basis, Hessenberg, rotated R, y, C) for spectral post-processing.
+    :param basis_dtype: storage dtype for the Krylov basis buffers
+      (e.g. ``jnp.bfloat16``), independent of the computation dtype.
+      Orthogonalization contractions then read the basis at the narrow
+      width and accumulate in the computation dtype
+      (``preferred_element_type``), halving the dominant HBM traffic for
+      bfloat16.  The attainable TRUE relative residual is floored at
+      ``eps(basis_dtype) * kappa(A)`` -- kappa of the UNpreconditioned
+      operator, because the solution is reassembled from quantized basis
+      rows regardless of preconditioner quality (measured: 6e-3 at
+      kappa=50 with bfloat16; useless for kappa >~ 1/eps ~ 250).  Use
+      only for well-conditioned operators, optionally composed with
+      :func:`~krypy_tpu.functional.refine.refine_to` (GMRES-IR) for
+      tight tolerances.  Euclidean inner product and batched/paneled
+      orthogonalization schemes only.  The reference has no analog
+      (krypy stores the basis at the system dtype, krypy/utils.py:902).
     """
     b = jnp.asarray(b)
     flat = b.ndim == 1
@@ -146,6 +162,20 @@ def gmres(
     with_M = M_mv is not None
 
     dtype = system_dtype(bv, x0)
+    bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
+    mixed_basis = bdt != jnp.dtype(dtype)
+    if mixed_basis:
+        if ip is not None:
+            raise ValueError(
+                "basis_dtype requires the Euclidean inner product"
+            )
+        if sequential or pallas:
+            raise ValueError(
+                "basis_dtype requires a batched/paneled ortho scheme "
+                "(cgs/cgs2/bmgs/bmgs2)"
+            )
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            raise ValueError("basis_dtype supports real systems only")
     bv = bv.astype(dtype)
     A_mv, M_mv, Ml_mv, Mr_mv = (
         cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
@@ -210,13 +240,30 @@ def gmres(
     else:
         errnorms0 = jnp.zeros(0, real_dtype)
 
-    # initial basis vectors
+    # initial basis vectors (stored at the basis dtype)
     v0 = jnp.where(MMlr0_norm > 0, 1.0, 0.0) * safe_div(1.0, MMlr0_norm)
-    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(MMlr0 * v0)
+    V0 = jnp.zeros((m + 1, N), bdt).at[0].set((MMlr0 * v0).astype(bdt))
     if with_M:
-        P0 = jnp.zeros((m + 1, N), dtype).at[0].set(Mlr0 * v0)
+        P0 = jnp.zeros((m + 1, N), bdt).at[0].set((Mlr0 * v0).astype(bdt))
     else:
-        P0 = jnp.zeros((0, 0), dtype)
+        P0 = jnp.zeros((0, 0), bdt)
+
+    if mixed_basis:
+        # read the basis at the narrow storage width, accumulate wide
+        def row_proj(Vr, w):
+            return jnp.dot(
+                Vr, w.astype(bdt), preferred_element_type=dtype
+            )
+
+        def row_upd(coeffs, Br):
+            return jnp.dot(
+                coeffs.astype(bdt), Br, preferred_element_type=dtype
+            )
+    else:
+        row_proj = rows
+
+        def row_upd(coeffs, Br):
+            return jnp.dot(coeffs, Br)
 
     def xk_from(V, R, y, k):
         """x_k = x0 + Mr (V[:k]^T yy) with a masked triangular solve of the
@@ -227,7 +274,11 @@ def gmres(
         Rk = R[:m, :m] + jnp.diag(jnp.where(col_mask, 0.0, 1.0).astype(dtype))
         rhs = jnp.where(col_mask, y[:m], 0.0).astype(dtype)
         yy = jax.scipy.linalg.solve_triangular(Rk, rhs)
-        yk = jnp.dot(yy, V[:m])
+        # solution assembly upcasts the basis (rare event: only explicit-
+        # residual iterations and the final iterate); the attainable
+        # accuracy is still floored at eps(basis_dtype) * kappa(A) by the
+        # quantization of the basis rows themselves
+        yk = jnp.dot(yy, V[:m].astype(dtype))
         xk = x0v + apply(Mr_mv, yk)
         if correct_xk is not None:
             xk = correct_xk(xk)
@@ -278,8 +329,8 @@ def gmres(
                 )
                 ridx = start + jnp.arange(panel_rows)
                 rmask = (ridx >= p * panel_rows) & (ridx <= k)
-                coeffs = rows(Vp, w) * rmask
-                w = w - jnp.dot(coeffs, Bp)
+                coeffs = row_proj(Vp, w) * rmask
+                w = w - row_upd(coeffs, Bp)
                 seg = lax.dynamic_slice_in_dim(h, start, panel_rows, 0)
                 h = lax.dynamic_update_slice_in_dim(
                     h, seg + coeffs, start, 0
@@ -303,8 +354,8 @@ def gmres(
                 h = h + coeffs
         else:
             for _ in range(passes):
-                coeffs = rows(V, w) * mask
-                w = w - jnp.dot(coeffs, basis)
+                coeffs = row_proj(V, w) * mask
+                w = w - row_upd(coeffs, basis)
                 h = h + coeffs
         return w, h
 
@@ -317,7 +368,7 @@ def gmres(
 
     def body(state):
         k = state.k
-        w, cap = iteration_op(state.V[k])
+        w, cap = iteration_op(state.V[k].astype(dtype))
         C = (
             state.C.at[k].set(cap)
             if capture_width > 0
@@ -339,11 +390,11 @@ def gmres(
         h = h.at[k + 1].set(hnew.astype(dtype))
         inv_h = jnp.where(invariant, 0.0, safe_div(1.0, hnew))
         if with_M:
-            P = state.P.at[k + 1].set(w * inv_h)
-            V = state.V.at[k + 1].set(Mw * inv_h)
+            P = state.P.at[k + 1].set((w * inv_h).astype(bdt))
+            V = state.V.at[k + 1].set((Mw * inv_h).astype(bdt))
         else:
             P = state.P
-            V = state.V.at[k + 1].set(w * inv_h)
+            V = state.V.at[k + 1].set((w * inv_h).astype(bdt))
         H = state.H.at[:, k].set(h)
 
         # apply the k previous rotations to the new column in ONE small

@@ -36,6 +36,8 @@ single-device work.
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -53,7 +55,7 @@ from .common import (
     system_dtype,
 )
 
-__all__ = ["ca_cg", "ca_gmres"]
+__all__ = ["ca_cg", "ca_gmres", "modified_leja", "newton_shifts"]
 
 
 class _CaCgState(NamedTuple):
@@ -241,6 +243,112 @@ def ca_cg(
     )
 
 
+def modified_leja(ev):
+    """Order points by the modified Leja ordering, conjugate pairs kept
+    adjacent with the Im>0 member first.
+
+    The Newton-basis polynomial :math:`\\prod (z - \\theta_i)` stays
+    bounded on the spectrum when the shifts are Leja-ordered (each next
+    point maximizes the product of distances to the already-chosen ones);
+    naive orderings make intermediate partial products explode, which is
+    the classic instability of the Newton s-step basis.
+    """
+    ev = np.asarray(ev, complex).ravel()
+    remaining = list(range(ev.size))
+    order = []
+
+    def pick(idx):
+        # Im>0 member of a conjugate pair goes first
+        if ev[idx].imag < 0:
+            tgt = ev[idx].conjugate()
+            close = [
+                r for r in remaining
+                if abs(ev[r] - tgt) <= 1e-10 * max(1.0, abs(tgt))
+            ]
+            if close:
+                idx = close[0]
+        order.append(idx)
+        remaining.remove(idx)
+        if ev[idx].imag > 0:
+            tgt = ev[idx].conjugate()
+            if remaining:
+                j = min(remaining, key=lambda r: abs(ev[r] - tgt))
+                order.append(j)
+                remaining.remove(j)
+
+    while remaining:
+        if not order:
+            idx = max(remaining, key=lambda r: abs(ev[r]))
+        else:
+            chosen = ev[order]
+            idx = max(
+                remaining,
+                key=lambda r: float(
+                    np.sum(np.log(np.abs(ev[r] - chosen) + 1e-300))
+                ),
+            )
+        pick(idx)
+    return ev[order]
+
+
+def _arnoldi_warmup(MlAMr, seed, s, dtype):
+    """s-step CGS2 Arnoldi (unrolled; s is small) returning the (s+1, s)
+    Hessenberg whose eigenvalues seed the Newton-basis shifts."""
+    Hw = jnp.zeros((s + 1, s), dtype)
+    vs = [seed]
+    for j in range(s):
+        w = MlAMr(vs[j])
+        Vj = jnp.stack(vs, axis=0)
+        for _ in range(2):
+            c = jnp.dot(Vj.conj(), w)
+            w = w - jnp.dot(c, Vj)
+            Hw = Hw.at[: j + 1, j].add(c)
+        hj = jnp.linalg.norm(w)
+        Hw = Hw.at[j + 1, j].set(hj.astype(dtype))
+        vs.append(w * safe_div(1.0, hj))
+    return Hw
+
+
+def newton_shifts(A, b, s, *, Ml=None, Mr=None, x0=None):
+    """Eagerly compute Leja-ordered Ritz shift estimates for the Newton
+    s-step basis of :func:`ca_gmres`.
+
+    Runs the s-step Arnoldi warmup as one compiled step, pulls the small
+    Hessenberg to host, and returns ``modified_leja(eig(H))`` as a
+    complex ndarray.  Pass the result as ``ca_gmres(..., shifts=...)``
+    to keep a jitted solve free of host callbacks (required on runtimes
+    without send/recv callback support, e.g. this container's axon TPU
+    tunnel).
+    """
+    b = jnp.asarray(b)
+    bv = b.reshape(-1)
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    A_mv, Ml_mv, Mr_mv = (
+        cast_matvec(f, dtype) for f in (A_mv, Ml_mv, Mr_mv)
+    )
+    x0v = (
+        jnp.zeros(bv.shape[0], dtype)
+        if x0 is None
+        else jnp.asarray(x0).reshape(-1).astype(dtype)
+    )
+
+    def MlAMr(v):
+        return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+
+    @jax.jit
+    def warm():
+        r0 = apply(Ml_mv, bv - A_mv(x0v))
+        seed = r0 * safe_div(1.0, jnp.linalg.norm(r0))
+        return _arnoldi_warmup(MlAMr, seed, s, dtype)
+
+    Hw = np.asarray(warm())
+    return modified_leja(np.linalg.eigvals(Hw[:s, :s]))
+
+
 class _CaGmresState(NamedTuple):
     j: jnp.ndarray            # completed s-step blocks
     V: jnp.ndarray            # (m+1, N) orthonormal basis rows
@@ -258,6 +366,8 @@ def ca_gmres(
     b,
     *,
     s=4,
+    basis="monomial",
+    shifts=None,
     Ml=None,
     Mr=None,
     x0=None,
@@ -293,10 +403,27 @@ def ca_gmres(
        true residual, not a recurrence, drives convergence control.
 
     In exact arithmetic the trajectory equals GMRES at block
-    boundaries.  The monomial basis keeps s small (<= 8; default 4) --
-    use with a preconditioner that clusters the spectrum.  Residual
-    control is at block granularity: ``resnorms`` has one entry per
-    block, ``niter`` counts Arnoldi steps (blocks * s).
+    boundaries.  Residual control is at block granularity: ``resnorms``
+    has one entry per block, ``niter`` counts Arnoldi steps
+    (blocks * s).
+
+    Two s-step bases (``basis=``):
+
+    * ``'monomial'`` (default): scaled matrix powers, ZERO reductions in
+      the basis build.  Conditions like :math:`\\kappa^s` -- keep s small
+      and pair with a spectrum-clustering preconditioner.
+    * ``'newton'``: shifted powers :math:`u_{i+1} \\propto (M_lAM_r -
+      \\theta_i)u_i` with Leja-ordered Ritz shifts (Hoemmen's CA-GMRES
+      basis) and per-step normalization (s cheap norm-reductions per
+      block; the HBM-traffic win of the block orthogonalization is
+      untouched).  The shifts come from an s-step Arnoldi warmup whose
+      small Hessenberg is eigendecomposed on HOST via
+      ``jax.pure_callback`` (non-Hermitian eig is host-LAPACK by design,
+      docs/DESIGN.md section 7) -- or pass eigenvalue-estimate
+      ``shifts=`` (>= s values, conjugate-closed for real systems) to
+      keep the solve callback-free.  Survives much harder spectra than
+      the monomial basis at s=4..8 (tested on kappa ~ 1e6 operators
+      where the monomial basis breaks down in float32).
 
     Euclidean inner product and left/right preconditioning only (the
     reference's M changes the inner product; CholQR2 would need a
@@ -338,7 +465,15 @@ def ca_gmres(
     beta = jnp.linalg.norm(Mlr0)
     rel0 = safe_div(beta, Mlb_norm)
 
-    if lam_est is None:
+    if basis not in ("monomial", "newton"):
+        raise ValueError(f"unknown s-step basis {basis!r}")
+    use_newton = basis == "newton"
+    is_complex = jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
+
+    if use_newton:
+        lam = jnp.asarray(1.0, real_dtype)  # unused: per-step norms
+        inv_lam = lam
+    elif lam_est is None:
         def power_body(_, u):
             w = MlAMr(u)
             return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
@@ -351,7 +486,8 @@ def ca_gmres(
         lam = jnp.maximum(lam, 1e-30).astype(real_dtype)
     else:
         lam = jnp.asarray(lam_est, real_dtype)
-    inv_lam = (1.0 / lam).astype(real_dtype)
+    if not use_newton:
+        inv_lam = (1.0 / lam).astype(real_dtype)
 
     v0 = jnp.where(beta > 0, 1.0, 0.0) * safe_div(1.0, beta)
     V0 = jnp.zeros((m + 1, N), dtype).at[0].set(Mlr0 * v0)
@@ -359,16 +495,101 @@ def ca_gmres(
     sub_diag = jnp.eye(m + 1, m, k=-1, dtype=dtype)
     rhs_ls = jnp.zeros(m + 1, dtype).at[0].set(beta.astype(dtype))
 
+    if use_newton:
+        if shifts is not None:
+            ev = modified_leja(np.asarray(shifts))[:s]
+            if ev.size < s:
+                raise ValueError(f"need >= {s} shifts, got {ev.size}")
+            theta_re = jnp.asarray(ev.real, real_dtype)
+            theta_im = jnp.asarray(ev.imag, real_dtype)
+        else:
+            # s-step Arnoldi warmup to harvest Ritz shift estimates
+            def warmup_H(seed):
+                return _arnoldi_warmup(MlAMr, seed, s, dtype)
+
+            def host_shifts(Hs):
+                # non-Hermitian eig is host-LAPACK by design
+                # (docs/DESIGN.md section 7)
+                ev = np.linalg.eigvals(np.asarray(Hs)[:s, :s])
+                ev = modified_leja(ev)
+                npr = np.dtype(jnp.zeros(0, real_dtype).dtype)
+                return ev.real.astype(npr), ev.imag.astype(npr)
+
+            if isinstance(bv, jax.core.Tracer) or isinstance(
+                x0v, jax.core.Tracer
+            ):
+                # under a caller's jit the host eig must be a callback;
+                # runtimes without host callbacks (the axon TPU tunnel)
+                # should instead call ca_gmres eagerly or pass shifts=
+                theta_re, theta_im = jax.pure_callback(
+                    host_shifts,
+                    (
+                        jax.ShapeDtypeStruct((s,), real_dtype),
+                        jax.ShapeDtypeStruct((s,), real_dtype),
+                    ),
+                    warmup_H(V0[0]),
+                )
+            else:
+                # eager call: run the warmup as one compiled step and do
+                # eig + Leja on host directly -- works on every runtime
+                tr, ti = host_shifts(jax.jit(warmup_H)(V0[0]))
+                theta_re = jnp.asarray(tr, real_dtype)
+                theta_im = jnp.asarray(ti, real_dtype)
+        if is_complex:
+            theta = (theta_re + 1j * theta_im).astype(dtype)
+            b2 = jnp.zeros(s, real_dtype)
+        else:
+            theta = theta_re.astype(dtype)
+            # conjugate-pair correction (pairs are Leja-adjacent,
+            # Im>0 opener first): u_{i+2} gets +(Im^2/sigma_i) u_i
+            b2 = jnp.where(theta_im > 0, theta_im**2, 0.0).astype(
+                real_dtype
+            )
+
     def body(state):
         k = state.j * s
 
-        # 1. matrix powers (no reductions; fixed spectral scaling)
+        # 1. s-step basis build
         u = state.V[k]
         cols = []
-        for _ in range(s):
-            u = MlAMr(u) * inv_lam
-            cols.append(u)
+        if use_newton:
+            # shifted powers with per-step normalization: s cheap norm
+            # reductions, vastly better conditioning than monomial
+            uprev = jnp.zeros_like(u)
+            sigs = []
+            for i in range(s):
+                w = MlAMr(u) - theta[i] * u
+                if i >= 1:
+                    w = w + (
+                        b2[i - 1] * safe_div(1.0, sigs[i - 1])
+                    ).astype(dtype) * uprev
+                sig = jnp.linalg.norm(w)
+                uprev = u
+                u = w * safe_div(1.0, sig)
+                sigs.append(sig)
+                cols.append(u)
+            sig_arr = jnp.stack(sigs).astype(real_dtype)
+        else:
+            # matrix powers (no reductions; fixed spectral scaling)
+            for _ in range(s):
+                u = MlAMr(u) * inv_lam
+                cols.append(u)
+            sig_arr = jnp.full(s, lam, real_dtype)
         Z = jnp.stack(cols, axis=0)                       # (s, N)
+
+        # basis-generation matrix T (s+1, s):
+        # (MlAMr) [u_0..u_{s-1}] = [u_0..u_s] T with u_0 = V[k]
+        sidx = jnp.arange(s)
+        Td = jnp.zeros((s + 1, s), dtype).at[sidx + 1, sidx].set(
+            sig_arr.astype(dtype)
+        )
+        if use_newton:
+            Td = Td.at[sidx, sidx].set(theta)
+            if s > 1:
+                sup = -(
+                    b2[: s - 1] * safe_div(1.0, sig_arr[: s - 1])
+                ).astype(dtype)
+                Td = Td.at[sidx[: s - 1], sidx[1:]].set(sup)
 
         # 2. BCGS2 against the active rows of the basis
         mask = (jnp.arange(m + 1) <= k).astype(real_dtype)
@@ -391,25 +612,26 @@ def ca_gmres(
         V = lax.dynamic_update_slice(state.V, Qp, (k + 1, 0))
 
         # 4. Hessenberg recovery.  Coordinates of [u_1..u_s] over the
-        # extended basis: Zc = C + (R scattered to rows k+1..k+s); then
-        #   H[:, k]          = lam * Zc[:, 0]              (A' q_k)
-        #   H[:, k+1..k+s-1] = (lam*Zc[:, 1:] | 0) - H C) R^{-1}[:, :s-1]
-        # from A' Q_new[:, :s-1] = (A' [u_1..u_s] - A' V C) R^{-1} and
-        # A' u_i = lam u_{i+1} (the unknown A' u_s multiplies the zero
-        # row of the triangular R^{-1}).
+        # extended basis: Zc = C + (R scattered to rows k+1..k+s), and
+        # u_0 = V[k] has coordinates e_k; so the coordinates of
+        # (MlAMr)[u_0..u_{s-1}] are AU = [e_k | Zc] T.  Then
+        #   H[:, k]          = AU[:, 0]
+        #   H[:, k+1..k+s-1] = ((AU[:, 1:] | 0) - H C) R^{-1}[:, :s-1]
+        # from A' Q_new[:, :s-1] = (A' [u_1..u_s] - A' V C) R^{-1}; the
+        # unknown A' u_s multiplies only the zero row of the triangular
+        # R^{-1} columns used.
         Rscat = lax.dynamic_update_slice(
             jnp.zeros((m + 1, s), dtype), Rt, (k + 1, 0)
         )
         Zc = C + Rscat
-        lam_t = lam.astype(real_dtype)
-        H = lax.dynamic_update_slice(
-            state.H, (lam_t * Zc[:, :1]).astype(dtype), (0, k)
-        )
+        ek = (jnp.arange(m + 1) == k).astype(dtype)
+        AU = jnp.dot(Zc, Td[1:, :]) + jnp.outer(ek, Td[0, :])
+        H = lax.dynamic_update_slice(state.H, AU[:, :1], (0, k))
         if s > 1:
             M2 = jnp.dot(H, C[:m, :])                     # (m+1, s)
             M1p = jnp.concatenate(
-                [lam_t * Zc[:, 1:], jnp.zeros((m + 1, 1), dtype)], axis=1
-            ).astype(dtype)
+                [AU[:, 1:], jnp.zeros((m + 1, 1), dtype)], axis=1
+            )
             Rinv = jax.scipy.linalg.solve_triangular(Rt, eye_s)
             Hnew = jnp.dot(M1p - M2, Rinv[:, : s - 1])
             H = lax.dynamic_update_slice(H, Hnew, (0, k + 1))
@@ -476,5 +698,8 @@ def ca_gmres(
         status=status,
     )
     if return_internal:
-        return result, {"V": final.V, "H": final.H, "lam": lam}
+        internal = {"V": final.V, "H": final.H, "lam": lam}
+        if use_newton:
+            internal["shifts"] = theta
+        return result, internal
     return result

@@ -1,0 +1,83 @@
+"""Reduced-precision Krylov-basis storage (``basis_dtype=``).
+
+The Krylov buffer is stored in bfloat16 while all control scalars and
+accumulations stay at the system dtype; contraction reads then move half
+the HBM bytes.  The attainable TRUE residual is floored at
+``eps(basis_dtype) * kappa(A)`` (solution reassembly from quantized
+rows), so the feature targets well-conditioned operators; these tests
+pin both the win and the floor.
+
+Reference: krypy stores the basis at the system dtype
+(krypy/utils.py:902-906); no low-precision analog exists there.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from krypy_tpu import functional as F
+
+
+def _diag_system(kappa=50.0, N=512, seed=0):
+    rng = np.random.default_rng(seed)
+    d = np.linspace(1.0, kappa, N)
+    D = jnp.asarray(d, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    return d, (lambda v: D.astype(v.dtype) * v), b
+
+
+def _true_rel(d, x, b):
+    x64 = np.asarray(x, np.float64)
+    b64 = np.asarray(b, np.float64)
+    return np.linalg.norm(b64 - d * x64) / np.linalg.norm(b64)
+
+
+@pytest.mark.parametrize("ortho", ["cgs2", "bmgs2"])
+def test_bf16_basis_well_conditioned(ortho):
+    """kappa=50: bfloat16 basis converges to the eps*kappa floor."""
+    d, A, b = _diag_system()
+    r = F.gmres(A, b, tol=0.0, maxiter=40, ortho=ortho,
+                basis_dtype=jnp.bfloat16)
+    rel = _true_rel(d, r.x, b)
+    # eps(bf16) = 2^-8 ~ 3.9e-3; kappa = 50 -> floor well under 5e-2
+    assert rel < 5e-2, rel
+    # and the full-precision basis must do strictly better
+    r32 = F.gmres(A, b, tol=0.0, maxiter=40, ortho=ortho)
+    assert _true_rel(d, r32.x, b) < rel
+
+
+def test_bf16_basis_refine_to_tight_tolerance():
+    """GMRES-IR composition: bf16 inner + f64 outer reaches 1e-8."""
+    import jax
+
+    d, A, b = _diag_system()
+    b64 = jnp.asarray(np.asarray(b), jnp.float64)
+    inner = jax.jit(
+        lambda rr: F.gmres(A, rr, tol=1e-2, maxiter=40, ortho="cgs2",
+                           basis_dtype=jnp.bfloat16)
+    )
+    res, info = F.refine_to(A, b64, inner, tol=1e-8)
+    assert float(np.nanmin(np.asarray(res.resnorms))) <= 1e-8
+    assert info["cycles"] >= 2  # bf16 floor forces multiple cycles
+
+
+def test_bf16_basis_guards():
+    _, A, b = _diag_system(N=64)
+    B = jnp.eye(64, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="Euclidean"):
+        F.gmres(A, b, ip=B, maxiter=4, basis_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="batched"):
+        F.gmres(A, b, ortho="mgs", maxiter=4, basis_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="real"):
+        F.gmres(A, b.astype(jnp.complex64), maxiter=4,
+                basis_dtype=jnp.bfloat16)
+
+
+def test_bf16_basis_ill_conditioned_floor_is_honest():
+    """On kappa ~ 1e3 the bf16 floor exceeds 10% -- the solver must not
+    claim convergence below it when the explicit-residual policy runs."""
+    d, A, b = _diag_system(kappa=2000.0)
+    r = F.gmres(A, b, tol=1e-6, maxiter=60, ortho="cgs2",
+                explicit_residual=True, basis_dtype=jnp.bfloat16)
+    # status must NOT be CONVERGED: the floor eps*kappa ~ 8 >> tol
+    assert int(r.status) != int(F.CONVERGED)

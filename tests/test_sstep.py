@@ -83,15 +83,19 @@ def test_ca_cg_sharded():
     assert len({s.device for s in res.x.addressable_shards}) == 8
 
 
-@pytest.mark.parametrize("s", [1, 2, 4])
-def test_ca_gmres_matches_gmres_at_block_boundaries(s):
+@pytest.mark.parametrize("s,basis", [
+    (1, "monomial"), (2, "monomial"), (4, "monomial"),
+    (2, "newton"), (4, "newton"),
+])
+def test_ca_gmres_matches_gmres_at_block_boundaries(s, basis):
     """In exact arithmetic CA-GMRES equals GMRES at every block
     boundary; in float64 the residual histories agree to rounding."""
     r = numpy.random.RandomState(0)
     A = numpy.diag(numpy.linspace(1, 10, 80)) + 0.1 * r.randn(80, 80)
     b = jnp.asarray(r.randn(80))
     ref = F.gmres(jnp.asarray(A), b, tol=1e-12, maxiter=60)
-    res = F.ca_gmres(jnp.asarray(A), b, s=s, tol=1e-12, maxiter=60)
+    res = F.ca_gmres(jnp.asarray(A), b, s=s, basis=basis, tol=1e-12,
+                     maxiter=60)
     assert int(res.status) == 0
     rg = numpy.asarray(ref.resnorms)
     rc = numpy.asarray(res.resnorms)
@@ -157,6 +161,69 @@ def test_ca_gmres_f32_floor_reports_maxiter():
     res = F.ca_gmres(lap, b, s=4, tol=1e-13, maxiter=256)
     assert int(res.status) != 0
     assert numpy.nanmin(numpy.asarray(res.resnorms)) < 1e-3
+
+
+def test_ca_gmres_newton_survives_where_monomial_breaks():
+    """Unpreconditioned Poisson (kappa ~ 1.7e3) in float32 at s=8: the
+    monomial basis breaks down within 2 blocks; the Leja-Newton basis
+    tracks full GMRES over the whole run."""
+    nx = 64
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    mono = F.ca_gmres(lap, b, s=8, basis="monomial", tol=0.0, maxiter=64,
+                      stagnation_window=10**9)
+    newt = F.ca_gmres(lap, b, s=8, basis="newton", tol=0.0, maxiter=64,
+                      stagnation_window=10**9)
+    assert int(mono.status) == 2  # BREAKDOWN
+    assert int(newt.niter) == 64
+
+    def true_rel(x):
+        x64 = jnp.asarray(numpy.asarray(x), jnp.float64)
+        b64 = jnp.ones(nx * nx, jnp.float64)
+        return float(jnp.linalg.norm(b64 - lap(x64)) / jnp.linalg.norm(b64))
+
+    ref = F.gmres(lap, b, tol=0.0, maxiter=64)
+    assert true_rel(newt.x) <= 1.5 * true_rel(ref.x)
+
+
+def test_ca_gmres_newton_explicit_shifts_callback_free():
+    """Passing eigenvalue-estimate shifts skips the warmup+callback and
+    must produce the same quality of basis."""
+    r = numpy.random.RandomState(3)
+    A = numpy.diag(numpy.linspace(1, 10, 60)) + 0.05 * r.randn(60, 60)
+    ev = numpy.linalg.eigvals(A)
+    b = jnp.asarray(r.randn(60))
+    res = F.ca_gmres(jnp.asarray(A), b, s=4, basis="newton",
+                     shifts=ev, tol=1e-12, maxiter=40)
+    assert int(res.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-11
+
+
+def test_ca_gmres_newton_complex():
+    """Complex systems use the complex shifts directly (no conjugate-
+    pair bookkeeping)."""
+    r = numpy.random.RandomState(5)
+    A = (numpy.diag(numpy.linspace(1, 8, 48))
+         + 0.1 * (r.randn(48, 48) + 1j * r.randn(48, 48)))
+    b = jnp.asarray(r.randn(48) + 1j * r.randn(48))
+    res = F.ca_gmres(jnp.asarray(A), b, s=4, basis="newton",
+                     tol=1e-12, maxiter=48)
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-10
+
+
+def test_modified_leja_pairs_adjacent():
+    ev = numpy.array([3.0, 1.0 + 2.0j, 1.0 - 2.0j, -4.0, 0.5])
+    out = F.modified_leja(ev)
+    assert out[0] == -4.0  # max modulus first
+    i = int(numpy.argmax(out.imag > 0))
+    assert out[i + 1] == numpy.conj(out[i])  # pair adjacent, Im>0 first
+    assert sorted(out.tolist(), key=abs) == sorted(ev.tolist(), key=abs)
 
 
 def test_ca_gmres_zero_rhs():
