@@ -494,6 +494,10 @@ def ca_gmres(
     eye_s = jnp.eye(s, dtype=dtype)
     sub_diag = jnp.eye(m + 1, m, k=-1, dtype=dtype)
     rhs_ls = jnp.zeros(m + 1, dtype).at[0].set(beta.astype(dtype))
+    # sublane-aligned row-panel heights for the basis sweeps, clipped so
+    # dynamic slices stay in range
+    _pr = max(1, min(32, m + 1))
+    _pra = max(1, min(32, m))
 
     if use_newton:
         if shifts is not None:
@@ -591,13 +595,29 @@ def ca_gmres(
                 ).astype(dtype)
                 Td = Td.at[sidx[: s - 1], sidx[1:]].set(sup)
 
-        # 2. BCGS2 against the active rows of the basis
-        mask = (jnp.arange(m + 1) <= k).astype(real_dtype)
+        # 2. block Gram-Schmidt x2 against the basis, swept in row
+        # panels so only panels holding active rows are read: the HBM
+        # traffic over the Krylov buffer scales with the current
+        # dimension k instead of maxiter (panel-sequential updates keep
+        # the exact decomposition Z0 = V C + Z_final, which is all the
+        # Hessenberg recovery needs)
         C = jnp.zeros((m + 1, s), dtype)
+
+        def panel_body(p, carry):
+            Zp, Cp = carry
+            start = jnp.minimum(p * _pr, m + 1 - _pr)
+            Vp = lax.dynamic_slice_in_dim(state.V, start, _pr, 0)
+            ridx = start + jnp.arange(_pr)
+            rmask = ((ridx >= p * _pr) & (ridx <= k)).astype(real_dtype)
+            coeffs = jnp.dot(Vp.conj(), Zp.T) * rmask[:, None]  # (_pr, s)
+            Zp = Zp - jnp.dot(coeffs.T, Vp)
+            seg = lax.dynamic_slice_in_dim(Cp, start, _pr, 0)
+            Cp = lax.dynamic_update_slice(Cp, seg + coeffs, (start, 0))
+            return Zp, Cp
+
+        active_panels = k // _pr + 1
         for _ in range(2):
-            coeffs = jnp.dot(state.V.conj(), Z.T) * mask[:, None]
-            Z = Z - jnp.dot(coeffs.T, state.V)
-            C = C + coeffs
+            Z, C = lax.fori_loop(0, active_panels, panel_body, (Z, C))
 
         # 3. CholQR2 of the panel: Z = conj(L1 L2) Q_rows,
         #    R = L2^H L1^H upper triangular
@@ -645,7 +665,22 @@ def ca_gmres(
         y = jax.scipy.linalg.solve_triangular(
             rm, jnp.dot(qm.conj().T, rhs_ls)
         )
-        xk = x0v + apply(Mr_mv, jnp.dot(y, V[:m]))
+
+        # solution assembly over active panels only (same traffic
+        # argument as the orthogonalization sweep)
+        def assemble_body(p, acc):
+            start = jnp.minimum(p * _pra, m - _pra)
+            Vp = lax.dynamic_slice_in_dim(V, start, _pra, 0)
+            yp = lax.dynamic_slice_in_dim(y, start, _pra, 0)
+            ridx = start + jnp.arange(_pra)
+            ymask = ((ridx >= p * _pra) & (ridx < K)).astype(real_dtype)
+            return acc + jnp.dot(yp * ymask, Vp)
+
+        yk = lax.fori_loop(
+            0, (K - 1) // _pra + 1, assemble_body,
+            jnp.zeros(N, dtype),
+        )
+        xk = x0v + apply(Mr_mv, yk)
 
         # 6. explicit residual (monomial-basis drift control)
         rel_new = safe_div(
