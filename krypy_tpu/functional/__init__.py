@@ -36,7 +36,7 @@ from .deflation import (
 )
 from .refine import refine_to
 from .sstep import ca_cg, ca_gmres, modified_leja, newton_shifts
-from .block import block_cg
+from .block import block_cg, block_gmres
 
 __all__ = [
     "refine_to",
@@ -45,6 +45,7 @@ __all__ = [
     "modified_leja",
     "newton_shifts",
     "block_cg",
+    "block_gmres",
     "arnoldi",
     "ArnoldiResult",
     "cg",

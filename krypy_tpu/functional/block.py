@@ -1,21 +1,22 @@
-r"""Block CG: one solve for multiple right-hand sides.
+r"""Block solvers: one solve for multiple right-hand sides.
 
 Not a reference capability (krypy solves a single rhs per call, its
 ``(N, 1)`` vectors notwithstanding) -- this is TPU-native surface: every
-operation of the block method is an ``(N, k)`` GEMM or a ``(k, k)``
+operation of the block methods is an ``(N, k)`` GEMM or a ``(k, k)``
 factorization, exactly the shapes the MXU wants, and the k systems share
 every matvec's HBM traffic.
 
-Algorithm: classical block CG (O'Leary 1980) with the standard
-rank-collapse guard: when columns converge (or become linearly
-dependent) the k x k Gram matrices turn singular, so the small solves
-are regularized by an eigenvalue floor relative to the largest
-eigenvalue -- converged columns then simply stop moving while the rest
-keep the full block-Krylov acceleration.
+* :func:`block_cg` -- classical block CG (O'Leary 1980) for SPD systems,
+  with an eigenvalue-floor rank-collapse guard: converged/dependent
+  columns stop moving while the rest keep the block-Krylov acceleration.
+* :func:`block_gmres` -- block GMRES (Vital 1990): block Arnoldi with
+  two-pass panel-blocked Gram-Schmidt, rank-guarded panel
+  orthonormalization, and a fixed-shape masked least squares per step.
 """
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -30,7 +31,7 @@ from .common import (
     system_dtype,
 )
 
-__all__ = ["block_cg"]
+__all__ = ["block_cg", "block_gmres"]
 
 
 class _BlockCgState(NamedTuple):
@@ -187,3 +188,236 @@ def block_cg(
         niter=final.it,
         status=status,
     )
+
+
+class _BlockGmresState(NamedTuple):
+    it: jnp.ndarray           # completed block steps
+    V: jnp.ndarray            # ((m+1)*k, N) basis rows, block j at j*k
+    H: jnp.ndarray            # ((m+1)*k, m*k) block Hessenberg
+    Y: jnp.ndarray            # (m*k, k) current least-squares solution
+    rels: jnp.ndarray         # (k,) per-column LS residuals
+    max_rel: jnp.ndarray
+    broken: jnp.ndarray
+    resnorms: jnp.ndarray     # (m+1, k)
+
+
+def _panel_orth(W, floor_ratio, real_dtype):
+    """Orthonormalize the rows of ``W`` (k, N) with a rank guard.
+
+    Returns ``(Q, L)`` with ``W = L Q``, Q's rows orthonormal and rows
+    of collapsed directions exactly zero.  Uses the Hermitian
+    eigendecomposition of the small Gram matrix (the block analog of
+    CholQR, robust to the rank deficiency that converged columns
+    cause); applied twice by the caller for CGS2-class orthogonality.
+    """
+    G = jnp.dot(W.conj(), W.T)
+    w, U = jnp.linalg.eigh(0.5 * (G + G.conj().T))
+    w = jnp.maximum(w.astype(real_dtype), 0.0)
+    wmax = jnp.maximum(jnp.max(w), 1e-300)
+    keep = w > floor_ratio * wmax
+    sq = jnp.sqrt(jnp.where(keep, w, 1.0))
+    inv = jnp.where(keep, 1.0 / sq, 0.0).astype(W.dtype)
+    # plain (not conjugate) transpose of U in Q, conj(U) in L: with the
+    # row Gram G = conj(W) W^T = U diag(w) U^H this gives
+    # conj(Q) Q^T = mask (orthonormal rows) and L Q = W exactly
+    Q = inv[:, None] * jnp.dot(U.T, W)
+    L = U.conj() * jnp.where(keep, sq, 0.0).astype(W.dtype)[None, :]
+    return Q, L
+
+
+def block_gmres(
+    A,
+    B,
+    *,
+    Ml=None,
+    Mr=None,
+    X0=None,
+    tol=1e-5,
+    maxiter=None,
+    floor_ratio=1e-12,
+    return_internal=False,
+):
+    r"""Solve ``A X = B`` for all columns of ``B`` with block GMRES.
+
+    Block Arnoldi: each step applies the operator to a (k, N) panel (one
+    shared HBM pass over the operator for k systems), orthogonalizes it
+    against the basis with two passes of panel-blocked Gram-Schmidt
+    (reading only panels holding active rows), and orthonormalizes via a
+    rank-guarded Gram eigendecomposition -- converged or linearly
+    dependent columns collapse to zero rows and stop consuming work,
+    while the fixed-shape masked least squares keeps every column's
+    residual tracked.
+
+    :param B: right-hand sides, shape ``(N, k)``.
+    :param Ml, Mr: left/right preconditioner matvecs (Euclidean inner
+      product only).
+    :param tol: per-column relative residual target; the solve runs
+      until EVERY column converges.
+    :param maxiter: BLOCK steps (each grows every column's Krylov space
+      by one); the basis buffer is ``((maxiter+1)*k, N)``, so pass this
+      explicitly at large N.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult` with
+      ``x`` of shape ``(N, k)``, ``resnorms`` of shape
+      ``(maxiter+1, k)``, and ``niter`` counting block steps.
+
+    Reference baseline: krypy has no block solver (its GMRES is
+    krypy/linsys.py:877-1018); TPU-native surface.
+    """
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError("block_gmres expects B with shape (N, k)")
+    N, k = B.shape
+    maxiter = max(1, N // k) if maxiter is None else int(maxiter)
+    m = maxiter
+
+    A_mv = as_matvec(A)
+    Ml_mv = as_matvec(Ml)
+    Mr_mv = as_matvec(Mr)
+    dtype = system_dtype(B, X0)
+    B = B.astype(dtype)
+    A_mv, Ml_mv, Mr_mv = (
+        cast_matvec(f, dtype) for f in (A_mv, Ml_mv, Mr_mv)
+    )
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    def op_rows(P):
+        """Apply Ml A Mr to each ROW of a (k, N) panel; vmap lets XLA
+        batch dense operators into one GEMM and stencils into one
+        shifted-window sweep."""
+        return jax.vmap(
+            lambda v: apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+        )(P)
+
+    X0v = (
+        jnp.zeros((N, k), dtype)
+        if X0 is None
+        else jnp.asarray(X0).astype(dtype)
+    )
+
+    MlB = jax.vmap(lambda v: apply(Ml_mv, v))(B.T).T
+    bnorms = jnp.maximum(
+        jnp.linalg.norm(MlB, axis=0).astype(real_dtype), 1e-300
+    )
+    if X0 is None:
+        R0 = MlB
+    else:
+        R0 = MlB - jax.vmap(lambda v: apply(Ml_mv, A_mv(v)))(X0v.T).T
+
+    # initial panel: rows of V are basis vectors; with the row-form
+    # factorization R0^T = S0 Q0 the column-form coordinates of R0 over
+    # the basis are S0^T (R0 = Q0^T S0^T)
+    Q0, S0 = _panel_orth(R0.T, floor_ratio, real_dtype)
+    V0 = jnp.zeros(((m + 1) * k, N), dtype)
+    V0 = lax.dynamic_update_slice(V0, Q0, (0, 0))
+
+    rels0 = (jnp.linalg.norm(R0, axis=0) / bnorms).astype(real_dtype)
+    resnorms0 = jnp.full((m + 1, k), jnp.nan, real_dtype).at[0].set(rels0)
+
+    rhs_ls = jnp.zeros(((m + 1) * k, k), dtype)
+    rhs_ls = lax.dynamic_update_slice(rhs_ls, S0.T, (0, 0))
+    sub_eye = jnp.eye((m + 1) * k, m * k, k=-k, dtype=dtype)
+    _pr = max(1, min(32, (m + 1) * k))
+
+    def body(state):
+        it = state.it
+        row0 = it * k
+        Vj = lax.dynamic_slice_in_dim(state.V, row0, k, 0)
+        W = op_rows(Vj)                                   # (k, N)
+
+        # two passes of panel-blocked Gram-Schmidt against active rows
+        C = jnp.zeros(((m + 1) * k, k), dtype)
+
+        def panel_body(p, carry):
+            Wp, Cp = carry
+            start = jnp.minimum(p * _pr, (m + 1) * k - _pr)
+            Vp = lax.dynamic_slice_in_dim(state.V, start, _pr, 0)
+            ridx = start + jnp.arange(_pr)
+            rmask = (
+                (ridx >= p * _pr) & (ridx < row0 + k)
+            ).astype(real_dtype)
+            coeffs = jnp.dot(Vp.conj(), Wp.T) * rmask[:, None]
+            Wp = Wp - jnp.dot(coeffs.T, Vp)
+            seg = lax.dynamic_slice_in_dim(Cp, start, _pr, 0)
+            Cp = lax.dynamic_update_slice(Cp, seg + coeffs, (start, 0))
+            return Wp, Cp
+
+        active_panels = (row0 + k - 1) // _pr + 1
+        for _ in range(2):
+            W, C = lax.fori_loop(0, active_panels, panel_body, (W, C))
+
+        # rank-guarded panel orthonormalization (x2: CGS2-class)
+        Q1, L1 = _panel_orth(W, floor_ratio, real_dtype)
+        Q2, L2 = _panel_orth(Q1, floor_ratio, real_dtype)
+        Qp = Q2
+        Lfac = jnp.dot(L1, L2)                            # W = Lfac Qp
+
+        V = lax.dynamic_update_slice(state.V, Qp, (row0 + k, 0))
+
+        # Hessenberg block column: C rows + Lfac^T at block row it+1
+        # (same row-form/column-form transpose as S0 above)
+        hcol = lax.dynamic_update_slice(C, Lfac.T, (row0 + k, 0))
+        H = lax.dynamic_update_slice(state.H, hcol, (0, row0))
+
+        # fixed-shape masked least squares (inactive columns replaced
+        # by shifted-identity columns whose optimal y is exactly 0)
+        col_act = jnp.arange(m * k) < row0 + k
+        Hm = jnp.where(col_act[None, :], H, sub_eye)
+        qm, rm = jnp.linalg.qr(Hm, mode="reduced")
+        # collapsed directions leave EXACTLY zero H columns (the rank
+        # guard zeroes them), hence zero R columns: bump those diagonal
+        # entries and zero the matching Y rows afterwards -- the exact
+        # minimum-norm solution, since a zero R column cannot propagate
+        # its y into any other back-substitution row
+        dead = jnp.abs(jnp.diagonal(rm)) == 0
+        rm = rm + jnp.diag(dead.astype(dtype))
+        Y = jax.scipy.linalg.solve_triangular(
+            rm, jnp.dot(qm.conj().T, rhs_ls)
+        )
+        Y = jnp.where(dead[:, None], 0.0, Y)
+        resid = rhs_ls - jnp.dot(Hm, Y)
+        rels = (
+            jnp.linalg.norm(resid, axis=0).astype(real_dtype) / bnorms
+        )
+        max_rel = jnp.max(rels)
+        broken = ~jnp.isfinite(max_rel)
+        resnorms = state.resnorms.at[it + 1].set(rels)
+        return _BlockGmresState(
+            it + 1, V, H, Y, rels, max_rel, broken, resnorms
+        )
+
+    def cond(state):
+        return (
+            (state.max_rel > tol)
+            & (state.it < m)
+            & ~state.broken
+        )
+
+    init = _BlockGmresState(
+        jnp.asarray(0),
+        V0,
+        jnp.zeros(((m + 1) * k, m * k), dtype),
+        jnp.zeros((m * k, k), dtype),
+        rels0,
+        jnp.max(rels0),
+        jnp.asarray(False),
+        resnorms0,
+    )
+    final = lax.while_loop(cond, body, init)
+
+    Yk = jnp.dot(final.V[: m * k].T, final.Y)             # (N, k)
+    X = X0v + jax.vmap(lambda v: apply(Mr_mv, v))(Yk.T).T
+
+    status = jnp.where(
+        final.max_rel <= tol,
+        CONVERGED,
+        jnp.where(final.broken, BREAKDOWN, MAXITER),
+    )
+    result = SolveResult(
+        x=X,
+        resnorms=final.resnorms,
+        niter=final.it,
+        status=status,
+    )
+    if return_internal:
+        return result, {"V": final.V, "H": final.H, "Y": final.Y}
+    return result

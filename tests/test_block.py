@@ -71,3 +71,96 @@ def test_block_cg_sharded():
         )(Bsh)
     assert int(res.status) == 0
     assert len({s.device for s in res.x.addressable_shards}) == 8
+
+
+# ---------------------------------------------------------------- block GMRES
+
+
+def test_block_gmres_nonsymmetric_beats_single():
+    """All columns solved; block Krylov converges in fewer (block) steps
+    than single-rhs GMRES needs iterations."""
+    rng = numpy.random.RandomState(0)
+    A = numpy.diag(numpy.linspace(1, 10, 100)) + 0.1 * rng.randn(100, 100)
+    B = rng.randn(100, 4)
+    res = F.block_gmres(jnp.asarray(A), jnp.asarray(B), tol=1e-10,
+                        maxiter=60)
+    assert int(res.status) == 0
+    X = numpy.asarray(res.x)
+    rels = numpy.linalg.norm(B - A @ X, axis=0) / numpy.linalg.norm(
+        B, axis=0
+    )
+    assert rels.max() <= 1e-10
+    single = F.gmres(jnp.asarray(A), jnp.asarray(B[:, 0]), tol=1e-10,
+                     maxiter=60)
+    assert int(res.niter) < int(single.niter)
+
+
+def test_block_gmres_complex():
+    rng = numpy.random.RandomState(1)
+    A = (numpy.diag(numpy.linspace(1, 8, 60))
+         + 0.05 * (rng.randn(60, 60) + 1j * rng.randn(60, 60)))
+    B = rng.randn(60, 3) + 1j * rng.randn(60, 3)
+    res = F.block_gmres(jnp.asarray(A), jnp.asarray(B), tol=1e-10,
+                        maxiter=60)
+    assert int(res.status) == 0
+    X = numpy.asarray(res.x)
+    rels = numpy.linalg.norm(B - A @ X, axis=0) / numpy.linalg.norm(
+        B, axis=0
+    )
+    assert rels.max() <= 1e-10
+
+
+def test_block_gmres_rank_deficient_rhs():
+    """Duplicated columns collapse to zero basis rows (rank guard); the
+    masked least squares must keep every column converging."""
+    rng = numpy.random.RandomState(2)
+    nx = 32
+    lap = ops.poisson_2d(nx)
+    Mj = ops.jacobi_preconditioner(lap)
+    B = numpy.stack(
+        [numpy.ones(nx * nx), numpy.ones(nx * nx), rng.randn(nx * nx)],
+        axis=1,
+    )
+    res = F.block_gmres(lap, jnp.asarray(B, jnp.float64), Ml=Mj,
+                        tol=1e-9, maxiter=150)
+    assert int(res.status) == 0
+    X = numpy.asarray(res.x)
+    for j in range(3):
+        rel = float(
+            jnp.linalg.norm(jnp.asarray(B[:, j]) - lap(res.x[:, j]))
+            / numpy.linalg.norm(B[:, j])
+        )
+        assert rel <= 1e-8
+
+
+def test_block_gmres_preconditioned_stencil():
+    nx = 24
+    lap = ops.poisson_2d(nx)
+    Mj = ops.jacobi_preconditioner(lap)
+    B = jnp.stack(
+        [jnp.ones(nx * nx), jnp.linspace(0.0, 1.0, nx * nx)], axis=1
+    ).astype(jnp.float64)
+    res = F.block_gmres(lap, B, Ml=Mj, Mr=Mj, tol=1e-9, maxiter=200)
+    assert int(res.status) == 0
+    for j in range(2):
+        rel = float(
+            jnp.linalg.norm(B[:, j] - lap(res.x[:, j]))
+            / jnp.linalg.norm(B[:, j])
+        )
+        assert rel <= 1e-8
+
+
+def test_block_gmres_sharded():
+    mesh = parallel.make_mesh(8)
+    nx = 32
+    lap = ops.poisson_2d(nx)
+    B = jnp.stack([jnp.ones(nx * nx), jnp.linspace(0, 1, nx * nx)], 1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Bsh = jax.device_put(B, NamedSharding(mesh, P("n", None)))
+    with mesh:
+        res = jax.jit(
+            lambda bb: F.block_gmres(lap, bb, tol=1e-8, maxiter=200)
+        )(Bsh)
+    assert int(res.status) == 0
+    assert len({s.device for s in res.x.addressable_shards}) == 8
