@@ -91,9 +91,73 @@ def gmres_main(argv):
     )
 
 
+def restarted_main(argv):
+    """End-to-end: restarted GMRES(m) vs restarted CA-GMRES(m), fixed
+    restart budget on the Jacobi-preconditioned 1M-dof Poisson system --
+    same Krylov work per cycle, so the wall ratio is the end-to-end
+    speedup and the achieved residuals should agree."""
+    m = int(argv[1]) if len(argv) > 1 else 40
+    restarts = int(argv[2]) if len(argv) > 2 else 5
+    nx = int(argv[3]) if len(argv) > 3 else 1023
+
+    from krypy_tpu import functional as F, ops
+
+    N = nx * nx
+    lap = ops.poisson_2d(nx)
+    Mj = ops.jacobi_preconditioner(lap)
+
+    def timed(solve, label):
+        b = jnp.ones(N, jnp.float32)
+        r = solve(b)   # compile
+        float(jnp.sum(r.x))
+        walls = []
+        for rep in range(3):
+            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            t0 = time.perf_counter()
+            rr = solve(bb)
+            float(jnp.sum(rr.x))
+            walls.append(time.perf_counter() - t0)
+        import numpy as np
+        rel = float(np.nanmin(np.asarray(rr.resnorms)))
+        out = {
+            "solver": label,
+            "wall_s": round(min(walls), 4),
+            "achieved_rel": rel,
+        }
+        print(json.dumps(out), flush=True)
+        return out
+
+    g = timed(
+        lambda b: F.restarted_gmres(
+            lap, b, Ml=Mj, tol=1e-12, maxiter=m, max_restarts=restarts,
+            ortho="cgs2",
+        ),
+        f"restarted_gmres_m{m}x{restarts + 1}",
+    )
+    c = timed(
+        lambda b: F.restarted_ca_gmres(
+            lap, b, Ml=Mj, tol=1e-12, maxiter=m, max_restarts=restarts,
+            s=4, stagnation_window=10**9,
+        ),
+        f"restarted_ca_gmres_s4_m{m}x{restarts + 1}",
+    )
+    print(
+        json.dumps(
+            {
+                "summary": f"restarted_{N}dof_m{m}x{restarts + 1}",
+                "speedup": round(g["wall_s"] / c["wall_s"], 2),
+                "devices": str(jax.devices()),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     if "--gmres" in sys.argv:
         return gmres_main([a for a in sys.argv if a != "--gmres"])
+    if "--restarted" in sys.argv:
+        return restarted_main([a for a in sys.argv if a != "--restarted"])
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 

@@ -35,7 +35,13 @@ from .deflation import (
     weighted_qr,
 )
 from .refine import refine_to
-from .sstep import ca_cg, ca_gmres, modified_leja, newton_shifts
+from .sstep import (
+    ca_cg,
+    ca_gmres,
+    modified_leja,
+    newton_shifts,
+    restarted_ca_gmres,
+)
 from .block import block_cg, block_gmres
 
 __all__ = [
@@ -44,6 +50,7 @@ __all__ = [
     "ca_gmres",
     "modified_leja",
     "newton_shifts",
+    "restarted_ca_gmres",
     "block_cg",
     "block_gmres",
     "arnoldi",

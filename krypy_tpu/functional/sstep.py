@@ -55,7 +55,8 @@ from .common import (
     system_dtype,
 )
 
-__all__ = ["ca_cg", "ca_gmres", "modified_leja", "newton_shifts"]
+__all__ = ["ca_cg", "ca_gmres", "modified_leja", "newton_shifts",
+           "restarted_ca_gmres"]
 
 
 class _CaCgState(NamedTuple):
@@ -309,17 +310,20 @@ def _arnoldi_warmup(MlAMr, seed, s, dtype):
     return Hw
 
 
-def newton_shifts(A, b, s, *, Ml=None, Mr=None, x0=None):
+def newton_shifts(A, b, s, *, Ml=None, Mr=None, x0=None, warmup=None):
     """Eagerly compute Leja-ordered Ritz shift estimates for the Newton
     s-step basis of :func:`ca_gmres`.
 
-    Runs the s-step Arnoldi warmup as one compiled step, pulls the small
-    Hessenberg to host, and returns ``modified_leja(eig(H))`` as a
-    complex ndarray.  Pass the result as ``ca_gmres(..., shifts=...)``
-    to keep a jitted solve free of host callbacks (required on runtimes
-    without send/recv callback support, e.g. this container's axon TPU
-    tunnel).
+    Runs a ``warmup``-step Arnoldi (default ``max(s, 8)``; more steps
+    give better Ritz estimates and a better-conditioned basis) as one
+    compiled step, pulls the small Hessenberg to host, and returns
+    ``modified_leja(eig(H))`` as a complex ndarray -- ca_gmres uses the
+    first s after re-ordering.  Pass the result as
+    ``ca_gmres(..., shifts=...)`` to keep a jitted solve free of host
+    callbacks (required on runtimes without send/recv callback support,
+    e.g. this container's axon TPU tunnel).
     """
+    w_steps = max(int(s), 8) if warmup is None else max(int(warmup), int(s))
     b = jnp.asarray(b)
     bv = b.reshape(-1)
     A_mv = as_matvec(A)
@@ -343,10 +347,10 @@ def newton_shifts(A, b, s, *, Ml=None, Mr=None, x0=None):
     def warm():
         r0 = apply(Ml_mv, bv - A_mv(x0v))
         seed = r0 * safe_div(1.0, jnp.linalg.norm(r0))
-        return _arnoldi_warmup(MlAMr, seed, s, dtype)
+        return _arnoldi_warmup(MlAMr, seed, w_steps, dtype)
 
     Hw = np.asarray(warm())
-    return modified_leja(np.linalg.eigvals(Hw[:s, :s]))
+    return modified_leja(np.linalg.eigvals(Hw[:w_steps, :w_steps]))
 
 
 class _CaGmresState(NamedTuple):
@@ -368,6 +372,7 @@ def ca_gmres(
     s=4,
     basis="monomial",
     shifts=None,
+    shift_warmup=None,
     Ml=None,
     Mr=None,
     x0=None,
@@ -507,15 +512,22 @@ def ca_gmres(
             theta_re = jnp.asarray(ev.real, real_dtype)
             theta_im = jnp.asarray(ev.imag, real_dtype)
         else:
-            # s-step Arnoldi warmup to harvest Ritz shift estimates
+            # Arnoldi warmup to harvest Ritz shift estimates; more
+            # steps than s (default max(s, 8)) give better estimates
+            wu = (
+                max(int(s), 8)
+                if shift_warmup is None
+                else max(int(shift_warmup), int(s))
+            )
+
             def warmup_H(seed):
-                return _arnoldi_warmup(MlAMr, seed, s, dtype)
+                return _arnoldi_warmup(MlAMr, seed, wu, dtype)
 
             def host_shifts(Hs):
                 # non-Hermitian eig is host-LAPACK by design
                 # (docs/DESIGN.md section 7)
-                ev = np.linalg.eigvals(np.asarray(Hs)[:s, :s])
-                ev = modified_leja(ev)
+                ev = np.linalg.eigvals(np.asarray(Hs)[:wu, :wu])
+                ev = modified_leja(ev)[:s]
                 npr = np.dtype(jnp.zeros(0, real_dtype).dtype)
                 return ev.real.astype(npr), ev.imag.astype(npr)
 
@@ -738,3 +750,106 @@ def ca_gmres(
             internal["shifts"] = theta
         return result, internal
     return result
+
+
+#: compiled CA-GMRES restart-cycle cache, same design as
+#: functional.gmres._RESTART_CACHE (id()-keyed closures kept alive by
+#: the cached jitted function; small FIFO bounds growth)
+_CA_RESTART_CACHE = {}
+_CA_RESTART_CACHE_MAX = 16
+_CA_SHIFTS_CACHE = {}
+_CA_SHIFTS_KEEPALIVE = {}
+
+
+def restarted_ca_gmres(
+    A,
+    b,
+    *,
+    max_restarts=0,
+    maxiter=None,
+    tol=1e-5,
+    s=4,
+    basis="newton",
+    shifts=None,
+    shift_warmup=None,
+    **kwargs,
+):
+    """Restarted CA-GMRES: host loop over ONE compiled s-step cycle with
+    the rhs and initial guess as traced arguments.
+
+    The Newton shifts are an operator property, so they are computed
+    ONCE (eagerly, via :func:`newton_shifts` -- callback-free, works on
+    runtimes without host callbacks) and reused across every cycle and
+    every subsequent system with the same operator; the compiled cycle
+    is cached like :func:`~krypy_tpu.functional.gmres.restarted_gmres`'s,
+    so solve-many sequences compile exactly once.
+    """
+    b = jnp.asarray(b)
+    x = kwargs.pop("x0", None)
+    if x is None:
+        x = jnp.zeros(b.reshape(-1).shape[0], b.dtype)
+        if b.ndim > 1:
+            x = x[:, None]
+    x = jnp.asarray(x)
+
+    if basis == "newton" and shifts is None:
+        # shifts are an operator property: cache them so sequences of
+        # right-hand sides skip the warmup (and its per-call re-jit)
+        sk = (
+            id(A), int(s), id(kwargs.get("Ml")), id(kwargs.get("Mr")),
+            b.reshape(-1).shape[0], shift_warmup,
+        )
+        shifts = _CA_SHIFTS_CACHE.get(sk)
+        if shifts is None:
+            shifts = newton_shifts(
+                A, b, s,
+                Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"), x0=x,
+                warmup=shift_warmup,
+            )
+            if len(_CA_SHIFTS_CACHE) >= _CA_RESTART_CACHE_MAX:
+                _CA_SHIFTS_CACHE.pop(next(iter(_CA_SHIFTS_CACHE)))
+            # keep the id()-keyed objects alive alongside the values
+            _CA_SHIFTS_CACHE[sk] = shifts
+            _CA_SHIFTS_KEEPALIVE[sk] = (
+                A, kwargs.get("Ml"), kwargs.get("Mr"),
+            )
+    shifts_key = (
+        None if shifts is None
+        else tuple(np.asarray(shifts, complex).ravel().tolist())
+    )
+    key_items = tuple(
+        (kk, v if isinstance(v, (bool, int, float, str, type(None)))
+         else id(v))
+        for kk, v in sorted(kwargs.items())
+    )
+    key = (id(A), float(tol), maxiter, s, basis, shifts_key, key_items)
+    cycle = _CA_RESTART_CACHE.get(key)
+    if cycle is None:
+
+        @jax.jit
+        def cycle(bb, x0):
+            return ca_gmres(
+                A, bb, x0=x0, tol=tol, maxiter=maxiter, s=s,
+                basis=basis, shifts=shifts, **kwargs,
+            )
+
+        cycle._keepalive = (A, kwargs, shifts)
+        if len(_CA_RESTART_CACHE) >= _CA_RESTART_CACHE_MAX:
+            _CA_RESTART_CACHE.pop(next(iter(_CA_RESTART_CACHE)))
+        _CA_RESTART_CACHE[key] = cycle
+
+    resnorms = []
+    result = None
+    for _ in range(max_restarts + 1):
+        result = cycle(b, x)
+        nblocks = int(result.niter) // max(int(s), 1)
+        chunk = list(np.asarray(result.resnorms)[: nblocks + 1])
+        resnorms = resnorms[:-1] + chunk if resnorms else chunk
+        x = result.x
+        if int(result.status) in (CONVERGED, BREAKDOWN):
+            break
+
+    return result._replace(
+        resnorms=jnp.asarray(np.asarray(resnorms)),
+        x=x,
+    )

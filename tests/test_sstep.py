@@ -246,3 +246,32 @@ def test_ca_gmres_sharded():
         )(b)
     assert int(res.status) == 0
     assert len({sh.device for sh in res.x.addressable_shards}) == 8
+
+
+def test_restarted_ca_gmres_cached_cycles():
+    """Restarted CA-GMRES converges where one cycle cannot, reuses the
+    compiled cycle and the operator's Newton shifts across systems, and
+    concatenates per-block residual histories."""
+    import time
+
+    nx = 48
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float64)
+    res = F.restarted_ca_gmres(
+        lap, b, s=4, maxiter=40, max_restarts=30, tol=1e-9
+    )
+    assert int(res.status) == 0
+    rel = float(jnp.linalg.norm(b - lap(res.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-8
+    hist = numpy.asarray(res.resnorms)
+    assert len(hist) > 11  # more than one cycle's blocks
+    assert hist[-1] <= 1e-9
+
+    # second rhs: no warmup re-jit, no cycle re-compile
+    t0 = time.perf_counter()
+    res2 = F.restarted_ca_gmres(
+        lap, 1.5 * b, s=4, maxiter=40, max_restarts=30, tol=1e-9
+    )
+    wall = time.perf_counter() - t0
+    assert int(res2.status) == 0
+    assert wall < 2.0  # compile took far longer; cached path is fast
