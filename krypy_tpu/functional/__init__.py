@@ -43,6 +43,7 @@ from .sstep import (
     restarted_ca_gmres,
 )
 from .block import block_cg, block_gmres
+from .chebyshev import chebyshev, spectral_bounds
 
 __all__ = [
     "refine_to",
@@ -53,6 +54,8 @@ __all__ = [
     "restarted_ca_gmres",
     "block_cg",
     "block_gmres",
+    "chebyshev",
+    "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",
     "cg",

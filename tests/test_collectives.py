@@ -72,3 +72,20 @@ def test_ca_cg_fewer_collectives_per_iteration(mesh_and_problem):
     n_ca = _max_body_allreduces(ca, b, mesh)
     assert n_classic >= 1 and n_ca >= 1
     assert n_ca / s < n_classic, (n_ca, s, n_classic)
+
+
+def test_chebyshev_one_collective_per_check_block(mesh_and_problem):
+    """Chebyshev iteration is reduction-free between residual checks:
+    the compiled loop body must contain exactly ONE all-reduce (the
+    per-block true-residual norm), independent of check_every."""
+    mesh, lap, b = mesh_and_problem
+    Mj = ops.jacobi_preconditioner(lap)
+    with mesh:
+        cheb = jax.jit(
+            lambda v: F.chebyshev(
+                lap, v, M=Mj, lmin=2e-3, lmax=2.0, tol=1e-4,
+                maxiter=4096, check_every=64,
+            )
+        )
+    n = _max_body_allreduces(cheb, b, mesh)
+    assert n == 1, n
