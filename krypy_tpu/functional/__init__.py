@@ -44,6 +44,7 @@ from .sstep import (
 )
 from .block import block_cg, block_gmres
 from .chebyshev import chebyshev, spectral_bounds
+from .fgmres import fgmres
 
 __all__ = [
     "refine_to",
@@ -55,6 +56,7 @@ __all__ = [
     "block_cg",
     "block_gmres",
     "chebyshev",
+    "fgmres",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",

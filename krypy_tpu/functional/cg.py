@@ -71,7 +71,12 @@ def cg(
       not improved below 99% of its best value for this many consecutive
       iterations -- the on-device stopping rule for reduced-precision
       solves that stall at their attainable-accuracy floor (used by the
-      mixed-precision refinement driver in bench.py).
+      mixed-precision refinement driver in bench.py).  NOTE: with the
+      guard active the solver returns the BEST-tracked iterate, which is
+      x0 itself when the tracked (M-weighted) residual never improves --
+      for fixed-budget inner solves (e.g. as an FGMRES preconditioner,
+      ``tol=0``) keep the default ``stagnation_window=0`` so the final
+      iterate is returned unconditionally.
 
     ``operator_override`` / ``projected_r0`` / ``correct_xk`` are the
     deflation hooks (see :mod:`krypy_tpu.functional.deflation`): they
