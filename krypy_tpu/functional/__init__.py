@@ -45,6 +45,7 @@ from .sstep import (
 from .block import block_cg, block_gmres
 from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
+from .bicgstab import bicgstab
 
 __all__ = [
     "refine_to",
@@ -57,6 +58,7 @@ __all__ = [
     "block_gmres",
     "chebyshev",
     "fgmres",
+    "bicgstab",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",
