@@ -194,7 +194,9 @@ class _BlockGmresState(NamedTuple):
     it: jnp.ndarray           # completed block steps
     V: jnp.ndarray            # ((m+1)*k, N) basis rows, block j at j*k
     H: jnp.ndarray            # ((m+1)*k, m*k) block Hessenberg
-    Y: jnp.ndarray            # (m*k, k) current least-squares solution
+    R: jnp.ndarray            # ((m+1)*k, m*k) rotated upper-triangular H
+    Qacc: jnp.ndarray         # ((m+1)*k, (m+1)*k) accumulated rotations
+    g: jnp.ndarray            # ((m+1)*k, k) rotated projected rhs
     rels: jnp.ndarray         # (k,) per-column LS residuals
     max_rel: jnp.ndarray
     broken: jnp.ndarray
@@ -315,8 +317,26 @@ def block_gmres(
 
     rhs_ls = jnp.zeros(((m + 1) * k, k), dtype)
     rhs_ls = lax.dynamic_update_slice(rhs_ls, S0.T, (0, 0))
-    sub_eye = jnp.eye((m + 1) * k, m * k, k=-k, dtype=dtype)
     _pr = max(1, min(32, (m + 1) * k))
+
+    def solve_Y(R, g, K):
+        """Minimum-norm least-squares coefficients from the rotated
+        system: columns >= K are untouched (all-zero) and collapsed
+        directions leave exactly-zero R diagonals -- bump both and zero
+        the matching Y rows (a zero R column cannot propagate its y
+        into any other back-substitution row)."""
+        Rk = R[: m * k, : m * k]
+        dead = (jnp.arange(m * k) >= K) | (
+            jnp.abs(jnp.diagonal(Rk)) == 0
+        )
+        Rk = Rk + jnp.diag(dead.astype(dtype))
+        rhs = jnp.where((jnp.arange(m * k) < K)[:, None], g[: m * k], 0.0)
+        Y = jax.scipy.linalg.solve_triangular(Rk, rhs)
+        return jnp.where(dead[:, None], 0.0, Y)
+
+    def assemble_X(V, Y):
+        Yk = jnp.dot(V[: m * k].T, Y)                  # (N, k)
+        return X0v + jax.vmap(lambda v: apply(Mr_mv, v))(Yk.T).T
 
     def body(state):
         it = state.it
@@ -358,31 +378,38 @@ def block_gmres(
         hcol = lax.dynamic_update_slice(C, Lfac.T, (row0 + k, 0))
         H = lax.dynamic_update_slice(state.H, hcol, (0, row0))
 
-        # fixed-shape masked least squares (inactive columns replaced
-        # by shifted-identity columns whose optimal y is exactly 0)
-        col_act = jnp.arange(m * k) < row0 + k
-        Hm = jnp.where(col_act[None, :], H, sub_eye)
-        qm, rm = jnp.linalg.qr(Hm, mode="reduced")
-        # collapsed directions leave EXACTLY zero H columns (the rank
-        # guard zeroes them), hence zero R columns: bump those diagonal
-        # entries and zero the matching Y rows afterwards -- the exact
-        # minimum-norm solution, since a zero R column cannot propagate
-        # its y into any other back-substitution row
-        dead = jnp.abs(jnp.diagonal(rm)) == 0
-        rm = rm + jnp.diag(dead.astype(dtype))
-        Y = jax.scipy.linalg.solve_triangular(
-            rm, jnp.dot(qm.conj().T, rhs_ls)
+        # incremental block QR of the Hessenberg: rotate the new block
+        # column by the accumulated transform (one small GEMM), then a
+        # LOCAL (2k, 2k) QR zeroes the subdiagonal block -- the block
+        # analog of the scalar core's matrix-accumulated Givens
+        # (functional/gmres.py); no full-matrix QR per step
+        col = jnp.dot(state.Qacc, hcol)
+        T = lax.dynamic_slice(col, (row0, 0), (2 * k, k))
+        qt, rt = jnp.linalg.qr(T, mode="complete")     # T = qt rt
+        col = lax.dynamic_update_slice(col, rt, (row0, 0))
+        R = lax.dynamic_update_slice(state.R, col, (0, row0))
+        Qrows = lax.dynamic_slice(
+            state.Qacc, (row0, 0), (2 * k, (m + 1) * k)
         )
-        Y = jnp.where(dead[:, None], 0.0, Y)
-        resid = rhs_ls - jnp.dot(Hm, Y)
+        Qacc = lax.dynamic_update_slice(
+            state.Qacc, jnp.dot(qt.conj().T, Qrows), (row0, 0)
+        )
+        grows = lax.dynamic_slice(state.g, (row0, 0), (2 * k, k))
+        g = lax.dynamic_update_slice(
+            state.g, jnp.dot(qt.conj().T, grows), (row0, 0)
+        )
+
+        # per-column LS residuals: column norms of the rotated rhs tail
+        tail = jnp.arange((m + 1) * k) >= row0 + k
         rels = (
-            jnp.linalg.norm(resid, axis=0).astype(real_dtype) / bnorms
+            jnp.linalg.norm(g * tail[:, None], axis=0).astype(real_dtype)
+            / bnorms
         )
         max_rel = jnp.max(rels)
         broken = ~jnp.isfinite(max_rel)
         resnorms = state.resnorms.at[it + 1].set(rels)
         return _BlockGmresState(
-            it + 1, V, H, Y, rels, max_rel, broken, resnorms
+            it + 1, V, H, R, Qacc, g, rels, max_rel, broken, resnorms
         )
 
     def cond(state):
@@ -396,7 +423,9 @@ def block_gmres(
         jnp.asarray(0),
         V0,
         jnp.zeros(((m + 1) * k, m * k), dtype),
-        jnp.zeros((m * k, k), dtype),
+        jnp.zeros(((m + 1) * k, m * k), dtype),
+        jnp.eye((m + 1) * k, dtype=dtype),
+        rhs_ls,
         rels0,
         jnp.max(rels0),
         jnp.asarray(False),
@@ -404,8 +433,8 @@ def block_gmres(
     )
     final = lax.while_loop(cond, body, init)
 
-    Yk = jnp.dot(final.V[: m * k].T, final.Y)             # (N, k)
-    X = X0v + jax.vmap(lambda v: apply(Mr_mv, v))(Yk.T).T
+    Y = solve_Y(final.R, final.g, final.it * k)
+    X = assemble_X(final.V, Y)
 
     status = jnp.where(
         final.max_rel <= tol,
@@ -419,5 +448,5 @@ def block_gmres(
         status=status,
     )
     if return_internal:
-        return result, {"V": final.V, "H": final.H, "Y": final.Y}
+        return result, {"V": final.V, "H": final.H, "Y": Y}
     return result
