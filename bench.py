@@ -72,18 +72,24 @@ def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
             stagnation_window=4,
         )
 
-    # warm up the inner compile (refine_to warms the outer residual
-    # itself; a production deployment compiles once and solves many)
+    # warm up the inner compile (refine_to warms the whole compiled
+    # refinement loop itself; a production deployment compiles once and
+    # solves many)
     w = inner_solve(b64.astype(jnp.float32))
     w.x.block_until_ready()
 
-    def timed_solve():
-        result, info = F.refine_to(lap, b64, inner_solve, tol=tol)
+    def timed_solve(bb):
+        # compiled=True runs the WHOLE refinement as one while_loop:
+        # one dispatch + one fetch instead of ~2 round trips per cycle
+        # (~26 ms each through this transport)
+        result, info = F.refine_to(lap, bb, inner_solve, tol=tol,
+                                   compiled=True)
         rel = float(jnp.nanmin(result.resnorms))
         return result.x, rel, info["wall_s"], info["inner_iters"]
 
-    # best of 3: the solve is deterministic, the transport jitter is not
-    runs = [timed_solve() for _ in range(3)]
+    # best of 3; vary the rhs per run (identical repeated requests can
+    # be served from a transport cache), scaling is residual-invariant
+    runs = [timed_solve(b64 * (1.0 + 1e-9 * i)) for i in range(3)]
     return min(runs, key=lambda t: t[2])
 
 

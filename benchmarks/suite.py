@@ -95,7 +95,7 @@ def config2_poisson_cg_minres(nx):
         )
         # warm-up compile outside the timed refinement
         _sync(inner(b))
-        res, info = F.refine_to(A64, b, inner, tol=1e-8)
+        res, info = F.refine_to(A64, b, inner, tol=1e-8, compiled=True)
         out[name] = {
             "rel": float(res.resnorms[int(res.niter)]),
             "converged": bool(res.converged),
@@ -138,7 +138,7 @@ def config3_convdiff_restarted_gmres(nx):
         max_restarts=10,
     )
     inner(b)  # warm-up compile
-    res, info = F.refine_to(cd, b, inner, tol=1e-8)
+    res, info = F.refine_to(cd, b, inner, tol=1e-8, compiled=True)
     return {
         "config": f"3_convdiff{N}_restarted_gmres_MlMMr_tol1e-8",
         "restart_len": restart_len,
@@ -173,7 +173,7 @@ def config4_shifted_laplacian_deflated(nx):
         lambda rr: F.deflated_gmres(sl, rr, U, tol=1e-4, maxiter=250)
     )
     _sync(inner(b))  # warm-up compile
-    res, info = F.refine_to(sl, b, inner, tol=1e-8)
+    res, info = F.refine_to(sl, b, inner, tol=1e-8, compiled=True)
     return {
         "config": f"4_shifted_laplacian{N}_deflated_gmres_tol1e-8",
         "plain_niter": int(res0.niter),

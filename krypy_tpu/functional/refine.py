@@ -17,12 +17,123 @@ on the VPU/MXU.
 
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .common import CONVERGED, MAXITER, SolveResult
 
 __all__ = ["refine_to"]
+
+#: compiled-refinement cache: one jitted whole-solve loop per
+#: (operator, inner solver, tol, max_cycles, shape) combination; the
+#: entries keep their id()-keyed closures alive
+_COMPILED_CACHE = {}
+_COMPILED_CACHE_MAX = 16
+
+
+def _refine_to_compiled(
+    A64, b, inner_solve, *, tol, max_cycles, x0, inner_dtype
+):
+    b64 = jnp.asarray(b, jnp.float64)
+    N = b64.reshape(-1).shape[0]
+    b64 = b64.reshape(-1)
+    x_init = (
+        jnp.zeros(N, jnp.float64)
+        if x0 is None
+        else jnp.asarray(x0, jnp.float64).reshape(-1)
+    )
+
+    key = (
+        id(A64), id(inner_solve), float(tol), int(max_cycles), N,
+        str(jnp.dtype(inner_dtype)),
+    )
+    run = _COMPILED_CACHE.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(bb, xx):
+            bnorm = jnp.linalg.norm(bb)
+
+            def rel_of(r):
+                return jnp.where(
+                    bnorm > 0, jnp.linalg.norm(r) / bnorm, 0.0
+                )
+
+            r0 = bb - A64(xx)
+            rel0 = rel_of(r0)
+            hist0 = jnp.full(max_cycles + 2, jnp.nan).at[0].set(rel0)
+
+            def cond(s):
+                j, x, r, rel, prev, brel, bx, it, h = s
+                return (rel > tol) & (j < max_cycles) & (rel < prev)
+
+            def body(s):
+                j, x, r, rel, prev, brel, bx, it, h = s
+                res = inner_solve(r.astype(inner_dtype))
+                x_new = x + res.x.reshape(-1).astype(jnp.float64)
+                r_new = bb - A64(x_new)
+                rel_new = rel_of(r_new)
+                h = h.at[j + 1].set(rel_new)
+                better = rel_new < brel
+                return (
+                    j + 1, x_new, r_new, rel_new, rel,
+                    jnp.minimum(brel, rel_new),
+                    jnp.where(better, x_new, bx),
+                    it + res.niter.astype(jnp.int64),
+                    h,
+                )
+
+            j, x, r, rel, prev, brel, bx, it, h = lax.while_loop(
+                cond, body,
+                (
+                    jnp.asarray(0), xx, r0, rel0,
+                    jnp.asarray(jnp.inf, rel0.dtype), rel0, xx,
+                    jnp.asarray(0, jnp.int64), hist0,
+                ),
+            )
+            stats = jnp.stack(
+                [j.astype(jnp.float64), it.astype(jnp.float64), brel]
+            )
+            return bx, h, stats
+
+        run._keepalive = (A64, inner_solve)
+        if len(_COMPILED_CACHE) >= _COMPILED_CACHE_MAX:
+            _COMPILED_CACHE.pop(next(iter(_COMPILED_CACHE)))
+        _COMPILED_CACHE[key] = run
+
+    # warm the compile outside the timed region (one full throwaway
+    # solve on first use of this cache entry)
+    if not getattr(run, "_warmed", False):
+        bxw, hw, sw = run(b64, x_init)
+        np.asarray(sw)
+        run._warmed = True
+
+    t0 = time.perf_counter()
+    bx, hist, stats = run(b64, x_init)
+    stats_h = np.asarray(stats)
+    hist_h = np.asarray(hist)
+    wall = time.perf_counter() - t0
+
+    cycles = int(stats_h[0])
+    inner_iters = int(stats_h[1])
+    best_rel = float(stats_h[2])
+    outer = hist_h[: cycles + 1]
+
+    status = CONVERGED if best_rel <= tol else MAXITER
+    result = SolveResult(
+        x=bx,
+        resnorms=jnp.asarray(outer),
+        niter=jnp.asarray(cycles),
+        status=jnp.asarray(status),
+    )
+    return result, {
+        "cycles": cycles,
+        "inner_iters": inner_iters,
+        "wall_s": wall,
+    }
 
 
 def refine_to(
@@ -34,6 +145,7 @@ def refine_to(
     max_cycles=20,
     x0=None,
     inner_dtype=jnp.float32,
+    compiled=False,
 ):
     """Solve ``A x = b`` to float64 relative residual ``tol`` by iterative
     refinement around a lower-precision compiled inner solver.
@@ -55,7 +167,22 @@ def refine_to(
 
     The loop stops early when the outer residual stagnates (the inner
     solver can no longer improve the iterate), returning the best iterate.
+
+    :param compiled: run the WHOLE refinement as one ``lax.while_loop``
+      (inner solver traced inline) -- one device dispatch and one host
+      fetch for the entire solve instead of two round trips per cycle.
+      On this container's remote-execution transport each round trip
+      costs ~26 ms, so the compiled path removes ~2*cycles round trips
+      of pure latency.  Semantics match the eager path: same stop rules
+      (tol / max_cycles / non-improving cycle), same best-iterate
+      return; requires ``inner_solve`` to be traceable (every
+      functional-lane solver is).
     """
+    if compiled:
+        return _refine_to_compiled(
+            A64, b, inner_solve, tol=tol, max_cycles=max_cycles, x0=x0,
+            inner_dtype=inner_dtype,
+        )
     b64 = jnp.asarray(b, jnp.float64)
     bnorm = float(jnp.linalg.norm(b64))
 

@@ -70,3 +70,47 @@ def test_refine_with_x0():
     res, info = F.refine_to(lap, b, inner, tol=1e-10, x0=x0)
     assert bool(res.converged)
     assert float(res.resnorms[0]) < 1e-1  # started warm
+
+
+def test_refine_to_compiled_matches_eager():
+    """compiled=True (whole refinement in one while_loop) reproduces the
+    eager path: same cycle count, same residual history to rounding,
+    same iterate."""
+    import numpy
+
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    Mg = ops.multigrid_poisson_preconditioner(nx, coarsest=7)
+    inner = jax.jit(
+        lambda r: F.cg(lap, r, M=Mg, tol=1e-4, maxiter=12,
+                       stagnation_window=4)
+    )
+    b = jnp.ones(nx * nx, jnp.float64)
+    re_, ie = F.refine_to(lap, b, inner, tol=1e-10)
+    rc, ic = F.refine_to(lap, b, inner, tol=1e-10, compiled=True)
+    assert ic["cycles"] == ie["cycles"]
+    assert ic["inner_iters"] == ie["inner_iters"]
+    he = numpy.asarray(re_.resnorms)
+    hc = numpy.asarray(rc.resnorms)
+    assert numpy.allclose(he, hc, rtol=1e-6)
+    assert int(rc.status) == int(re_.status) == 0
+    assert float(jnp.linalg.norm(re_.x - rc.x)) <= 1e-10
+
+
+def test_refine_to_compiled_stagnation_stop():
+    """A do-nothing inner solver must stop after one non-improving
+    cycle and report MAXITER, exactly like the eager path."""
+    nx = 16
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float64)
+
+    def useless(r):
+        from krypy_tpu.functional.common import SolveResult
+        return SolveResult(
+            x=jnp.zeros_like(r), resnorms=jnp.zeros(1),
+            niter=jnp.asarray(1), status=jnp.asarray(1),
+        )
+
+    rc, ic = F.refine_to(lap, b, useless, tol=1e-10, compiled=True)
+    assert int(rc.status) != 0
+    assert ic["cycles"] <= 1
