@@ -80,6 +80,11 @@ def tpu_side(nx):
 
     h2_f32 = jnp.float32(h2)
 
+    if N_DEFL == 0:
+        # default path: fully-compiled solve (see below); no Ritz
+        # harvest needed
+        return _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32)
+
     # cycle 1: plain GMRES stopping at the inner tolerance, so the Ritz
     # harvest uses only the CLEAN leading Krylov directions (running to
     # the float32 stall fills the basis with noise vectors whose "Ritz
@@ -159,6 +164,77 @@ def tpu_side(nx):
         "matvecs": matvecs["n"],
         "n_deflation": d_eff,
         "refine_cycles": info["cycles"],
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
+    """Default (undeflated) path: the inner restarted-GMRES driver is
+    itself a traced while_loop, and refine_to(compiled=True) runs the
+    ENTIRE solve -- f32 restarted GMRES cycles, f32 true-residual
+    restart control, f64 refinement -- as ONE compiled program: a single
+    device dispatch instead of ~2 transport round trips (~26 ms each)
+    per restart and per refinement cycle."""
+    from jax import lax
+
+    from krypy_tpu import functional as F
+    from krypy_tpu.functional.common import MAXITER, SolveResult
+
+    def inner_solve(r32):
+        """Traced analog of the host restart loop: up to 3 GMRES(m)
+        cycles on the equilibrated system, best iterate by TRUE f32
+        residual, early stop on non-improvement/convergence."""
+        rs = r32 * h2_f32
+        rs_norm = jnp.maximum(jnp.linalg.norm(rs), 1e-30)
+        xz = jnp.zeros_like(r32)
+
+        def cond(c):
+            i, x, bx, best, done, nit = c
+            return (i < 3) & ~done
+
+        def body(c):
+            i, x, bx, best, done, nit = c
+            res = F.gmres(
+                cd32, rs, Ml=Ml, x0=x, tol=INNER_TOL, maxiter=RESTART
+            )
+            rel = jnp.linalg.norm(rs - cd32(res.x)) / rs_norm
+            better = rel < best
+            return (
+                i + 1,
+                res.x,
+                jnp.where(better, res.x, bx),
+                jnp.minimum(best, rel),
+                (~better) | (res.status == 0) | (res.status == 2),
+                nit + res.niter + 2,
+            )
+
+        _, _, bx, _, _, nit = lax.while_loop(
+            cond, body,
+            (
+                jnp.asarray(0), xz, xz,
+                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(False), jnp.asarray(0),
+            ),
+        )
+        return SolveResult(
+            x=bx, resnorms=jnp.zeros(1), niter=nit,
+            status=jnp.asarray(MAXITER),
+        )
+
+    result, info = F.refine_to(
+        cd64, b, inner_solve, tol=TOL, compiled=True
+    )
+    rel = float(jnp.nanmin(result.resnorms))
+    return {
+        "side": "tpu",
+        "N": N,
+        "wall_s": round(info["wall_s"], 3),
+        "rel_res64": rel,
+        "converged": bool(result.converged),
+        "matvecs": int(info["inner_iters"]) + info["cycles"] + 1,
+        "n_deflation": 0,
+        "refine_cycles": info["cycles"],
+        "compiled": True,
         "device": str(jax.devices()[0]),
     }
 
