@@ -382,6 +382,7 @@ def ca_gmres(
     power_iters=8,
     stagnation_window=20,
     return_internal=False,
+    basis_dtype=None,
 ):
     r"""Communication-avoiding s-step GMRES in one compiled while_loop.
 
@@ -435,6 +436,16 @@ def ca_gmres(
     weighted Gram -- use :func:`~krypy_tpu.functional.gmres.gmres` for
     that).  Reference baseline: krypy has no s-step variant (its GMRES
     is krypy/linsys.py:919-1004); this solver is TPU-native surface.
+
+    :param basis_dtype: storage dtype for the Krylov basis buffer (e.g.
+      ``jnp.bfloat16``), independent of the computation dtype -- same
+      contract as :func:`~krypy_tpu.functional.gmres.gmres`: the block
+      Gram-Schmidt GEMMs read the basis at the narrow width and
+      accumulate in the computation dtype, halving the dominant HBM
+      traffic for bfloat16, while the candidate panel, CholQR2 and the
+      Hessenberg recovery stay at full width.  The attainable TRUE
+      relative residual is floored at ``eps(basis_dtype) * kappa(A)``
+      (kappa of the UNpreconditioned operator).  Real systems only.
     """
     b = jnp.asarray(b)
     flat = b.ndim == 1
@@ -449,6 +460,10 @@ def ca_gmres(
     Ml_mv = as_matvec(Ml)
     Mr_mv = as_matvec(Mr)
     dtype = system_dtype(bv, x0)
+    bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
+    mixed_basis = bdt != jnp.dtype(dtype)
+    if mixed_basis and jnp.issubdtype(dtype, jnp.complexfloating):
+        raise ValueError("basis_dtype supports real systems only")
     bv = bv.astype(dtype)
     A_mv, Ml_mv, Mr_mv = (
         cast_matvec(f, dtype) for f in (A_mv, Ml_mv, Mr_mv)
@@ -495,8 +510,30 @@ def ca_gmres(
         inv_lam = (1.0 / lam).astype(real_dtype)
 
     v0 = jnp.where(beta > 0, 1.0, 0.0) * safe_div(1.0, beta)
-    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(Mlr0 * v0)
+    V0 = jnp.zeros((m + 1, N), bdt).at[0].set((Mlr0 * v0).astype(bdt))
     eye_s = jnp.eye(s, dtype=dtype)
+
+    if mixed_basis:
+        # read the basis at the narrow storage width, accumulate wide
+        # (same convention as functional.gmres's mixed-basis path)
+        def _proj(Vp, Z):
+            return jnp.dot(
+                Vp.conj(), Z.T.astype(bdt), preferred_element_type=dtype
+            )
+
+        def _upd(coeffs, Vp):
+            return jnp.dot(
+                coeffs.astype(bdt), Vp, preferred_element_type=dtype
+            )
+
+        def _assemble(yrow, Vp):
+            return jnp.dot(yrow, Vp.astype(dtype))
+    else:
+        def _proj(Vp, Z):
+            return jnp.dot(Vp.conj(), Z.T)
+
+        _upd = jnp.dot
+        _assemble = jnp.dot
     sub_diag = jnp.eye(m + 1, m, k=-1, dtype=dtype)
     rhs_ls = jnp.zeros(m + 1, dtype).at[0].set(beta.astype(dtype))
     # sublane-aligned row-panel heights for the basis sweeps, clipped so
@@ -543,12 +580,14 @@ def ca_gmres(
                         jax.ShapeDtypeStruct((s,), real_dtype),
                         jax.ShapeDtypeStruct((s,), real_dtype),
                     ),
-                    warmup_H(V0[0]),
+                    warmup_H(V0[0].astype(dtype)),
                 )
             else:
                 # eager call: run the warmup as one compiled step and do
                 # eig + Leja on host directly -- works on every runtime
-                tr, ti = host_shifts(jax.jit(warmup_H)(V0[0]))
+                tr, ti = host_shifts(
+                    jax.jit(warmup_H)(V0[0].astype(dtype))
+                )
                 theta_re = jnp.asarray(tr, real_dtype)
                 theta_im = jnp.asarray(ti, real_dtype)
         if is_complex:
@@ -566,7 +605,7 @@ def ca_gmres(
         k = state.j * s
 
         # 1. s-step basis build
-        u = state.V[k]
+        u = state.V[k].astype(dtype)
         cols = []
         if use_newton:
             # shifted powers with per-step normalization: s cheap norm
@@ -621,8 +660,8 @@ def ca_gmres(
             Vp = lax.dynamic_slice_in_dim(state.V, start, _pr, 0)
             ridx = start + jnp.arange(_pr)
             rmask = ((ridx >= p * _pr) & (ridx <= k)).astype(real_dtype)
-            coeffs = jnp.dot(Vp.conj(), Zp.T) * rmask[:, None]  # (_pr, s)
-            Zp = Zp - jnp.dot(coeffs.T, Vp)
+            coeffs = _proj(Vp, Zp) * rmask[:, None]           # (_pr, s)
+            Zp = Zp - _upd(coeffs.T, Vp)
             seg = lax.dynamic_slice_in_dim(Cp, start, _pr, 0)
             Cp = lax.dynamic_update_slice(Cp, seg + coeffs, (start, 0))
             return Zp, Cp
@@ -641,7 +680,9 @@ def ca_gmres(
         Qp = jax.scipy.linalg.solve_triangular(L2.conj(), Q1, lower=True)
         Rt = jnp.dot(L2.conj().T, L1.conj().T)            # (s, s) upper
 
-        V = lax.dynamic_update_slice(state.V, Qp, (k + 1, 0))
+        V = lax.dynamic_update_slice(
+            state.V, Qp.astype(bdt), (k + 1, 0)
+        )
 
         # 4. Hessenberg recovery.  Coordinates of [u_1..u_s] over the
         # extended basis: Zc = C + (R scattered to rows k+1..k+s), and
@@ -686,7 +727,7 @@ def ca_gmres(
             yp = lax.dynamic_slice_in_dim(y, start, _pra, 0)
             ridx = start + jnp.arange(_pra)
             ymask = ((ridx >= p * _pra) & (ridx < K)).astype(real_dtype)
-            return acc + jnp.dot(yp * ymask, Vp)
+            return acc + _assemble(yp * ymask, Vp)
 
         yk = lax.fori_loop(
             0, (K - 1) // _pra + 1, assemble_body,
@@ -807,7 +848,9 @@ def restarted_ca_gmres(
                 warmup=shift_warmup,
             )
             if len(_CA_SHIFTS_CACHE) >= _CA_RESTART_CACHE_MAX:
-                _CA_SHIFTS_CACHE.pop(next(iter(_CA_SHIFTS_CACHE)))
+                old = next(iter(_CA_SHIFTS_CACHE))
+                _CA_SHIFTS_CACHE.pop(old)
+                _CA_SHIFTS_KEEPALIVE.pop(old, None)
             # keep the id()-keyed objects alive alongside the values
             _CA_SHIFTS_CACHE[sk] = shifts
             _CA_SHIFTS_KEEPALIVE[sk] = (

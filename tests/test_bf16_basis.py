@@ -73,6 +73,28 @@ def test_bf16_basis_guards():
                 basis_dtype=jnp.bfloat16)
 
 
+@pytest.mark.parametrize("basis,s", [("monomial", 2), ("newton", 4)])
+def test_bf16_basis_ca_gmres(basis, s):
+    """ca_gmres(basis_dtype=bfloat16): same eps*kappa contract as gmres
+    -- converges to the floor on kappa=50, full precision does better.
+    The monomial basis is tested at s=2 (its kappa^s conditioning
+    amplifies the quantization error at larger s; newton does not)."""
+    d, A, b = _diag_system()
+    r = F.ca_gmres(A, b, s=s, basis=basis, tol=0.0, maxiter=40,
+                   basis_dtype=jnp.bfloat16)
+    rel = _true_rel(d, r.x, b)
+    assert rel < 8e-2, rel
+    r32 = F.ca_gmres(A, b, s=s, basis=basis, tol=0.0, maxiter=40)
+    assert _true_rel(d, r32.x, b) < rel
+
+
+def test_bf16_basis_ca_gmres_guards():
+    _, A, b = _diag_system(N=64)
+    with pytest.raises(ValueError, match="real"):
+        F.ca_gmres(A, b.astype(jnp.complex64), s=2, maxiter=4,
+                   basis_dtype=jnp.bfloat16)
+
+
 def test_bf16_basis_ill_conditioned_floor_is_honest():
     """On kappa ~ 1e3 the bf16 floor exceeds 10% -- the solver must not
     claim convergence below it when the explicit-residual policy runs."""
