@@ -46,6 +46,7 @@ from .block import block_cg, block_gmres
 from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
+from .lsq import lsmr, lsqr
 
 __all__ = [
     "refine_to",
@@ -59,6 +60,8 @@ __all__ = [
     "chebyshev",
     "fgmres",
     "bicgstab",
+    "lsqr",
+    "lsmr",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",
