@@ -76,6 +76,20 @@ def gmres_main(argv):
                 ),
                 f"ca_gmres_s{s}_{basis}",
             )
+    # bf16 Krylov-basis storage: THROUGHPUT probe (the kappa~4e6 Poisson
+    # operator is far past the eps(bf16)*kappa accuracy floor; the row
+    # measures the HBM-traffic win of half-width basis reads, which is
+    # what transfers to well-conditioned / preconditioned uses)
+    kw = {"shifts": F.newton_shifts(lap, jnp.ones(N, jnp.float32), 4)}
+    results[4, "newton_bf16"] = timed(
+        jax.jit(
+            lambda b, kw=kw: F.ca_gmres(
+                lap, b, s=4, basis="newton", tol=0.0, maxiter=iters,
+                stagnation_window=10**9, basis_dtype=jnp.bfloat16, **kw,
+            )
+        ),
+        "ca_gmres_s4_newton_bf16basis",
+    )
     print(
         json.dumps(
             {
@@ -83,6 +97,10 @@ def gmres_main(argv):
                 "speedup_s4_newton_vs_gmres": round(
                     g["per_iter_us"]
                     / results[4, "newton"]["per_iter_us"], 2
+                ),
+                "speedup_bf16_basis": round(
+                    results[4, "newton"]["per_iter_us"]
+                    / results[4, "newton_bf16"]["per_iter_us"], 2
                 ),
                 "devices": str(jax.devices()),
             }

@@ -23,6 +23,7 @@ __all__ = [
     "shifted_laplacian_2d",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
+    "gmres_polynomial_preconditioner",
     "multigrid_poisson_preconditioner",
     "poisson_dst_solver",
     "nls_jacobian_sequence",
@@ -259,6 +260,136 @@ def chebyshev_preconditioner(op, degree=8, lmin=None, lmax=None):
 
     matvec.shape = getattr(op, "shape", None)
     matvec.degree = degree
+    return matvec
+
+
+def gmres_polynomial_preconditioner(
+    op, degree=8, *, seed=None, n=None, stability_check=True
+):
+    r"""GMRES-polynomial preconditioner :math:`p(A) \approx A^{-1}` for a
+    general (nonsymmetric, complex-spectrum) operator.
+
+    The degree-``degree`` GMRES residual polynomial
+    :math:`\pi(z) = \prod_i (1 - z/\theta_i)` has the harmonic Ritz
+    values :math:`\theta_i` of a ``degree``-step Arnoldi run as its
+    roots; the preconditioner applies :math:`p(A) = (I - \pi(A)) A^{-1}`
+    in product form with modified-Leja-ordered roots and conjugate pairs
+    combined in real arithmetic (after Loe & Morgan, "Toward efficient
+    polynomial preconditioning for GMRES", 2021).
+
+    TPU-native rationale (same as :func:`chebyshev_preconditioner`, but
+    for NONSYMMETRIC operators where a Chebyshev interval does not
+    apply): one application is ``degree`` operator applications and ZERO
+    inner products -- no reductions, no sequential latency-bound scalar
+    chain -- so it trades fused matvec flops for outer Krylov iterations
+    and pairs with the communication-avoiding solvers (the roots are an
+    operator property computed ONCE, eagerly, like
+    :func:`~krypy_tpu.functional.sstep.newton_shifts`).
+
+    :param seed: Arnoldi starting vector (defaults to ones); the rhs of
+      the target system is the standard choice.
+    :param n: problem size when ``op`` has no ``.shape`` and no seed is
+      given.
+    :param stability_check: evaluate the partial-product growth factor
+      of the Leja-ordered roots on the harmonic Ritz estimates and raise
+      if it exceeds 1e8 (the classic product-form instability at high
+      degree; lower ``degree`` or precondition first).
+    :return: jittable matvec with ``.roots`` (Leja-ordered harmonic Ritz
+      values) and ``.degree`` attributes.
+
+    The reference has no polynomial preconditioning (krypy takes
+    user-supplied ``M`` only, krypy/linsys.py:61-78).
+    """
+    import numpy as np
+
+    from .functional import arnoldi, as_matvec
+    from .functional.sstep import modified_leja
+
+    shape = getattr(op, "shape", None)
+    op = as_matvec(op)
+
+    if seed is None:
+        if n is None:
+            if shape is None:
+                raise ValueError(
+                    "n= or seed= required when op has no .shape"
+                )
+            n = shape[1]
+        seed = jnp.ones(n, jnp.float32)
+    seed = jnp.asarray(seed).reshape(-1)
+
+    rel = arnoldi(op, seed, maxiter=int(degree), ortho="cgs2")
+    k = int(rel.niter)
+    if k < 1:
+        raise ValueError("Arnoldi produced no usable steps")
+    H = np.asarray(rel.H)[: k + 1, :k].astype(np.complex128)
+    Hk = H[:k, :k]
+    hk = H[k, k - 1]
+    # harmonic Ritz values: eig(Hk + hk^2 * f e_k^H), f = Hk^{-H} e_k
+    ek = np.zeros(k)
+    ek[-1] = 1.0
+    f = np.linalg.solve(Hk.conj().T, ek)
+    roots = np.linalg.eigvals(Hk + (abs(hk) ** 2) * np.outer(f, ek))
+    roots = modified_leja(roots)
+
+    if stability_check:
+        # growth of |pi_j(theta_i)| over the Ritz estimates: the product
+        # form is unstable when intermediate partial products explode
+        pi = np.ones(roots.size, complex)
+        growth = 1.0
+        for th in roots:
+            pi *= 1.0 - roots / th
+            growth = max(growth, float(np.max(np.abs(pi))))
+        if growth > 1e8:
+            raise ValueError(
+                f"product-form growth {growth:.1e} at degree {k}: "
+                "reduce degree (the polynomial would amplify round-off "
+                "past single precision)"
+            )
+
+    complex_op = np.iscomplexobj(np.asarray(seed)) or bool(
+        jnp.issubdtype(jnp.asarray(rel.V).dtype, jnp.complexfloating)
+    )
+    if complex_op:
+        # complex operator: roots are not conjugate-closed; apply them
+        # one by one with complex scalars
+        plan = [("real", complex(th), None) for th in roots]
+    else:
+        # real operator: conjugate pairs are adjacent after
+        # modified_leja (Im>0 opener first); combine each pair in real
+        # arithmetic so the iterates stay real
+        plan = []
+        i = 0
+        while i < roots.size:
+            th = roots[i]
+            if abs(th.imag) > 1e-14 * max(1.0, abs(th)):
+                a2b2 = float(abs(th) ** 2)
+                plan.append(("pair", 2.0 * float(th.real), a2b2))
+                i += 2
+            else:
+                plan.append(("real", float(th.real), None))
+                i += 1
+
+    def matvec(v):
+        # out accumulates p(A)v, prod carries pi_j(A)v
+        out = jnp.zeros_like(v)
+        prod = v
+        for idx, (kind, c1, c2) in enumerate(plan):
+            last = idx == len(plan) - 1
+            if kind == "real":
+                out = out + prod / c1
+                if not last:
+                    prod = prod - op(prod) / c1
+            else:
+                Ap = op(prod)
+                out = out + (c1 * prod - Ap) / c2
+                if not last:
+                    prod = prod - (c1 * Ap - op(Ap)) / c2
+        return out
+
+    matvec.shape = shape
+    matvec.degree = k
+    matvec.roots = roots
     return matvec
 
 
