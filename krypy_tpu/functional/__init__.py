@@ -47,6 +47,7 @@ from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
 from .lsq import lsmr, lsqr
+from .eigh import EigshResult, eigsh
 
 __all__ = [
     "refine_to",
@@ -62,6 +63,8 @@ __all__ = [
     "bicgstab",
     "lsqr",
     "lsmr",
+    "eigsh",
+    "EigshResult",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",

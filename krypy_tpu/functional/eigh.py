@@ -1,0 +1,261 @@
+r"""Thick-restart Lanczos eigensolver for Hermitian operators.
+
+Computes k extremal eigenpairs of a Hermitian :math:`A` with the
+thick-restart Lanczos method (after Wu & Simon 2000): build an
+m-dimensional Krylov basis, compress it to the l best Ritz pairs plus
+the residual direction, and continue -- the compressed projected matrix
+is an arrowhead that the generic full-reorthogonalization step extends
+back to (numerically) Hermitian form automatically.
+
+TPU-native design decisions:
+
+* the WHOLE solve -- every Lanczos sweep, every restart compression,
+  every small eigendecomposition -- is one ``lax.while_loop``; a solve
+  is a single XLA dispatch;
+* full CGS2 reorthogonalization per step: two fused ``(m+1, N) x (N,)``
+  contractions on the MXU instead of the classic selective/partial
+  schemes, whose data-dependent branching cannot be traced (and whose
+  savings target memory-bound CPUs, not batched GEMM machines);
+* the per-cycle (m, m) Hermitian eigendecomposition runs ON DEVICE with
+  ``jnp.linalg.eigh`` (unlike the non-Hermitian cases, which go to host
+  LAPACK by design -- docs/DESIGN.md section 7): it is needed INSIDE the
+  compiled loop, and Jacobi-style eigh maps to the TPU fine at these
+  (replicated, small) sizes;
+* the N axis of the basis shards over a mesh like every other
+  functional core (the contractions become partial-dot + all-reduce).
+
+The reference exposes Ritz extraction from existing solves
+(krypy/utils.py:1380-1465) but no standalone eigensolver; this module is
+TPU-native extra surface with the same status-code contract as the
+linear solvers.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    CONVERGED,
+    MAXITER,
+    as_matvec,
+    cast_matvec,
+    safe_div,
+    system_dtype,
+)
+
+__all__ = ["eigsh", "EigshResult"]
+
+
+class EigshResult(NamedTuple):
+    """Result pytree of :func:`eigsh`."""
+
+    #: converged eigenvalue estimates, shape ``(k,)``, sorted by the
+    #: selection criterion (``which``)
+    theta: jnp.ndarray
+    #: Ritz vectors as columns, shape ``(N, k)`` (the deflation-basis
+    #: convention: pass directly as ``deflated_*(A, b, U=result.U)``)
+    U: jnp.ndarray
+    #: max relative residual of the k wanted pairs per restart cycle
+    resnorms: jnp.ndarray
+    #: total Lanczos steps (matvecs)
+    niter: jnp.ndarray
+    #: CONVERGED / MAXITER
+    status: jnp.ndarray
+
+    @property
+    def converged(self):
+        return self.status == CONVERGED
+
+
+def _selection_key(theta, which):
+    if which == "sa":
+        return theta
+    if which == "la":
+        return -theta
+    if which == "lm":
+        return -jnp.abs(theta)
+    if which == "sm":
+        return jnp.abs(theta)
+    raise ValueError(f"unknown which={which!r}")
+
+
+def eigsh(
+    A,
+    k=6,
+    *,
+    v0=None,
+    n=None,
+    which="sa",
+    maxdim=None,
+    thick=None,
+    tol=1e-8,
+    max_restarts=200,
+):
+    r"""k extremal eigenpairs of Hermitian ``A`` by thick-restart
+    Lanczos, as one compiled while_loop.
+
+    :param A: Hermitian operator (matvec / matrix / LinearOperator).
+    :param k: number of wanted pairs.
+    :param v0: starting vector; defaults to a fixed quasi-random vector
+      (deterministic -- no RNG inside traced code).
+    :param n: problem size when ``A`` has no ``.shape`` and no ``v0``.
+    :param which: ``'sa'`` (smallest algebraic, default), ``'la'``
+      (largest algebraic), ``'lm'``/``'sm'`` (largest/smallest
+      magnitude; note plain Lanczos converges slowly to interior
+      eigenvalues -- no shift-invert here).
+    :param maxdim: Krylov dimension m per cycle (default
+      ``min(N, max(2k + 8, 24))``).
+    :param thick: Ritz pairs kept at each restart (default
+      ``min(2k, maxdim - 2)``) -- the "thick" in thick-restart.
+    :param tol: per-pair convergence test
+      :math:`|\beta_m s_{m,i}| \le \mathrm{tol}\cdot\max(|\theta_i|,
+      \epsilon)` for all k wanted pairs.
+    :return: :class:`EigshResult`.
+    """
+    A_mv = as_matvec(A)
+    if v0 is not None:
+        v0 = jnp.asarray(v0).reshape(-1)
+        N = v0.shape[0]
+    else:
+        if n is None:
+            shape = getattr(A, "shape", None)
+            if shape is None:
+                raise ValueError("n= or v0= required when A has no .shape")
+            n = shape[0]
+        N = int(n)
+        # deterministic quasi-random start: dense in every eigenbasis
+        # direction with overwhelming probability, no RNG in traced code
+        v0 = jnp.cos(jnp.arange(N) * 0.7391) + 0.01
+
+    dtype = system_dtype(v0)
+    if not jnp.issubdtype(dtype, jnp.floating) and not jnp.issubdtype(
+        dtype, jnp.complexfloating
+    ):
+        dtype = jnp.zeros(0).dtype  # default float
+    v0 = v0.astype(dtype)
+    A_mv = cast_matvec(A_mv, dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    k = int(k)
+    m = (
+        min(N, max(2 * k + 8, 24))
+        if maxdim is None
+        else min(int(maxdim), N)
+    )
+    if k >= m - 1:
+        raise ValueError(f"k={k} needs maxdim > k + 1 (have {m})")
+    l = min(2 * k, m - 2) if thick is None else min(int(thick), m - 2)
+    l = max(l, k)
+
+    eps_floor = jnp.asarray(
+        jnp.finfo(real_dtype).tiny ** 0.5, real_dtype
+    )
+    row_idx = jnp.arange(m + 1)
+
+    def lanczos_sweep(V, H, j0):
+        """Full-reorthogonalization Lanczos steps j0..m-1 (CGS2; both
+        passes accumulated into H's column, so H stays V^H A V)."""
+
+        def step(j, carry):
+            V, H = carry
+            w = A_mv(V[j])
+            mask = (row_idx <= j).astype(real_dtype)
+            for _ in range(2):
+                c = jnp.dot(V.conj(), w) * mask
+                w = w - jnp.dot(c, V)
+                H = H.at[:, j].add(c)
+            beta = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(beta.astype(dtype))
+            V = V.at[j + 1].set(w * safe_div(1.0, beta))
+            return V, H
+
+        return lax.fori_loop(j0, m, step, (V, H))
+
+    def ritz(H):
+        """Device eigh of the Hermitian projection + selection."""
+        Hm = H[:m, :m]
+        Hm = 0.5 * (Hm + Hm.conj().T)
+        theta, S = jnp.linalg.eigh(Hm)
+        order = jnp.argsort(_selection_key(theta, which))
+        return theta[order], S[:, order]
+
+    beta0 = jnp.linalg.norm(v0)
+    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(
+        v0 * safe_div(1.0, beta0)
+    )
+    H0 = jnp.zeros((m + 1, m + 1), dtype)
+    V1, H1 = lanczos_sweep(V0, H0, 0)
+
+    class_resnorms = jnp.full(max_restarts + 1, jnp.nan, real_dtype)
+
+    def cycle_stats(H, theta, S):
+        beta_m = jnp.abs(H[m, m - 1])
+        b = beta_m * S[m - 1, :]                     # (m,) borders
+        res = jnp.abs(b[:k]) / jnp.maximum(
+            jnp.abs(theta[:k]), eps_floor
+        )
+        return b, jnp.max(res)
+
+    def body(state):
+        V, H, cycles, niter, resnorms, _ = state
+        theta, S = ritz(H)
+        b, wres = cycle_stats(H, theta, S)
+        resnorms = resnorms.at[cycles].set(wres)
+        conv = wres <= tol
+
+        def compress(_):
+            Sl = S[:, :l]                            # (m, l)
+            Y = jnp.dot(Sl.T, V[:m])                 # (l, N)
+            Vn = (
+                jnp.zeros_like(V)
+                .at[:l].set(Y)
+                .at[l].set(V[m])
+            )
+            bl = b[:l].astype(dtype)
+            diag = jnp.zeros(m + 1, dtype).at[:l].set(
+                theta[:l].astype(dtype)
+            )
+            # arrowhead: diag(theta_l) + border row only -- the first
+            # sweep step (j = l) recomputes the column border as its
+            # CGS2 coefficients <y_i, A vhat> and accumulates it into
+            # H[:, l] itself (pre-setting it here would double-count)
+            Hn = jnp.zeros_like(H) + jnp.diag(diag)
+            Hn = Hn.at[l, :l].set(bl)
+            return lanczos_sweep(Vn, Hn, l)
+
+        def keep(_):
+            return V, H
+
+        Vn, Hn = lax.cond(conv, keep, compress, 0)
+        steps = jnp.where(conv, 0, m - l)
+        return (
+            Vn, Hn, cycles + 1, niter + steps, resnorms, conv,
+        )
+
+    def cond(state):
+        _, _, cycles, _, _, conv = state
+        return (~conv) & (cycles < max_restarts)
+
+    init = (
+        V1, H1, jnp.asarray(0), jnp.asarray(m), class_resnorms,
+        jnp.asarray(False),
+    )
+    V, H, cycles, niter, resnorms, conv = lax.while_loop(
+        cond, body, init
+    )
+
+    # final extraction (also records the last cycle's residual when the
+    # loop exited on max_restarts without a final body call)
+    theta, S = ritz(H)
+    _, wres = cycle_stats(H, theta, S)
+    resnorms = resnorms.at[jnp.minimum(cycles, max_restarts)].set(wres)
+    U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
+    status = jnp.where(wres <= tol, CONVERGED, MAXITER)
+    return EigshResult(
+        theta=theta[:k],
+        U=U,
+        resnorms=resnorms,
+        niter=niter,
+        status=status,
+    )

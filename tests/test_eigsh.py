@@ -1,0 +1,129 @@
+"""Thick-restart Lanczos eigensolver (functional.eigsh).
+
+The reference exposes Ritz extraction from existing solves
+(krypy/utils.py:1380-1465) but no standalone eigensolver; oracles here
+are analytic spectra and dense ``numpy.linalg.eigh``.
+"""
+
+import numpy
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F, ops, parallel
+
+
+def test_eigsh_diagonal_smallest():
+    d = numpy.linspace(1.0, 500.0, 400)
+    A = ops.diagonal(jnp.asarray(d))
+    r = F.eigsh(A, k=5, which="sa", tol=1e-9)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), d[:5], rtol=1e-9)
+    U = numpy.asarray(r.U)
+    for i in range(5):
+        res = numpy.linalg.norm(d * U[:, i] - float(r.theta[i]) * U[:, i])
+        assert res <= 1e-6 * abs(d[-1])
+    # orthonormal columns
+    G = U.T @ U
+    assert numpy.allclose(G, numpy.eye(5), atol=1e-10)
+
+
+def test_eigsh_diagonal_largest():
+    d = numpy.linspace(1.0, 500.0, 400)
+    A = ops.diagonal(jnp.asarray(d))
+    r = F.eigsh(A, k=3, which="la", tol=1e-9)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), d[-3:][::-1], rtol=1e-9)
+
+
+def test_eigsh_dense_matches_numpy():
+    rng = numpy.random.default_rng(0)
+    n = 120
+    B = rng.standard_normal((n, n))
+    Am = (B + B.T) / 2
+    ew = numpy.linalg.eigvalsh(Am)
+    r = F.eigsh(jnp.asarray(Am), k=4, which="sa", tol=1e-10)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), ew[:4], atol=1e-8)
+
+
+def test_eigsh_complex_hermitian():
+    rng = numpy.random.default_rng(1)
+    n = 100
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Am = (B + B.conj().T) / 2
+    ew = numpy.linalg.eigvalsh(Am)
+    v0 = jnp.asarray(
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    )
+    r = F.eigsh(jnp.asarray(Am), k=3, which="la", v0=v0, tol=1e-10)
+    assert int(r.status) == 0
+    assert numpy.allclose(
+        numpy.asarray(r.theta), ew[-3:][::-1], atol=1e-8
+    )
+    U = numpy.asarray(r.U)
+    res = numpy.linalg.norm(
+        Am @ U - U * numpy.asarray(r.theta)[None, :]
+    )
+    assert res <= 1e-7 * numpy.abs(ew).max()
+
+
+def test_eigsh_clustered_eigenvalues():
+    """A tight cluster plus separated tail: the cluster must be resolved
+    (thick restart's advantage over plain restarting)."""
+    d = numpy.r_[1.0, 1.0 + 1e-6, 1.0 + 2e-6, numpy.linspace(5, 100, 200)]
+    A = ops.diagonal(jnp.asarray(d))
+    r = F.eigsh(A, k=3, which="sa", tol=1e-10, maxdim=30)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), d[:3], rtol=1e-9)
+
+
+def test_eigsh_feeds_deflation():
+    """result.U drops straight into deflated_gmres (column convention)."""
+    d = numpy.r_[1e-3, 5e-3, numpy.linspace(1, 10, 200)]
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.ones(d.size, jnp.float64)
+    r = F.eigsh(A, k=2, which="sa", tol=1e-10)
+    plain = F.gmres(A, b, tol=1e-8, maxiter=150)
+    defl = F.deflated_gmres(A, b, r.U, tol=1e-8, maxiter=150)
+    assert int(defl.status) == 0
+    assert int(defl.niter) < int(plain.niter)
+
+
+def test_eigsh_budget_honesty():
+    """An unreachable budget reports MAXITER, never false convergence."""
+    d = numpy.linspace(1.0, 1e6, 3000)
+    A = ops.diagonal(jnp.asarray(d, dtype=jnp.float32))
+    r = F.eigsh(
+        A, k=4, which="sa", tol=1e-14, maxdim=12, max_restarts=1,
+        v0=jnp.ones(3000, jnp.float32),
+    )
+    assert int(r.status) != 0
+    assert bool(jnp.all(jnp.isfinite(r.theta)))
+
+
+def test_eigsh_jit_and_sharded():
+    mesh = parallel.make_mesh(8)
+    d = numpy.linspace(1.0, 64.0, 1024).astype(numpy.float32)
+    dj = jnp.asarray(d)
+    Aop = lambda v: dj.astype(v.dtype) * v
+    v0 = parallel.shard_vector(jnp.ones(1024, jnp.float32), mesh)
+    with mesh:
+        r = jax.jit(
+            lambda v: F.eigsh(Aop, k=3, which="la", v0=v, tol=1e-5)
+        )(v0)
+    assert int(r.status) == 0
+    assert numpy.allclose(
+        numpy.asarray(r.theta), d[-3:][::-1], rtol=1e-4
+    )
+    assert len({s.device for s in r.U.addressable_shards}) == 8
+
+
+def test_eigsh_guards():
+    with pytest.raises(ValueError, match="n= or v0="):
+        F.eigsh(lambda v: v, k=2)
+    with pytest.raises(ValueError, match="maxdim"):
+        F.eigsh(jnp.eye(50), k=10, maxdim=10)
+    with pytest.raises(ValueError, match="which"):
+        F.eigsh(jnp.eye(50), k=2, which="zz")
