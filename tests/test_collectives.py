@@ -74,6 +74,47 @@ def test_ca_cg_fewer_collectives_per_iteration(mesh_and_problem):
     assert n_ca / s < n_classic, (n_ca, s, n_classic)
 
 
+def test_lsqr_two_collectives_per_iteration(mesh_and_problem):
+    """The Golub-Kahan step communicates exactly twice (the two vector
+    norms); everything else is scalar recurrences.  The explicit
+    verification branch adds reductions only on candidate-convergence
+    iterations, which live in a lax.cond branch, not the steady-state
+    body cost -- but they do appear in the body computation text, so pin
+    the ESTIMATE-only variant."""
+    mesh, lap, b = mesh_and_problem
+    with mesh:
+        solve = jax.jit(
+            lambda v: F.lsqr(
+                lap, v, Ah=lap, tol=1e-6, maxiter=64,
+                explicit_residual=False,
+            )
+        )
+    n = _max_body_allreduces(solve, b, mesh)
+    assert n == 2, n
+
+
+def test_polynomial_preconditioner_adds_no_collectives(mesh_and_problem):
+    """p(A) is matvecs only: a GMRES iteration with the degree-8
+    polynomial as Mr must emit exactly as many all-reduces as a plain
+    GMRES iteration (the polynomial roots are baked-in constants)."""
+    mesh, lap, b = mesh_and_problem
+    P = ops.gmres_polynomial_preconditioner(
+        lap, 8, seed=jnp.ones(64 * 64, jnp.float32)
+    )
+    with mesh:
+        plain = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=16, ortho="cgs2")
+        )
+        poly = jax.jit(
+            lambda v: F.gmres(
+                lap, v, Mr=P, tol=1e-8, maxiter=16, ortho="cgs2"
+            )
+        )
+    assert _max_body_allreduces(poly, b, mesh) == _max_body_allreduces(
+        plain, b, mesh
+    )
+
+
 def test_chebyshev_one_collective_per_check_block(mesh_and_problem):
     """Chebyshev iteration is reduction-free between residual checks:
     the compiled loop body must contain exactly ONE all-reduce (the

@@ -27,6 +27,14 @@ def test_deflation_recycling_example(capsys):
     assert "recycling" in out
 
 
+def test_eig_and_lsq_example(capsys):
+    _run("examples/eig_and_lsq.py")
+    out = capsys.readouterr().out
+    assert "deflated-by-eigsh" in out
+    assert "poly precond" in out
+    assert "lsmr" in out
+
+
 def test_multichip_example(capsys):
     _run("examples/multichip.py")
     out = capsys.readouterr().out
