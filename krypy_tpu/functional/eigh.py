@@ -91,6 +91,8 @@ def eigsh(
     thick=None,
     tol=1e-8,
     max_restarts=200,
+    sigma=None,
+    inv=None,
 ):
     r"""k extremal eigenpairs of Hermitian ``A`` by thick-restart
     Lanczos, as one compiled while_loop.
@@ -111,9 +113,35 @@ def eigsh(
     :param tol: per-pair convergence test
       :math:`|\beta_m s_{m,i}| \le \mathrm{tol}\cdot\max(|\theta_i|,
       \epsilon)` for all k wanted pairs.
+    :param sigma: shift-invert target: find the k eigenvalues NEAREST
+      ``sigma`` by running Lanczos on :math:`(A - \sigma I)^{-1}` --
+      the practical route to interior eigenvalues, where plain Lanczos
+      crawls.  Requires ``inv``.
+    :param inv: jittable matvec applying :math:`(A - \sigma I)^{-1}`
+      (e.g. a closure over :func:`~krypy_tpu.functional.cg.cg` /
+      :func:`~krypy_tpu.functional.minres.minres` with a tight inner
+      tolerance -- the WHOLE inner-outer eigensolve then still traces
+      into one compiled program).  The inner solves must be accurate
+      (rel. residual well below ``tol``), or the Lanczos recurrence on
+      the inexact operator loses Hermitian structure; this is the
+      standard inexact-shift-invert caveat, not a TPU artifact.  With
+      ``sigma``, ``which`` is ignored (nearest-``sigma`` selection) and
+      the k pairs are VERIFIED against ``A`` itself: the returned
+      ``resnorms[-1]``/``status`` reflect true residuals
+      :math:`\|A u - \lambda u\| / |\lambda|`.
     :return: :class:`EigshResult`.
     """
     A_mv = as_matvec(A)
+    shift_invert = sigma is not None
+    if shift_invert:
+        if inv is None:
+            raise ValueError(
+                "sigma= (shift-invert) requires inv=, a matvec applying "
+                "(A - sigma I)^{-1}"
+            )
+        orig_A_mv = A_mv
+        A_mv = as_matvec(inv)
+        which = "lm"  # largest of the inverted spectrum = nearest sigma
     if v0 is not None:
         v0 = jnp.asarray(v0).reshape(-1)
         N = v0.shape[0]
@@ -135,6 +163,8 @@ def eigsh(
         dtype = jnp.zeros(0).dtype  # default float
     v0 = v0.astype(dtype)
     A_mv = cast_matvec(A_mv, dtype)
+    if shift_invert:
+        orig_A_mv = cast_matvec(orig_A_mv, dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
     k = int(k)
@@ -249,11 +279,25 @@ def eigsh(
     # loop exited on max_restarts without a final body call)
     theta, S = ritz(H)
     _, wres = cycle_stats(H, theta, S)
-    resnorms = resnorms.at[jnp.minimum(cycles, max_restarts)].set(wres)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
+    theta_k = theta[:k]
+    if shift_invert:
+        # back-transform and VERIFY against A itself (the loop's
+        # residuals were for the inverted operator; inexact inner
+        # solves make them optimistic)
+        lam = jnp.asarray(sigma, real_dtype) + 1.0 / theta_k
+        AU = jnp.stack(
+            [orig_A_mv(U[:, i]) for i in range(k)], axis=1
+        )
+        res = jnp.linalg.norm(
+            AU - U * lam[None, :].astype(dtype), axis=0
+        ) / jnp.maximum(jnp.abs(lam), eps_floor)
+        wres = jnp.max(res)
+        theta_k = lam
+    resnorms = resnorms.at[jnp.minimum(cycles, max_restarts)].set(wres)
     status = jnp.where(wres <= tol, CONVERGED, MAXITER)
     return EigshResult(
-        theta=theta[:k],
+        theta=theta_k,
         U=U,
         resnorms=resnorms,
         niter=niter,

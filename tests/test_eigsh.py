@@ -120,6 +120,49 @@ def test_eigsh_jit_and_sharded():
     assert len({s.device for s in r.U.addressable_shards}) == 8
 
 
+def test_eigsh_shift_invert_interior():
+    """Interior eigenvalues of the 1-D Laplacian nearest sigma, with the
+    inverse applied by a compiled MINRES on the (indefinite) shifted
+    operator -- the whole inner-outer eigensolve traces into one
+    program."""
+    n = 300
+    lap = ops.poisson_1d(n)
+    h = 1.0 / (n + 1)
+    exact = (4.0 / h**2) * numpy.sin(
+        numpy.arange(1, n + 1) * numpy.pi * h / 2
+    ) ** 2
+    sigma = float(exact[105]) * 1.001
+    shifted = lambda v: lap(v) - sigma * v
+    inv = lambda r: F.minres(shifted, r, tol=1e-12, maxiter=800).x
+    r = F.eigsh(lap, k=3, sigma=sigma, inv=inv, tol=1e-8, maxdim=20)
+    assert int(r.status) == 0
+    got = numpy.sort(numpy.asarray(r.theta))
+    want = numpy.sort(
+        exact[numpy.argsort(numpy.abs(exact - sigma))[:3]]
+    )
+    assert numpy.allclose(got, want, rtol=1e-10)
+
+
+def test_eigsh_shift_invert_verifies_against_A():
+    """A sloppy inner solver must NOT yield false convergence: the final
+    residuals are recomputed against A itself."""
+    n = 200
+    lap = ops.poisson_1d(n)
+    sigma = 5e4
+    shifted = lambda v: lap(v) - sigma * v
+    sloppy = lambda r: F.minres(shifted, r, tol=0.3, maxiter=8).x
+    r = F.eigsh(
+        lap, k=2, sigma=sigma, inv=sloppy, tol=1e-10, maxdim=16,
+        max_restarts=5,
+    )
+    assert int(r.status) != 0
+
+
+def test_eigsh_shift_invert_requires_inv():
+    with pytest.raises(ValueError, match="inv"):
+        F.eigsh(jnp.eye(20), k=2, sigma=1.0)
+
+
 def test_eigsh_guards():
     with pytest.raises(ValueError, match="n= or v0="):
         F.eigsh(lambda v: v, k=2)
