@@ -128,11 +128,22 @@ def make_mesh(n_devices=None, axis_name="n", devices=None):
 
 def shard_vector(x, mesh, axis_name=None):
     """Place a vector (or row-major basis block) with its last axis sharded
-    over the mesh."""
+    over the mesh.
+
+    N need not divide the mesh size: ``jax.device_put`` rejects uneven
+    explicit shardings, so indivisible sizes route through a jitted
+    ``with_sharding_constraint`` identity, where GSPMD pads the trailing
+    shard internally (the logical shape is unchanged)."""
     axis_name = mesh.axis_names[0] if axis_name is None else axis_name
     x = jnp.asarray(x)
     spec = P(*([None] * (x.ndim - 1) + [axis_name]))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if x.shape[-1] % mesh.devices.size != 0:
+        with mesh:
+            return jax.jit(
+                lambda v: jax.lax.with_sharding_constraint(v, sharding)
+            )(x)
+    return jax.device_put(x, sharding)
 
 
 def replicate(x, mesh):
