@@ -194,6 +194,12 @@ def config5_recycling_sequence(n, n_sys):
     base[:4] = [1e-4, 1e-3, 5e-3, 2e-2]
     rec = F.RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
     b = jnp.ones(n, jnp.float32)
+    # pre-compile the plain + deflated cores for the operator family
+    # (serving warm-up; one compile per structure for the whole sequence)
+    op0 = ops.diagonal(jnp.asarray(base, dtype=jnp.float32))
+    t0 = time.perf_counter()
+    rec.warmup(op0, b, tol=1e-4, maxiter=n)
+    warmup_s = round(time.perf_counter() - t0, 4)
     iters, walls = [], []
     for i in range(n_sys):
         d = base * (1.0 + 0.01 * i)
@@ -205,6 +211,7 @@ def config5_recycling_sequence(n, n_sys):
         iters.append(int(r.niter))
     return {
         "config": f"5_recycling_sequence_n{n}x{n_sys}",
+        "warmup_s": warmup_s,
         "iters": iters,
         "walls_s": walls,
         "improved": bool(min(iters[1:]) < iters[0]),

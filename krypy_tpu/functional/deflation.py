@@ -471,6 +471,32 @@ class RecyclingGmres:
             self._compiled[key] = entry
         return entry[0], entry[1]
 
+    def warmup(self, A, b, **kwargs):
+        """Pre-compile the plain AND deflated solver cores for this
+        operator (or operator family) and rhs structure, so a serving
+        sequence pays no compile inside :meth:`solve`.
+
+        Runs each core once on a ZERO right-hand side (which converges
+        in 0 iterations -- the execution is pure compile cost) with an
+        orthonormal placeholder deflation basis of the configured width.
+        ``kwargs`` must match the subsequent :meth:`solve` calls (they
+        are part of the compilation key).  Returns ``self``.
+        """
+        b = jnp.asarray(b)
+        bz = jnp.zeros_like(b)
+        N = b.reshape(-1).shape[0]
+        dtype = b.dtype
+        for U_shape in (None, (N, self.n_vectors)):
+            core, parametric = self._solver_for(A, U_shape, kwargs)
+            args = [bz]
+            if U_shape is not None:
+                args.append(jnp.eye(N, self.n_vectors, dtype=dtype))
+            if parametric:
+                args.append(jnp.asarray(A.params))
+            res, _ = core(*args)
+            jax.block_until_ready(res.x)
+        return self
+
     def solve(self, A, b, **kwargs):
         if self._last_internals is not None:
             try:

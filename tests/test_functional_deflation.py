@@ -130,6 +130,33 @@ def test_recycling_sequence_of_systems():
     assert min(iters[1:]) < iters[0]
 
 
+def test_recycling_warmup_precompiles_both_cores():
+    """warmup() compiles the plain AND deflated cores ahead of the
+    sequence (serving path: no compile inside solve), and the warmed
+    solver produces the same iteration counts as an unwarmed one."""
+    n = 120
+    base = numpy.linspace(1, 2, n)
+    base[:4] = [1e-6, 1e-3, 5e-3, 2e-2]
+    b = jnp.ones(n)
+
+    rec_w = RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
+    op0 = ops.diagonal(jnp.asarray(base))
+    assert rec_w.warmup(op0, b, tol=1e-6, maxiter=110) is rec_w
+    # both structures (plain, deflated) compiled for the family
+    assert len(rec_w._compiled) == 2
+
+    rec_plain = RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
+    for i in range(3):
+        d = base * (1.0 + 0.01 * i)
+        op = ops.diagonal(jnp.asarray(d))
+        rw = rec_w.solve(op, b, tol=1e-6, maxiter=110)
+        rp = rec_plain.solve(op, b, tol=1e-6, maxiter=110)
+        assert int(rw.status) == F.CONVERGED
+        assert int(rw.niter) == int(rp.niter)
+    # the warmed solver added no new compilation entries
+    assert len(rec_w._compiled) == 2
+
+
 def test_sharded_deflated_gmres():
     """Deflated GMRES runs sharded over the 8-device mesh."""
     nx = 16
