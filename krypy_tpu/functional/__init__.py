@@ -48,6 +48,7 @@ from .fgmres import fgmres
 from .bicgstab import bicgstab
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
+from .newton import NewtonResult, newton_krylov
 
 __all__ = [
     "refine_to",
@@ -65,6 +66,8 @@ __all__ = [
     "lsmr",
     "eigsh",
     "EigshResult",
+    "newton_krylov",
+    "NewtonResult",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",
