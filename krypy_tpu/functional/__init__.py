@@ -49,6 +49,7 @@ from .bicgstab import bicgstab
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
+from .funm import expm_multiply, funm_krylov
 
 __all__ = [
     "refine_to",
@@ -68,6 +69,8 @@ __all__ = [
     "EigshResult",
     "newton_krylov",
     "NewtonResult",
+    "funm_krylov",
+    "expm_multiply",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",

@@ -39,6 +39,7 @@ from .common import (
     CONVERGED,
     MAXITER,
     as_matvec,
+    breakdown_threshold,
     cast_matvec,
     safe_div,
     system_dtype,
@@ -183,9 +184,14 @@ def eigsh(
     )
     row_idx = jnp.arange(m + 1)
 
+    _brk = breakdown_threshold(dtype)
+
     def lanczos_sweep(V, H, j0):
         """Full-reorthogonalization Lanczos steps j0..m-1 (CGS2; both
-        passes accumulated into H's column, so H stays V^H A V)."""
+        passes accumulated into H's column, so H stays V^H A V).  A
+        round-off-sized residual (invariant subspace found) deflates to
+        a zero row instead of being normalized into a garbage
+        direction."""
 
         def step(j, carry):
             V, H = carry
@@ -196,8 +202,13 @@ def eigsh(
                 w = w - jnp.dot(c, V)
                 H = H.at[:, j].add(c)
             beta = jnp.linalg.norm(w)
-            H = H.at[j + 1, j].set(beta.astype(dtype))
-            V = V.at[j + 1].set(w * safe_div(1.0, beta))
+            alive = beta > _brk * jnp.linalg.norm(H[:, j] * mask)
+            H = H.at[j + 1, j].set(
+                jnp.where(alive, beta, 0.0).astype(dtype)
+            )
+            V = V.at[j + 1].set(
+                jnp.where(alive, 1.0, 0.0) * w * safe_div(1.0, beta)
+            )
             return V, H
 
         return lax.fori_loop(j0, m, step, (V, H))

@@ -1,0 +1,88 @@
+"""Krylov matrix-function actions (functional.funm_krylov).
+
+Oracles: dense scipy.linalg.expm and explicit eigendecompositions.
+The reference has no matrix-function surface (linear systems only).
+"""
+
+import numpy
+import scipy.linalg
+
+import jax
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F, ops, parallel
+
+
+def _sym(n=150, seed=0):
+    rng = numpy.random.default_rng(seed)
+    B = rng.standard_normal((n, n))
+    return (B + B.T) / 2, rng.standard_normal(n)
+
+
+def test_expm_multiply_matches_scipy():
+    Am, b = _sym()
+    for t in (0.5, -0.5):
+        ref = scipy.linalg.expm(t * Am) @ b
+        r = F.expm_multiply(jnp.asarray(Am), jnp.asarray(b), t,
+                            maxdim=40)
+        err = numpy.linalg.norm(numpy.asarray(r.x) - ref)
+        assert err <= 1e-10 * numpy.linalg.norm(ref)
+        # the correction tail is a valid (conservative) error signal
+        assert float(r.corrections[r.m - 1]) < 1e-8
+
+
+def test_funm_inverse_sqrt_spd():
+    rng = numpy.random.default_rng(1)
+    n = 150
+    d = numpy.linspace(0.5, 10, n)
+    Q, _ = numpy.linalg.qr(rng.standard_normal((n, n)))
+    Aspd = Q @ numpy.diag(d) @ Q.T
+    b = rng.standard_normal(n)
+    ref = Q @ ((Q.T @ b) / numpy.sqrt(d))
+    r = F.funm_krylov(
+        jnp.asarray(Aspd), jnp.asarray(b), lambda w: 1 / jnp.sqrt(w),
+        maxdim=40,
+    )
+    err = numpy.linalg.norm(numpy.asarray(r.x) - ref)
+    assert err <= 1e-8 * numpy.linalg.norm(ref)
+
+
+def test_expm_multiply_diffusion_semigroup():
+    """exp(-dt*Lap) b stays positive, contracts, and matches the
+    analytic heat-kernel decay of the lowest mode."""
+    n = 128
+    lap = ops.poisson_1d(n)
+    h = 1.0 / (n + 1)
+    xgrid = numpy.arange(1, n + 1) * h
+    mode1 = numpy.sin(numpy.pi * xgrid)
+    lam1 = (4.0 / h**2) * numpy.sin(numpy.pi * h / 2) ** 2
+    dt = 1e-4
+    r = F.expm_multiply(lap, jnp.asarray(mode1), -dt, maxdim=30)
+    ref = numpy.exp(-dt * lam1) * mode1
+    err = numpy.linalg.norm(numpy.asarray(r.x) - ref)
+    assert err <= 1e-8 * numpy.linalg.norm(ref)
+
+
+def test_funm_small_correction_under_exact_invariance():
+    """b in a 3-dimensional invariant subspace: the approximation is
+    exact at m >= 3 and the corrections vanish."""
+    d = jnp.asarray(numpy.r_[1.0, 2.0, 3.0, numpy.full(50, 7.0)])
+    A = ops.diagonal(d)
+    b = jnp.zeros(53).at[0].set(1.0).at[1].set(2.0).at[2].set(-1.0)
+    r = F.funm_krylov(A, b, jnp.exp, maxdim=10)
+    ref = numpy.exp(numpy.asarray(d)) * numpy.asarray(b)
+    assert numpy.allclose(numpy.asarray(r.x), ref, atol=1e-10)
+
+
+def test_funm_jit_and_sharded():
+    mesh = parallel.make_mesh(8)
+    d = jnp.asarray(numpy.linspace(0.1, 2.0, 1024), jnp.float32)
+    Aop = lambda v: d.astype(v.dtype) * v
+    b = parallel.shard_vector(jnp.ones(1024, jnp.float32), mesh)
+    with mesh:
+        r = jax.jit(
+            lambda bb: F.expm_multiply(Aop, bb, -1.0, maxdim=24)
+        )(b)
+    ref = numpy.exp(-numpy.asarray(d)) * 1.0
+    assert numpy.allclose(numpy.asarray(r.x), ref, atol=1e-4)
+    assert len({s.device for s in r.x.addressable_shards}) == 8
