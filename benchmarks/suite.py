@@ -133,11 +133,12 @@ def config3_convdiff_restarted_gmres(nx):
     b = jnp.ones(N, jnp.float32)
 
     restart_len = 30
+    # compiled=True: the restart loop is itself traced, so it composes
+    # with refine_to(compiled=True) into ONE whole-solve dispatch
     inner = lambda rr: restarted_gmres(
         cd, rr, Ml=Ml, M=M, Mr=Mr, tol=1e-4, maxiter=restart_len,
-        max_restarts=10,
+        max_restarts=10, compiled=True,
     )
-    inner(b)  # warm-up compile
     res, info = F.refine_to(cd, b, inner, tol=1e-8, compiled=True)
     return {
         "config": f"3_convdiff{N}_restarted_gmres_MlMMr_tol1e-8",

@@ -536,6 +536,7 @@ def restarted_gmres(
     max_restarts=0,
     maxiter=None,
     tol=1e-5,
+    compiled=False,
     **kwargs,
 ):
     """Restarted GMRES: host loop over ONE compiled inner solve (with both
@@ -547,6 +548,14 @@ def restarted_gmres(
     systems with the same operator and options compiles once.  The outer
     restart loop runs on host because its trip count is
     convergence-dependent; its cost is one dispatch per restart.
+
+    :param compiled: run the restart loop itself as a traced
+      ``lax.while_loop`` so the WHOLE restarted solve is one dispatch
+      and the function is usable INSIDE jitted code (e.g. as the inner
+      solver of ``refine_to(compiled=True)``).  Granularity trade:
+      ``resnorms`` then holds one entry per CYCLE (the cycle-final
+      relative residual), not per iteration, and ``niter`` counts total
+      inner iterations.
     """
     b = jnp.asarray(b)
     x = kwargs.pop("x0", None)
@@ -555,6 +564,11 @@ def restarted_gmres(
         if b.ndim > 1:
             x = x[:, None]
     x = jnp.asarray(x)
+
+    if compiled:
+        return _restarted_gmres_traced(
+            A, b, x, max_restarts, maxiter, tol, kwargs
+        )
 
     cycle = _restart_cycle(A, tol, maxiter, kwargs)
 
@@ -575,3 +589,43 @@ def restarted_gmres(
         resnorms=jnp.asarray(_np.asarray(resnorms)),
         x=x,
     )
+
+
+def _restarted_gmres_traced(A, b, x0, max_restarts, maxiter, tol, kwargs):
+    """Traced restart driver: the whole restarted solve in one
+    ``lax.while_loop`` (see :func:`restarted_gmres` ``compiled=``)."""
+    cycles = int(max_restarts) + 1
+    int_dtype = jnp.asarray(1).dtype
+    # match gmres's resnorm dtype: real part of the system dtype
+    real_dtype = jnp.zeros(0, b.dtype).real.dtype
+    rels0 = jnp.full(cycles + 1, jnp.nan, real_dtype)
+
+    def cond(c):
+        i, x, rel, status, nit, rels = c
+        return (i < cycles) & (status == MAXITER)
+
+    def body(c):
+        i, x, rel, status, nit, rels = c
+        res = gmres(A, b, x0=x, tol=tol, maxiter=maxiter, **kwargs)
+        rel_new = jnp.take(res.resnorms, res.niter).astype(real_dtype)
+        return (
+            i + 1,
+            res.x,
+            rel_new,
+            res.status.astype(int_dtype),
+            nit + res.niter.astype(int_dtype),
+            rels.at[i + 1].set(rel_new),
+        )
+
+    i, x, rel, status, nit, rels = lax.while_loop(
+        cond, body,
+        (
+            jnp.asarray(0, int_dtype),
+            x0,
+            jnp.asarray(jnp.inf, real_dtype),
+            jnp.asarray(MAXITER, int_dtype),
+            jnp.asarray(0, int_dtype),
+            rels0,
+        ),
+    )
+    return SolveResult(x=x, resnorms=rels, niter=nit, status=status)

@@ -114,3 +114,41 @@ def test_refine_to_compiled_stagnation_stop():
     rc, ic = F.refine_to(lap, b, useless, tol=1e-10, compiled=True)
     assert int(rc.status) != 0
     assert ic["cycles"] <= 1
+
+
+def test_restarted_gmres_compiled_matches_host_and_composes():
+    """restarted_gmres(compiled=True) traces the restart loop: it must
+    match the host driver's iterate and compose with
+    refine_to(compiled=True) into one whole-solve program (the suite
+    config-3 path; a host loop inside the traced refinement is a
+    ConcretizationTypeError)."""
+    import jax.numpy as jnp
+    import numpy
+
+    from krypy_tpu import functional as F, ops
+    from krypy_tpu.functional.gmres import restarted_gmres
+
+    cd = ops.convection_diffusion_2d(32)
+    Ml = ops.jacobi_preconditioner(cd)
+    b = jnp.ones(32 * 32, jnp.float32)
+    rh = restarted_gmres(cd, b, Ml=Ml, tol=1e-6, maxiter=25,
+                         max_restarts=6)
+    rt = restarted_gmres(cd, b, Ml=Ml, tol=1e-6, maxiter=25,
+                         max_restarts=6, compiled=True)
+    assert int(rh.status) == int(rt.status)
+    numpy.testing.assert_allclose(
+        numpy.asarray(rh.x), numpy.asarray(rt.x), rtol=1e-5
+    )
+    # per-cycle residuals are recorded and decreasing
+    rels = numpy.asarray(rt.resnorms)[1:]
+    rels = rels[~numpy.isnan(rels)]
+    assert rels[-1] < rels[0]
+
+    b64 = jnp.ones(32 * 32, jnp.float64)
+    inner = lambda rr: restarted_gmres(
+        cd, rr, Ml=Ml, tol=1e-4, maxiter=25, max_restarts=6,
+        compiled=True,
+    )
+    res, info = F.refine_to(cd, b64, inner, tol=1e-8, compiled=True)
+    assert bool(res.converged)
+    assert float(numpy.nanmin(numpy.asarray(res.resnorms))) <= 1e-8
