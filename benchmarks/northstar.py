@@ -30,7 +30,10 @@ import jax
 import jax.numpy as jnp
 
 TOL = 1e-8
-RESTART = 25
+# restart length: 25 fits 16.8M dof comfortably; at 67M dof (8191^2,
+# NORTHSTAR_NX=8191) the 26-row f32 basis alone is 7.0 GB, so the probe
+# overrides this down to fit the 16 GB v5e HBM
+RESTART = int(os.environ.get("NORTHSTAR_RESTART", "25"))
 # deflation width (default 0): MEASURED FINDING -- the multigrid
 # preconditioner clusters the spectrum so Ritz deflation has nothing to
 # remove, and at >=10M dof the float32 residual noise feeds through the
@@ -351,6 +354,11 @@ def main():
 
     tpu = tpu_side(nx)
     print(json.dumps(tpu), flush=True)
+    if os.environ.get("NORTHSTAR_TPU_ONLY"):
+        # scale probes beyond the SciPy side's patience (e.g. 8191^2 =
+        # 67M dof, where same-algorithm SciPy extrapolates to ~10 min):
+        # report the TPU side alone
+        return
     cpu = scipy_side(nx)
     print(json.dumps(cpu), flush=True)
     print(

@@ -413,7 +413,14 @@ class RecyclingGmres:
         ``rebuild``, see :func:`krypy_tpu.ops.diagonal`) share ONE
         compilation across the whole sequence: the parameters enter as a
         traced argument and the operator is rebuilt inside the trace.
+        The tolerance is likewise a TRACED argument (it only feeds
+        comparisons inside the loop), so drivers that vary it per solve
+        -- e.g. Eisenstat-Walker forcing in
+        :func:`~krypy_tpu.functional.newton.newton_krylov` -- do not
+        retrace.
         """
+        kwargs = dict(kwargs)
+        kwargs.pop("tol", None)  # traced argument, not a key item
         key_items = tuple(
             (k, v if isinstance(v, (bool, int, float, str, type(None)))
              else id(v))
@@ -440,30 +447,32 @@ class RecyclingGmres:
                 rebuild = A.rebuild
                 if U_shape is None:
                     @jax.jit
-                    def core(b, params):
+                    def core(b, tol, params):
                         return _gmres_mod.gmres(
-                            rebuild(params), b, return_internal=True,
-                            **kwargs,
+                            rebuild(params), b, tol=tol,
+                            return_internal=True, **kwargs,
                         )
                 else:
                     @jax.jit
-                    def core(b, U, params):
+                    def core(b, tol, U, params):
                         return deflated_gmres(
-                            rebuild(params), b, U, return_internal=True,
-                            **kwargs,
+                            rebuild(params), b, U, tol=tol,
+                            return_internal=True, **kwargs,
                         )
             else:
                 if U_shape is None:
                     @jax.jit
-                    def core(b):
+                    def core(b, tol):
                         return _gmres_mod.gmres(
-                            A, b, return_internal=True, **kwargs
+                            A, b, tol=tol, return_internal=True,
+                            **kwargs
                         )
                 else:
                     @jax.jit
-                    def core(b, U):
+                    def core(b, tol, U):
                         return deflated_gmres(
-                            A, b, U, return_internal=True, **kwargs
+                            A, b, U, tol=tol, return_internal=True,
+                            **kwargs
                         )
             entry = (core, parametric, keepalive)
             if len(self._compiled) > 16:
@@ -486,9 +495,10 @@ class RecyclingGmres:
         bz = jnp.zeros_like(b)
         N = b.reshape(-1).shape[0]
         dtype = b.dtype
+        tol = kwargs.get("tol", 1e-5)
         for U_shape in (None, (N, self.n_vectors)):
             core, parametric = self._solver_for(A, U_shape, kwargs)
-            args = [bz]
+            args = [bz, tol]
             if U_shape is not None:
                 args.append(jnp.eye(N, self.n_vectors, dtype=dtype))
             if parametric:
@@ -510,9 +520,12 @@ class RecyclingGmres:
                 self._U = None
 
         b = jnp.asarray(b)
+        tol = kwargs.get("tol", 1e-5)
         if self._U is None:
             core, parametric = self._solver_for(A, None, kwargs)
-            args = (b, jnp.asarray(A.params)) if parametric else (b,)
+            args = [b, tol]
+            if parametric:
+                args.append(jnp.asarray(A.params))
             result, internals = core(*args)
             internals = dict(internals)
             internals["E"] = jnp.zeros((0, 0))
@@ -520,11 +533,9 @@ class RecyclingGmres:
             core, parametric = self._solver_for(
                 A, tuple(self._U.shape), kwargs
             )
-            args = (
-                (b, self._U, jnp.asarray(A.params))
-                if parametric
-                else (b, self._U)
-            )
+            args = [b, tol, self._U]
+            if parametric:
+                args.append(jnp.asarray(A.params))
             result, internals = core(*args)
             internals = dict(internals)
         internals["niter"] = int(result.niter)

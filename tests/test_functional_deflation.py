@@ -157,6 +157,22 @@ def test_recycling_warmup_precompiles_both_cores():
     assert len(rec_w._compiled) == 2
 
 
+def test_recycling_varying_tol_does_not_retrace():
+    """The tolerance is a TRACED argument of the compiled cores: a
+    driver that varies it per solve (Eisenstat-Walker forcing in
+    newton_krylov) must not grow the compilation cache."""
+    n = 80
+    base = numpy.linspace(1, 2, n)
+    base[:2] = [1e-4, 1e-2]
+    rec = RecyclingGmres(n_vectors=2, which="sm", hermitian=True)
+    b = jnp.ones(n)
+    for i, tol in enumerate((1e-2, 3e-4, 7e-6)):
+        op = ops.diagonal(jnp.asarray(base * (1.0 + 0.01 * i)))
+        r = rec.solve(op, b, tol=tol, maxiter=70)
+        assert int(r.status) == F.CONVERGED
+    assert len(rec._compiled) == 2  # plain + deflated, nothing more
+
+
 def test_sharded_deflated_gmres():
     """Deflated GMRES runs sharded over the 8-device mesh."""
     nx = 16
