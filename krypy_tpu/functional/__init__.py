@@ -50,6 +50,7 @@ from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
 from .funm import expm_multiply, funm_krylov
+from .shifted import ShiftedResult, shifted_gmres
 
 __all__ = [
     "refine_to",
@@ -71,6 +72,8 @@ __all__ = [
     "NewtonResult",
     "funm_krylov",
     "expm_multiply",
+    "shifted_gmres",
+    "ShiftedResult",
     "spectral_bounds",
     "arnoldi",
     "ArnoldiResult",

@@ -1,0 +1,102 @@
+"""Multi-shift GMRES (one Krylov basis, many shifted systems).
+
+The reference solves shifted systems one at a time (no multi-shift
+surface); oracles here are per-shift true residuals and single-system
+gmres agreement.
+"""
+
+import numpy
+
+import jax
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F, ops, parallel
+
+
+def _nonsym(n=300, seed=0):
+    rng = numpy.random.default_rng(seed)
+    d = numpy.linspace(1.0, 50.0, n)
+    S = rng.standard_normal((n, n)) * 0.3 / numpy.sqrt(n)
+    A = numpy.diag(d) + S - S.T
+    return A, rng.standard_normal(n)
+
+
+def test_shifted_gmres_reported_equals_true_residual():
+    Am, b = _nonsym()
+    n = Am.shape[0]
+    shifts = numpy.array([0.0, 0.5, 2.0, 10.0])
+    r = F.shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts),
+        maxiter=120, tol=1e-10,
+    )
+    assert bool(jnp.all(r.status == F.CONVERGED))
+    bn = numpy.linalg.norm(b)
+    for i, s in enumerate(shifts):
+        true = numpy.linalg.norm(
+            b - (Am + s * numpy.eye(n)) @ numpy.asarray(r.X[i])
+        ) / bn
+        assert true <= 1e-10
+        assert abs(true - float(r.resnorms[i])) <= 1e-12
+
+
+def test_shifted_gmres_matches_single_system_gmres():
+    Am, b = _nonsym(200, 1)
+    sigma = 3.0
+    r = F.shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray([sigma]),
+        maxiter=100, tol=1e-11,
+    )
+    single = F.gmres(
+        jnp.asarray(Am + sigma * numpy.eye(200)), jnp.asarray(b),
+        tol=1e-11, maxiter=100,
+    )
+    err = numpy.linalg.norm(
+        numpy.asarray(r.X[0]) - numpy.asarray(single.x)
+    )
+    assert err <= 1e-8 * numpy.linalg.norm(numpy.asarray(single.x))
+
+
+def test_shifted_gmres_complex_conjugate_symmetry():
+    """Real operator + conjugate shift pair: the solutions are exact
+    conjugates (the small solves promote; the basis stays real)."""
+    Am, b = _nonsym(200, 2)
+    cs = jnp.asarray([1.0 + 2.0j, 1.0 - 2.0j])
+    r = F.shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), cs, maxiter=100, tol=1e-10
+    )
+    assert bool(jnp.all(r.status == F.CONVERGED))
+    sym = numpy.abs(
+        numpy.asarray(r.X[0]).conj() - numpy.asarray(r.X[1])
+    ).max()
+    assert sym == 0.0
+
+
+def test_shifted_gmres_per_shift_status_honesty():
+    """A hard (nearly singular) shift must report MAXITER while easy
+    shifts converge -- per-shift statuses, no collective lie."""
+    n = 300
+    d = numpy.linspace(1.0, 50.0, n)
+    A = jnp.asarray(numpy.diag(d))
+    b = jnp.ones(n)
+    # shift -0.99999999 makes (A + sigma I) nearly singular at d[0]=1
+    shifts = jnp.asarray([0.0, -0.99999999])
+    r = F.shifted_gmres(A, b, shifts, maxiter=150, tol=1e-8)
+    assert int(r.status[0]) == F.CONVERGED
+    assert int(r.status[1]) == F.MAXITER
+
+
+def test_shifted_gmres_many_shifts_sharded():
+    """256 shifts from one basis, sharded over the 8-device mesh."""
+    mesh = parallel.make_mesh(8)
+    nx = 32
+    lap = ops.poisson_2d(nx)
+    b = parallel.shard_vector(jnp.ones(nx * nx, jnp.float32), mesh)
+    shifts = jnp.linspace(0.0, 100.0, 256)
+    with mesh:
+        r = jax.jit(
+            lambda bb: F.shifted_gmres(
+                lap, bb, shifts, maxiter=60, tol=1e-4
+            )
+        )(b)
+    assert bool(jnp.all(r.status == F.CONVERGED))
+    assert r.X.shape == (256, nx * nx)
