@@ -50,7 +50,7 @@ from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
 from .funm import expm_multiply, funm_krylov
-from .shifted import ShiftedResult, shifted_gmres
+from .shifted import ShiftedResult, shifted_cg, shifted_gmres
 
 __all__ = [
     "refine_to",
@@ -73,6 +73,7 @@ __all__ = [
     "funm_krylov",
     "expm_multiply",
     "shifted_gmres",
+    "shifted_cg",
     "ShiftedResult",
     "spectral_bounds",
     "arnoldi",

@@ -27,17 +27,19 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .arnoldi import arnoldi
 from .common import (
     CONVERGED,
     MAXITER,
     as_matvec,
+    cast_matvec,
     safe_div,
     system_dtype,
 )
 
-__all__ = ["shifted_gmres", "ShiftedResult"]
+__all__ = ["shifted_cg", "shifted_gmres", "ShiftedResult"]
 
 
 class ShiftedResult(NamedTuple):
@@ -120,4 +122,134 @@ def shifted_gmres(A, b, shifts, *, maxiter=50, tol=1e-8, ortho="cgs2"):
     status = jnp.where(rel_res <= tol, CONVERGED, MAXITER)
     return ShiftedResult(
         X=X, resnorms=rel_res, niter=k, status=status
+    )
+
+
+class _ShiftedCgState(NamedTuple):
+    k: jnp.ndarray
+    x: jnp.ndarray            # (s, N) shifted iterates
+    ps: jnp.ndarray           # (s, N) shifted directions
+    r: jnp.ndarray            # (N,) BASE residual
+    p: jnp.ndarray            # (N,) base direction
+    rho: jnp.ndarray          # (r, r) of the base system
+    zeta: jnp.ndarray         # (s,)
+    zeta_old: jnp.ndarray     # (s,)
+    alpha_old: jnp.ndarray
+    beta_old: jnp.ndarray
+    done: jnp.ndarray
+
+
+def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
+    r"""Solve the SPD shifted family ``(A + shifts[i] I) x_i = b`` by
+    multi-shift CG in one compiled while_loop.
+
+    The seed system (shift 0) drives an ordinary CG recurrence; every
+    shifted system rides it through the :math:`\zeta` scalar recurrence
+    (the multi-mass solver of the lattice-QCD literature, after
+    Jegerlehner 1996): its residual is the COLLINEAR vector
+    :math:`r_k^\sigma = \zeta_k^\sigma r_k`, so per iteration the whole
+    family costs ONE matvec, the base system's 2 reductions (independent
+    of the number of shifts), and rank-1 elementwise updates of the
+    ``(n_shifts, N)`` iterate/direction blocks.  Memory is two
+    N-vectors per shift -- constant in iteration count, unlike
+    :func:`shifted_gmres`'s basis.
+
+    Requires SPD ``A`` and real ``shifts >= 0`` (each family member must
+    stay SPD; the seed is the hardest system, so its convergence
+    dominates).  Final statuses are verified against explicitly
+    recomputed per-shift true residuals (one vmapped matvec sweep).
+
+    :return: :class:`ShiftedResult` (``resnorms`` holds the final TRUE
+      relative residual per shift).
+    """
+    b = jnp.asarray(b)
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    maxiter = N if maxiter is None else int(maxiter)
+    shifts = jnp.asarray(shifts).reshape(-1)
+    s = shifts.shape[0]
+
+    A_mv = as_matvec(A)
+    dtype = system_dtype(bv)
+    bv = bv.astype(dtype)
+    A_mv = cast_matvec(A_mv, dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    sig = shifts.astype(real_dtype)
+
+    bnorm = jnp.linalg.norm(bv)
+    rho0 = jnp.real(jnp.vdot(bv, bv)).astype(real_dtype)
+
+    def body(st):
+        Ap = A_mv(st.p)
+        pAp = jnp.real(jnp.vdot(st.p, Ap)).astype(real_dtype)
+        alpha = safe_div(st.rho, pAp)
+
+        # base residual/direction update (the seed system's iterate is
+        # x[seed-shift rows]; the seed rides the same shifted recurrence
+        # with sigma = 0 ... except we keep it implicit: every row of x
+        # uses the zeta recurrence, which reduces to the plain CG update
+        # for sigma = 0, zeta = 1)
+        r_new = st.r - alpha.astype(dtype) * Ap
+        rho_new = jnp.real(jnp.vdot(r_new, r_new)).astype(real_dtype)
+        beta = safe_div(rho_new, st.rho)
+
+        # zeta recurrence (denominator guarded; a vanishing denominator
+        # marks the shift as stalled, not NaN)
+        den = (
+            alpha * st.beta_old * (st.zeta_old - st.zeta)
+            + st.zeta_old * st.alpha_old * (1.0 + sig * alpha)
+        )
+        zeta_new = safe_div(
+            st.zeta * st.zeta_old * st.alpha_old, den
+        )
+        ratio = safe_div(zeta_new, st.zeta)
+        alpha_s = alpha * ratio
+        beta_s = beta * ratio**2
+
+        x = st.x + alpha_s[:, None].astype(dtype) * st.ps
+        ps = (
+            zeta_new[:, None].astype(dtype) * r_new[None, :]
+            + beta_s[:, None].astype(dtype) * st.ps
+        )
+        p = r_new + beta.astype(dtype) * st.p
+
+        # stop when every shifted residual |zeta| ||r|| meets tol
+        rel = jnp.abs(zeta_new) * jnp.sqrt(
+            jnp.maximum(rho_new, 0.0)
+        ) * safe_div(1.0, bnorm)
+        done = jnp.all(rel <= tol)
+        return _ShiftedCgState(
+            st.k + 1, x, ps, r_new, p, rho_new, zeta_new, st.zeta,
+            alpha, beta, done,
+        )
+
+    def cond(st):
+        return (~st.done) & (st.k < maxiter)
+
+    ones = jnp.ones(s, real_dtype)
+    init = _ShiftedCgState(
+        jnp.asarray(0),
+        jnp.zeros((s, N), dtype),
+        jnp.broadcast_to(bv, (s, N)).astype(dtype),
+        bv,
+        bv,
+        rho0,
+        ones,
+        ones,
+        jnp.asarray(1.0, real_dtype),
+        jnp.asarray(0.0, real_dtype),
+        jnp.asarray(False),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    # explicit per-shift true residuals (honesty: the zeta recurrence
+    # can drift at the attainable-accuracy floor)
+    AX = jax.vmap(A_mv)(final.x)
+    R = bv[None, :] - AX - sig[:, None].astype(dtype) * final.x
+    rel = jax.vmap(
+        lambda rr: safe_div(jnp.linalg.norm(rr), bnorm)
+    )(R)
+    status = jnp.where(rel <= tol, CONVERGED, MAXITER)
+    return ShiftedResult(
+        X=final.x, resnorms=rel, niter=final.k, status=status
     )

@@ -100,3 +100,82 @@ def test_shifted_gmres_many_shifts_sharded():
         )(b)
     assert bool(jnp.all(r.status == F.CONVERGED))
     assert r.X.shape == (256, nx * nx)
+
+
+def test_shifted_cg_matches_exact_solutions():
+    n = 400
+    d = numpy.linspace(1.0, 100.0, n)
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.asarray(numpy.random.default_rng(0).standard_normal(n))
+    shifts = numpy.array([0.0, 0.1, 1.0, 10.0, 100.0])
+    r = F.shifted_cg(A, b, jnp.asarray(shifts), tol=1e-10, maxiter=500)
+    assert bool(jnp.all(r.status == F.CONVERGED))
+    for i, s in enumerate(shifts):
+        x_exact = numpy.asarray(b) / (d + s)
+        err = numpy.linalg.norm(
+            numpy.asarray(r.X[i]) - x_exact
+        ) / numpy.linalg.norm(x_exact)
+        assert err <= 1e-8, (s, err)
+
+
+def test_shifted_cg_matches_per_shift_cg():
+    """Each row of X equals a standalone CG solve of (A + s I) x = b."""
+    nx = 24
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float64)
+    shifts = [0.0, 50.0]
+    r = F.shifted_cg(lap, b, jnp.asarray(shifts), tol=1e-10,
+                     maxiter=2000)
+    for i, s in enumerate(shifts):
+        single = F.cg(
+            lambda v, s=s: lap(v) + s * v, b, tol=1e-10, maxiter=2000
+        )
+        err = numpy.linalg.norm(
+            numpy.asarray(r.X[i]) - numpy.asarray(single.x)
+        )
+        assert err <= 1e-7 * numpy.linalg.norm(numpy.asarray(single.x))
+
+
+def test_shifted_cg_true_residual_honesty():
+    """Statuses come from explicitly recomputed residuals: an
+    unreachable f32 tolerance reports MAXITER."""
+    n = 500
+    d = numpy.linspace(1e-3, 50.0, n).astype(numpy.float32)
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.ones(n, jnp.float32)
+    r = F.shifted_cg(A, b, jnp.asarray([0.0, 1.0]), tol=1e-13,
+                     maxiter=1500)
+    assert int(r.status[0]) == F.MAXITER
+    assert bool(jnp.all(jnp.isfinite(r.X)))
+
+
+def test_shifted_cg_collective_count_independent_of_shifts():
+    """The multi-shift structure: per-iteration all-reduces come from
+    the BASE system only (2), regardless of the number of shifts."""
+    import re
+
+    mesh = parallel.make_mesh(8)
+    nx = 32
+    lap = ops.poisson_2d(nx)
+    b = parallel.shard_vector(jnp.ones(nx * nx, jnp.float32), mesh)
+
+    def n_body_allreduces(jitted):
+        with mesh:
+            txt = jitted.lower(b).compile().as_text()
+        best = 0
+        for comp in re.split(r"\n\n", txt):
+            n = len(
+                re.findall(r"= \S+ all-reduce\(|all-reduce-start", comp)
+            )
+            best = max(best, n)
+        return best
+
+    few = jax.jit(
+        lambda v: F.shifted_cg(lap, v, jnp.zeros(2), tol=1e-6,
+                               maxiter=64)
+    )
+    many = jax.jit(
+        lambda v: F.shifted_cg(lap, v, jnp.linspace(0.0, 9.0, 64),
+                               tol=1e-6, maxiter=64)
+    )
+    assert n_body_allreduces(few) == n_body_allreduces(many)
