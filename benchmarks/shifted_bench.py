@@ -16,7 +16,60 @@ import jax
 import jax.numpy as jnp
 
 
+def cg_main(argv):
+    """shifted_cg: n_shifts SPD systems vs ONE plain CG of the seed
+    system -- the family overhead is elementwise axpys only."""
+    n_shifts = int(argv[1]) if len(argv) > 1 else 64
+    iters = int(argv[2]) if len(argv) > 2 else 200
+    nx = int(argv[3]) if len(argv) > 3 else 1023
+
+    from krypy_tpu import functional as F, ops
+
+    N = nx * nx
+    lap = ops.poisson_2d(nx)
+    shifts = jnp.linspace(0.0, 100.0, n_shifts)
+
+    multi = jax.jit(
+        lambda b: F.shifted_cg(lap, b, shifts, maxiter=iters, tol=0.0)
+    )
+    single = jax.jit(
+        lambda b: F.cg(lap, b, maxiter=iters, tol=0.0,
+                       stagnation_window=10**9)
+    )
+
+    def sync(x):
+        float(jnp.sum(jnp.abs(x)))
+
+    b = jnp.ones(N, jnp.float32)
+    sync(multi(b).X)
+    sync(single(b).x)
+    wm = ws = 1e9
+    for rep in range(3):
+        bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+        t0 = time.perf_counter()
+        sync(multi(bb).X)
+        wm = min(wm, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(single(bb).x)
+        ws = min(ws, time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "summary": f"shifted_cg_{N}dof_{n_shifts}shifts_"
+                           f"{iters}iters",
+                "multi_shift_wall_s": round(wm, 4),
+                "single_cg_wall_s": round(ws, 4),
+                "family_overhead": round(wm / ws, 2),
+                "devices": str(jax.devices()),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
+    if "--cg" in sys.argv:
+        return cg_main([a for a in sys.argv if a != "--cg"])
     n_shifts = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     nx = int(sys.argv[3]) if len(sys.argv) > 3 else 1023
