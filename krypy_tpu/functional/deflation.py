@@ -504,7 +504,11 @@ class RecyclingGmres:
             if parametric:
                 args.append(jnp.asarray(A.params))
             res, _ = core(*args)
-            jax.block_until_ready(res.x)
+            # sync by scalar fetch: block_until_ready is not a reliable
+            # barrier through remote-execution transports (CLAUDE.md),
+            # and warmup's whole job is to guarantee compile+execute
+            # finished before the serving sequence starts
+            float(jnp.real(jnp.sum(res.x)))
         return self
 
     def solve(self, A, b, **kwargs):

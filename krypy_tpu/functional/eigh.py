@@ -69,6 +69,51 @@ class EigshResult(NamedTuple):
         return self.status == CONVERGED
 
 
+def lanczos_cgs2_sweep(A_mv, V, H, j0, m, dtype, real_dtype):
+    """Full-reorthogonalization Lanczos steps j0..m-1 (CGS2; both passes
+    accumulated into H's column, so H stays V^H A V).  A round-off-sized
+    residual (invariant subspace found) deflates to a ZERO row instead
+    of being normalized into a garbage direction.  Shared by
+    :func:`eigsh` and :func:`~krypy_tpu.functional.funm.funm_krylov`.
+    """
+    brk = breakdown_threshold(dtype)
+    row_idx = jnp.arange(m + 1)
+
+    def step(j, carry):
+        V, H = carry
+        w = A_mv(V[j])
+        mask = (row_idx <= j).astype(real_dtype)
+        for _ in range(2):
+            c = jnp.dot(V.conj(), w) * mask
+            w = w - jnp.dot(c, V)
+            H = H.at[:, j].add(c)
+        beta = jnp.linalg.norm(w)
+        alive = beta > brk * jnp.linalg.norm(H[:, j] * mask)
+        H = H.at[j + 1, j].set(
+            jnp.where(alive, beta, 0.0).astype(dtype)
+        )
+        V = V.at[j + 1].set(
+            jnp.where(alive, 1.0, 0.0) * w * safe_div(1.0, beta)
+        )
+        return V, H
+
+    return lax.fori_loop(j0, m, step, (V, H))
+
+
+def spurious_ritz_mask(V_rows, S):
+    """Identify eigenpairs of the projected matrix living in the DEAD
+    block left by sweep deflation (their eigenvalues are exactly 0 and
+    would pollute smallest-eigenvalue selection / diverge under
+    functions singular at 0): an eigenvector whose mass sits on rows
+    whose basis vector vanished is spurious."""
+    live_row = jnp.sum(jnp.abs(V_rows) ** 2, axis=1) > 0
+    dead_mass = jnp.sum(
+        jnp.abs(S) ** 2 * (~live_row)[:, None].astype(S.real.dtype),
+        axis=0,
+    )
+    return dead_mass > 0.5
+
+
 def _selection_key(theta, which):
     if which == "sa":
         return theta
@@ -182,44 +227,24 @@ def eigsh(
     eps_floor = jnp.asarray(
         jnp.finfo(real_dtype).tiny ** 0.5, real_dtype
     )
-    row_idx = jnp.arange(m + 1)
-
-    _brk = breakdown_threshold(dtype)
 
     def lanczos_sweep(V, H, j0):
-        """Full-reorthogonalization Lanczos steps j0..m-1 (CGS2; both
-        passes accumulated into H's column, so H stays V^H A V).  A
-        round-off-sized residual (invariant subspace found) deflates to
-        a zero row instead of being normalized into a garbage
-        direction."""
+        return lanczos_cgs2_sweep(A_mv, V, H, j0, m, dtype, real_dtype)
 
-        def step(j, carry):
-            V, H = carry
-            w = A_mv(V[j])
-            mask = (row_idx <= j).astype(real_dtype)
-            for _ in range(2):
-                c = jnp.dot(V.conj(), w) * mask
-                w = w - jnp.dot(c, V)
-                H = H.at[:, j].add(c)
-            beta = jnp.linalg.norm(w)
-            alive = beta > _brk * jnp.linalg.norm(H[:, j] * mask)
-            H = H.at[j + 1, j].set(
-                jnp.where(alive, beta, 0.0).astype(dtype)
-            )
-            V = V.at[j + 1].set(
-                jnp.where(alive, 1.0, 0.0) * w * safe_div(1.0, beta)
-            )
-            return V, H
-
-        return lax.fori_loop(j0, m, step, (V, H))
-
-    def ritz(H):
-        """Device eigh of the Hermitian projection + selection."""
+    def ritz(V, H):
+        """Device eigh of the Hermitian projection + selection.
+        Eigenpairs of the dead (deflated) block sort LAST -- their
+        exact-zero eigenvalues would otherwise win smallest-eigenvalue
+        selection and report zero eigenpairs as converged."""
         Hm = H[:m, :m]
         Hm = 0.5 * (Hm + Hm.conj().T)
         theta, S = jnp.linalg.eigh(Hm)
-        order = jnp.argsort(_selection_key(theta, which))
-        return theta[order], S[:, order]
+        spurious = spurious_ritz_mask(V[:m], S)
+        key = jnp.where(
+            spurious, jnp.inf, _selection_key(theta, which)
+        )
+        order = jnp.argsort(key)
+        return theta[order], S[:, order], spurious[order]
 
     beta0 = jnp.linalg.norm(v0)
     V0 = jnp.zeros((m + 1, N), dtype).at[0].set(
@@ -230,18 +255,22 @@ def eigsh(
 
     class_resnorms = jnp.full(max_restarts + 1, jnp.nan, real_dtype)
 
-    def cycle_stats(H, theta, S):
+    def cycle_stats(H, theta, S, spurious):
         beta_m = jnp.abs(H[m, m - 1])
         b = beta_m * S[m - 1, :]                     # (m,) borders
         res = jnp.abs(b[:k]) / jnp.maximum(
             jnp.abs(theta[:k]), eps_floor
         )
+        # a spurious pair among the k wanted means the reachable
+        # invariant subspace has dimension < k: it can never converge,
+        # so its residual is pinned at +inf (honest MAXITER)
+        res = jnp.where(spurious[:k], jnp.inf, res)
         return b, jnp.max(res)
 
     def body(state):
         V, H, cycles, niter, resnorms, _ = state
-        theta, S = ritz(H)
-        b, wres = cycle_stats(H, theta, S)
+        theta, S, spurious = ritz(V, H)
+        b, wres = cycle_stats(H, theta, S, spurious)
         resnorms = resnorms.at[cycles].set(wres)
         conv = wres <= tol
 
@@ -288,8 +317,8 @@ def eigsh(
 
     # final extraction (also records the last cycle's residual when the
     # loop exited on max_restarts without a final body call)
-    theta, S = ritz(H)
-    _, wres = cycle_stats(H, theta, S)
+    theta, S, spurious = ritz(V, H)
+    _, wres = cycle_stats(H, theta, S, spurious)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
     theta_k = theta[:k]
     if shift_invert:

@@ -23,11 +23,11 @@ import jax.numpy as jnp
 
 from .common import (
     as_matvec,
-    breakdown_threshold,
     cast_matvec,
     safe_div,
     system_dtype,
 )
+from .eigh import lanczos_cgs2_sweep, spurious_ritz_mask
 
 __all__ = ["funm_krylov", "expm_multiply"]
 
@@ -54,11 +54,13 @@ def funm_krylov(A, b, f, *, maxdim=30):
       ``lambda w: 1/jnp.sqrt(w)``).  Must be well-defined on the
       spectrum sampled by the Krylov space.
     :param maxdim: Krylov dimension m.  The returned ``corrections``
-      array holds :math:`\|x_j - x_{j-1}\|` for j = 2..m computed from
-      the SAME basis (cheap small-matrix work), the standard
-      a-posteriori estimate -- inspect its tail to judge convergence and
-      re-run with a larger m if needed (static shapes: m is a
-      compile-time constant, as everywhere in this framework).
+      array holds the distances :math:`\|x_m - x_j\|` of the final
+      approximation to the NESTED lower-dimensional approximations for
+      the last few j (``max(2, m-4) <= j < m``; other entries NaN),
+      computed from the same basis -- an a-posteriori error signal:
+      when the tail has decayed to rounding, the Krylov approximation
+      has converged; otherwise re-run with a larger m (static shapes: m
+      is a compile-time constant, as everywhere in this framework).
     :return: :class:`FunmResult`.
     """
     b = jnp.asarray(b)
@@ -76,54 +78,38 @@ def funm_krylov(A, b, f, *, maxdim=30):
     beta = jnp.linalg.norm(bv)
     V = jnp.zeros((m + 1, N), dtype).at[0].set(bv * safe_div(1.0, beta))
     H = jnp.zeros((m + 1, m + 1), dtype)
-    row_idx = jnp.arange(m + 1)
 
-    # full-CGS2 Lanczos sweep (same scheme as eigh.py: batched MXU
-    # contractions; coefficients of both passes accumulate into H).
-    # Invariance guard: normalizing a round-off-sized residual would
-    # inject a garbage direction whose Rayleigh quotient is unbounded
-    # (catastrophic under f=exp); deflate to a zero row instead -- the
-    # projection then stays block diagonal and the dead block's
-    # eigenvectors have zero e1-component, contributing nothing.
-    brk = breakdown_threshold(dtype)
-    for j in range(m):
-        w = A_mv(V[j])
-        mask = (row_idx <= j).astype(real_dtype)
-        for _ in range(2):
-            c = jnp.dot(V.conj(), w) * mask
-            w = w - jnp.dot(c, V)
-            H = H.at[:, j].add(c)
-        hj = jnp.linalg.norm(w)
-        alive = hj > brk * jnp.linalg.norm(H[: j + 1, j])
-        H = H.at[j + 1, j].set(
-            jnp.where(alive, hj, 0.0).astype(dtype)
+    # shared full-CGS2 Lanczos sweep (eigh.py): batched MXU
+    # contractions, with the invariance guard -- normalizing a
+    # round-off-sized residual would inject a garbage direction whose
+    # Rayleigh quotient is unbounded (catastrophic under f=exp); it
+    # deflates to a zero row instead.
+    V, H = lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype, real_dtype)
+
+    def fT_e1(Hj, Vj, j):
+        """beta * f(T_j) e1 over the leading j x j block.  Dead-block
+        eigenpairs (exact zeros from deflation) are masked OUT before f
+        touches them: for f singular at 0 (1/sqrt, log) the IEEE product
+        f(0) * 0-coefficient would be inf * 0 = NaN, not 0."""
+        Tj = 0.5 * (Hj + Hj.conj().T)
+        tj, Sj = jnp.linalg.eigh(Tj)
+        spurious = spurious_ritz_mask(Vj, Sj)
+        coeff = jnp.where(
+            spurious,
+            jnp.zeros((), dtype),
+            f(tj).astype(dtype) * Sj[0].conj(),
         )
-        V = V.at[j + 1].set(
-            jnp.where(alive, 1.0, 0.0) * w * safe_div(1.0, hj)
-        )
+        return jnp.dot(Sj, coeff) * beta.astype(dtype)
 
-    Tm = H[:m, :m]
-    Tm = 0.5 * (Tm + Tm.conj().T)
-    theta, S = jnp.linalg.eigh(Tm)
-
-    # f(T) e1 for every leading block size j simultaneously: y_j =
-    # S_j f(theta_j) S_j^H e1 needs per-j eigensolves; instead use the
-    # full-m eigendecomposition for x and estimate the error from the
-    # correction sequence of nested Krylov approximations computed with
-    # per-j eigh on the small (replicated) blocks -- j in a Python loop
-    # over a handful of tail sizes keeps the compiled graph small.
-    fe1 = jnp.dot(S, f(theta).astype(dtype) * S[0].conj()) * beta.astype(
-        dtype
-    )
+    fe1 = fT_e1(H[:m, :m], V[:m], m)
     x = jnp.dot(fe1, V[:m])
 
+    # nested-approximation distances ||x_m - x_j|| for a handful of
+    # tail sizes (per-j eigh on the small replicated blocks; a Python
+    # loop over ~5 sizes keeps the compiled graph small)
     corrections = jnp.full(m + 1, jnp.nan, real_dtype)
     for j in range(max(2, m - 4), m):
-        Tj = 0.5 * (H[:j, :j] + H[:j, :j].conj().T)
-        tj, Sj = jnp.linalg.eigh(Tj)
-        fj = jnp.dot(
-            Sj, f(tj).astype(dtype) * Sj[0].conj()
-        ) * beta.astype(dtype)
+        fj = fT_e1(H[:j, :j], V[:j], j)
         # ||x_m - x_j|| via the coefficient difference (V orthonormal)
         diff = fe1 - jnp.concatenate(
             [fj, jnp.zeros(m - j, dtype)]

@@ -608,6 +608,13 @@ def _restarted_gmres_traced(A, b, x0, max_restarts, maxiter, tol, kwargs):
         i, x, rel, status, nit, rels = c
         res = gmres(A, b, x0=x, tol=tol, maxiter=maxiter, **kwargs)
         rel_new = jnp.take(res.resnorms, res.niter).astype(real_dtype)
+        # first cycle also records the initial relative residual, so
+        # resnorms[0] matches the host driver's contract
+        rels = rels.at[0].set(
+            jnp.where(
+                i == 0, res.resnorms[0].astype(real_dtype), rels[0]
+            )
+        )
         return (
             i + 1,
             res.x,

@@ -1,7 +1,11 @@
 r"""Least-squares Krylov solvers: LSQR and LSMR.
 
 Both solve :math:`\min_x \|b - A x\|_2` (optionally Tikhonov-damped,
-:math:`\min_x \|b - Ax\|^2 + \mathrm{damp}^2\|x\|^2`) for a general
+:math:`\min_x \|b - Ax\|^2 + \mathrm{damp}^2\|x - x_0\|^2` -- the
+damping regularizes toward the initial guess, since the Golub-Kahan
+recurrence is seeded with the shifted variable :math:`dx = x - x_0`;
+for the classic :math:`\mathrm{damp}^2\|x\|^2` objective use
+``x0=None``) for a general
 rectangular operator :math:`A \in \mathbb{C}^{M \times N}` via
 Golub-Kahan bidiagonalization: LSQR (Paige & Saunders 1982) is CG on the
 normal equations in exact arithmetic, LSMR (Fong & Saunders 2011) is
@@ -62,7 +66,7 @@ def _setup(A, Ah):
 
 def _make_stop_tests(
     A_mv, Ah_mv, bv, damp, tol, btol, normb, real_dtype,
-    explicit_residual,
+    explicit_residual, x0v,
 ):
     """Build the stopping-test closure shared by lsqr/lsmr.
 
@@ -94,12 +98,16 @@ def _make_stop_tests(
 
         def verify(_):
             rt = bv - A_mv(x)
+            # the recurrences minimize the x0-centered damped objective
+            # ||b - Ax||^2 + damp^2 ||x - x0||^2 (module docstring), so
+            # the explicit check must test THAT objective's residual
+            # and gradient A^H r - damp^2 (x - x0)
+            dx = x - x0v
             nr = jnp.sqrt(
                 jnp.linalg.norm(rt) ** 2
-                + damp**2 * jnp.linalg.norm(x) ** 2
+                + damp**2 * jnp.linalg.norm(dx) ** 2
             )
-            # gradient of the damped objective: A^H r - damp^2 x
-            art = Ah_mv(rt) - (damp**2).astype(x.dtype) * x
+            art = Ah_mv(rt) - (damp**2).astype(x.dtype) * dx
             return est_tests(jnp.linalg.norm(art), nr, normA2)
 
         def keep_running(_):
@@ -151,7 +159,9 @@ def lsqr(
       automatically for matrix operands and operators with ``.adj``;
       required for plain callables.
     :param damp: Tikhonov parameter; solves
-      :math:`\min \|b-Ax\|^2 + \mathrm{damp}^2 \|x\|^2`.
+      :math:`\min \|b-Ax\|^2 + \mathrm{damp}^2 \|x - x_0\|^2` (the
+      classic :math:`\|x\|^2` regularizer when ``x0`` is None -- see
+      the module docstring).
     :param tol: stop when the estimated normal-equations residual
       satisfies :math:`\|A^H r_k\| \le \mathrm{tol}\,\|A\|_F\,\|r_k\|`
       (the least-squares criterion -- scipy.sparse.linalg.lsqr's atol).
@@ -184,16 +194,22 @@ def lsqr(
     bv = bv.astype(dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
-    # x dimension: probe only when x0 absent and A is a matrix; for
-    # callables the caller supplies x0 or A is square-compatible
     if x0 is not None:
         x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
         N = x0v.shape[0]
-    elif hasattr(A, "ndim") or (hasattr(A, "shape") and not callable(A)):
-        N = jnp.asarray(A).shape[1]
-        x0v = jnp.zeros(N, dtype)
     else:
-        N = M
+        # x dimension from the operator's shape when it has one
+        # (matrices AND callable LinearOperators); square fallback for
+        # plain callables
+        shape = getattr(A, "shape", None)
+        if (
+            shape is not None
+            and len(shape) == 2
+            and shape[1] is not None
+        ):
+            N = int(shape[1])
+        else:
+            N = M
         x0v = jnp.zeros(N, dtype)
 
     A_mv, Ah_mv = _setup(A, Ah)
@@ -215,7 +231,7 @@ def lsqr(
     resnorms0 = jnp.full(m + 1, jnp.nan, real_dtype).at[0].set(rel0)
     _stop_tests = _make_stop_tests(
         A_mv, Ah_mv, bv, damp, tol, btol, normb, real_dtype,
-        explicit_residual,
+        explicit_residual, x0v,
     )
 
     def body(st):
@@ -382,11 +398,19 @@ def lsmr(
     if x0 is not None:
         x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
         N = x0v.shape[0]
-    elif hasattr(A, "ndim") or (hasattr(A, "shape") and not callable(A)):
-        N = jnp.asarray(A).shape[1]
-        x0v = jnp.zeros(N, dtype)
     else:
-        N = M
+        # x dimension from the operator's shape when it has one
+        # (matrices AND callable LinearOperators); square fallback for
+        # plain callables
+        shape = getattr(A, "shape", None)
+        if (
+            shape is not None
+            and len(shape) == 2
+            and shape[1] is not None
+        ):
+            N = int(shape[1])
+        else:
+            N = M
         x0v = jnp.zeros(N, dtype)
 
     A_mv, Ah_mv = _setup(A, Ah)
@@ -410,7 +434,7 @@ def lsmr(
     zero = jnp.asarray(0.0, real_dtype)
     _stop_tests = _make_stop_tests(
         A_mv, Ah_mv, bv, damp, tol, btol, normb, real_dtype,
-        explicit_residual,
+        explicit_residual, x0v,
     )
 
     def body(st):

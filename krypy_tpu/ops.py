@@ -315,7 +315,12 @@ def gmres_polynomial_preconditioner(
                     "n= or seed= required when op has no .shape"
                 )
             n = shape[1]
-        seed = jnp.ones(n, jnp.float32)
+        # the default seed must carry the OPERATOR's dtype: arnoldi
+        # derives all basis/Hessenberg dtypes from the seed, and a
+        # float32 seed would silently truncate a complex or float64
+        # operator's Arnoldi relation (and hence the roots)
+        probe = op(jnp.ones(int(n), jnp.float32))
+        seed = jnp.ones(int(n), probe.dtype)
     seed = jnp.asarray(seed).reshape(-1)
 
     rel = arnoldi(op, seed, maxiter=int(degree), ortho="cgs2")

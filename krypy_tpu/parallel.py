@@ -22,7 +22,7 @@ Typical usage::
 """
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -126,6 +126,16 @@ def make_mesh(n_devices=None, axis_name="n", devices=None):
     return Mesh(np.array(devices), (axis_name,))
 
 
+@lru_cache(maxsize=64)
+def _constraint_identity(sharding):
+    """One cached jitted identity per sharding (a fresh lambda per call
+    would recompile on every invocation; jit itself re-specializes per
+    input shape within the cached function)."""
+    return jax.jit(
+        lambda v: jax.lax.with_sharding_constraint(v, sharding)
+    )
+
+
 def shard_vector(x, mesh, axis_name=None):
     """Place a vector (or row-major basis block) with its last axis sharded
     over the mesh.
@@ -140,9 +150,7 @@ def shard_vector(x, mesh, axis_name=None):
     sharding = NamedSharding(mesh, spec)
     if x.shape[-1] % mesh.devices.size != 0:
         with mesh:
-            return jax.jit(
-                lambda v: jax.lax.with_sharding_constraint(v, sharding)
-            )(x)
+            return _constraint_identity(sharding)(x)
     return jax.device_put(x, sharding)
 
 

@@ -170,3 +170,30 @@ def test_eigsh_guards():
         F.eigsh(jnp.eye(50), k=10, maxdim=10)
     with pytest.raises(ValueError, match="which"):
         F.eigsh(jnp.eye(50), k=2, which="zz")
+
+
+def test_eigsh_early_invariance_excludes_dead_block():
+    """Operator with few distinct eigenvalues reachable from v0: the
+    dead (deflated) Lanczos block's exact-zero eigenvalues must NOT win
+    smallest-eigenvalue selection (code-review finding: 'sa' on an SPD
+    operator returned zero eigenpairs as CONVERGED)."""
+    # 5 distinct eigenvalues, all >= 2; Krylov space is 5-dimensional
+    d = numpy.repeat(numpy.array([2.0, 3.0, 5.0, 8.0, 13.0]), 40)
+    A = ops.diagonal(jnp.asarray(d))
+    r = F.eigsh(A, k=3, which="sa", tol=1e-10, maxdim=24)
+    assert int(r.status) == 0
+    assert numpy.allclose(
+        numpy.asarray(r.theta), [2.0, 3.0, 5.0], atol=1e-9
+    )
+    U = numpy.asarray(r.U)
+    assert numpy.all(numpy.linalg.norm(U, axis=0) > 0.9)
+
+
+def test_eigsh_fewer_reachable_pairs_than_k_is_honest():
+    """Only 2 reachable eigenpairs but k=3: must NOT claim convergence
+    with a fabricated zero pair."""
+    d = numpy.repeat(numpy.array([2.0, 7.0]), 30)
+    A = ops.diagonal(jnp.asarray(d))
+    r = F.eigsh(A, k=3, which="sa", tol=1e-10, maxdim=10,
+                max_restarts=3)
+    assert int(r.status) != 0

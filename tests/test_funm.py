@@ -86,3 +86,16 @@ def test_funm_jit_and_sharded():
     ref = numpy.exp(-numpy.asarray(d)) * 1.0
     assert numpy.allclose(numpy.asarray(r.x), ref, atol=1e-4)
     assert len({s.device for s in r.x.addressable_shards}) == 8
+
+
+def test_funm_singular_f_with_early_invariance_no_nan():
+    """f singular at 0 (1/sqrt) + Krylov invariance before maxdim: the
+    dead block's exact-zero eigenvalues must be masked before f touches
+    them (code-review finding: inf * 0 = NaN poisoned the output)."""
+    d = numpy.repeat(numpy.array([1.0, 4.0, 9.0]), 20)
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.ones(60)
+    r = F.funm_krylov(A, b, lambda w: 1 / jnp.sqrt(w), maxdim=12)
+    assert bool(jnp.all(jnp.isfinite(r.x)))
+    ref = numpy.asarray(b) / numpy.sqrt(d)
+    assert numpy.allclose(numpy.asarray(r.x), ref, atol=1e-10)

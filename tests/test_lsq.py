@@ -135,3 +135,48 @@ def test_lsq_f32_floor_honesty(solver):
                maxiter=2000, stagnation_window=30)
     assert int(r.status) != 0
     assert bool(jnp.all(jnp.isfinite(r.x)))
+
+
+def test_lsq_damp_with_x0_centered_objective():
+    """damp + x0: the minimized objective is ||b-Ax||^2 +
+    damp^2||x-x0||^2 (x0-centered -- code-review finding: the explicit
+    verification previously tested the wrong gradient and could never
+    pass)."""
+    rng = numpy.random.default_rng(11)
+    A = rng.standard_normal((200, 80))
+    b = rng.standard_normal(200)
+    x0 = rng.standard_normal(80)
+    damp = 0.5
+    # oracle: augmented lstsq of min ||b-Ax||^2 + damp^2 ||x-x0||^2
+    Aaug = numpy.vstack([A, damp * numpy.eye(80)])
+    baug = numpy.r_[b, damp * x0]
+    xref, *_ = numpy.linalg.lstsq(Aaug, baug, rcond=None)
+    for solver in (F.lsqr, F.lsmr):
+        r = solver(jnp.asarray(A), jnp.asarray(b), damp=damp,
+                   x0=jnp.asarray(x0), tol=1e-12, maxiter=400)
+        assert int(r.status) == 0, solver.__name__
+        err = numpy.linalg.norm(numpy.asarray(r.x) - xref)
+        assert err <= 1e-7 * numpy.linalg.norm(xref), solver.__name__
+
+
+def test_lsq_rectangular_shaped_callable_without_x0():
+    """A callable operator exposing .shape (LinearOperator style) must
+    get its x dimension from shape[1], not fall back to square
+    (code-review finding: crashed with a dimension mismatch)."""
+    rng = numpy.random.default_rng(12)
+    Am = rng.standard_normal((120, 50))
+
+    class ShapedOp:
+        shape = (120, 50)
+
+        def __call__(self, v):
+            return jnp.asarray(Am) @ v
+
+    Ah = lambda y: jnp.asarray(Am).T @ y
+    b = rng.standard_normal(120)
+    xref, *_ = numpy.linalg.lstsq(Am, b, rcond=None)
+    for solver in (F.lsqr, F.lsmr):
+        r = solver(ShapedOp(), jnp.asarray(b), Ah=Ah, tol=1e-12,
+                   maxiter=300)
+        err = numpy.linalg.norm(numpy.asarray(r.x) - xref)
+        assert err <= 1e-7 * numpy.linalg.norm(xref), solver.__name__

@@ -127,3 +127,19 @@ def test_stability_check_flags_explosive_products():
         A, 12, seed=seed, stability_check=False
     )
     assert P.degree == 12
+
+
+def test_default_seed_follows_operator_dtype():
+    """No seed given: the Arnoldi seed must carry the OPERATOR's dtype
+    (code-review finding: a float32 default seed silently truncated
+    complex operators' Arnoldi relation)."""
+    rng = numpy.random.default_rng(4)
+    n = 120
+    d = numpy.linspace(1, 30, n) + 1j * rng.standard_normal(n) * 0.3
+    Am = numpy.diag(d)
+    P = ops.gmres_polynomial_preconditioner(jnp.asarray(Am), 6)
+    assert numpy.iscomplexobj(P.roots)
+    assert numpy.abs(P.roots.imag).max() > 1e-3  # complex spectrum seen
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    r = F.gmres(jnp.asarray(Am), b, Mr=P, tol=1e-10, maxiter=60)
+    assert int(r.status) == 0

@@ -139,8 +139,12 @@ def test_restarted_gmres_compiled_matches_host_and_composes():
     numpy.testing.assert_allclose(
         numpy.asarray(rh.x), numpy.asarray(rt.x), rtol=1e-5
     )
+    # resnorms[0] carries the initial relative residual (host contract)
+    assert numpy.isclose(
+        float(rt.resnorms[0]), float(rh.resnorms[0]), rtol=1e-6
+    )
     # per-cycle residuals are recorded and decreasing
-    rels = numpy.asarray(rt.resnorms)[1:]
+    rels = numpy.asarray(rt.resnorms)
     rels = rels[~numpy.isnan(rels)]
     assert rels[-1] < rels[0]
 
