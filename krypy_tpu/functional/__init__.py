@@ -49,7 +49,7 @@ from .bicgstab import bicgstab
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
-from .funm import expm_multiply, funm_krylov
+from .funm import expm_multiply, funm_krylov, inv_sqrt_multiply
 from .shifted import ShiftedResult, shifted_cg, shifted_gmres
 
 __all__ = [
@@ -72,6 +72,7 @@ __all__ = [
     "NewtonResult",
     "funm_krylov",
     "expm_multiply",
+    "inv_sqrt_multiply",
     "shifted_gmres",
     "shifted_cg",
     "ShiftedResult",

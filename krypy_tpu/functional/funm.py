@@ -29,7 +29,7 @@ from .common import (
 )
 from .eigh import lanczos_cgs2_sweep, spurious_ritz_mask
 
-__all__ = ["funm_krylov", "expm_multiply"]
+__all__ = ["funm_krylov", "expm_multiply", "inv_sqrt_multiply"]
 
 
 class FunmResult(NamedTuple):
@@ -129,3 +129,81 @@ def expm_multiply(A, b, t=1.0, *, maxdim=30):
     ``expm_multiply(lap, b, -dt)``)."""
     t = float(t)
     return funm_krylov(A, b, lambda w: jnp.exp(t * w), maxdim=maxdim)
+
+
+def inv_sqrt_multiply(
+    A, b, *, lmin=None, lmax=None, terms=16, tol=1e-8, maxiter=None
+):
+    r"""``A^{-1/2} b`` for SPD ``A`` by elliptic-contour quadrature over
+    multi-shift CG.
+
+    The Hale-Higham-Trefethen conformal-map quadrature of
+    :math:`A^{-1/2} = \frac{2}{\pi}\int_0^\infty (A + t^2 I)^{-1}\,dt`
+    converges GEOMETRICALLY in the number of terms (16 terms reach
+    ~1e-11 at condition number 1e4), and every resolvent in the sum is a
+    member of one SPD shifted family -- so
+    :func:`~krypy_tpu.functional.shifted.shifted_cg` computes all of
+    them in ONE CG run (one matvec and two all-reduces per iteration,
+    regardless of ``terms``), and the final combination is a single
+    small GEMM.  Unlike :func:`funm_krylov` there is no m-step Krylov
+    basis to store, so this scales to operators whose isqrt needs far
+    more Krylov information than a replicated basis can hold.
+
+    :param lmin,lmax: spectrum bounds (lmin must LOWER-bound, lmax
+      upper-bound); estimated via
+      :func:`~krypy_tpu.functional.chebyshev.spectral_bounds` when
+      omitted.
+    :param terms: quadrature points (geometric accuracy in ``terms``,
+      degrading logarithmically with condition number).
+    :param tol: target relative accuracy; the inner shifted solves run
+      to ``tol/10``.
+    :return: ``(x, info)`` where ``info`` carries the shifted-solve
+      statuses and the quadrature parameters.
+    """
+    import numpy as np
+    from scipy.special import ellipj, ellipk
+
+    from .chebyshev import spectral_bounds
+    from .shifted import shifted_cg
+
+    b = jnp.asarray(b)
+    if lmin is None or lmax is None:
+        # asymmetric estimation risk: the quadrature needs lmin to
+        # LOWER-bound the spectrum, and Lanczos Ritz values can sit far
+        # above the true lambda_min on dense spectra -- but an
+        # UNDERestimated lmin is harmless (accuracy depends only
+        # logarithmically on lmax/lmin), so take two orders of
+        # magnitude of slack; pass explicit bounds when known
+        lo, hi = spectral_bounds(A, b, safety=(0.01, 1.2))
+        lmin = float(lo) if lmin is None else float(lmin)
+        lmax = float(hi) if lmax is None else float(lmax)
+    lmin, lmax = float(lmin), float(lmax)
+    if not 0 < lmin <= lmax:
+        raise ValueError(f"need 0 < lmin <= lmax, got [{lmin}, {lmax}]")
+
+    # midpoint rule in the conformal variable u in [0, K']:
+    # t = sqrt(lmin) sn/cn, dt = sqrt(lmin) dn/cn^2 du (modulus
+    # m1 = 1 - lmin/lmax)
+    m1 = 1.0 - lmin / lmax
+    Kp = float(ellipk(m1))
+    u = (np.arange(terms) + 0.5) * Kp / terms
+    sn, cn, dn, _ = ellipj(u, m1)
+    shifts = lmin * (sn / cn) ** 2
+    weights = (
+        2.0 * Kp * np.sqrt(lmin) / (np.pi * terms)
+    ) * dn / cn**2
+
+    res = shifted_cg(
+        A, b, jnp.asarray(shifts), tol=tol / 10.0, maxiter=maxiter
+    )
+    w = jnp.asarray(weights, res.X.real.dtype).astype(res.X.dtype)
+    x = jnp.dot(w, res.X)
+    info = {
+        "shift_status": res.status,
+        "inner_iters": res.niter,
+        "shifts": shifts,
+        "weights": weights,
+        "lmin": lmin,
+        "lmax": lmax,
+    }
+    return (x if b.ndim == 1 else x[:, None]), info

@@ -99,3 +99,53 @@ def test_funm_singular_f_with_early_invariance_no_nan():
     assert bool(jnp.all(jnp.isfinite(r.x)))
     ref = numpy.asarray(b) / numpy.sqrt(d)
     assert numpy.allclose(numpy.asarray(r.x), ref, atol=1e-10)
+
+
+def test_inv_sqrt_multiply_matches_exact():
+    """A^{-1/2} b by elliptic quadrature over multi-shift CG, kappa=1e4:
+    explicit bounds reach ~1e-11; estimated bounds (with the 100x lmin
+    slack) still reach ~1e-9."""
+    n = 2000
+    d = numpy.linspace(1.0, 1e4, n)
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.asarray(numpy.random.default_rng(0).standard_normal(n))
+    ref = numpy.asarray(b) / numpy.sqrt(d)
+
+    x, info = F.inv_sqrt_multiply(
+        A, b, lmin=1.0, lmax=1e4, terms=16, tol=1e-10, maxiter=2000
+    )
+    err = numpy.linalg.norm(numpy.asarray(x) - ref)
+    assert err <= 1e-9 * numpy.linalg.norm(ref)
+    assert bool(jnp.all(info["shift_status"] == F.CONVERGED))
+
+    x2, _ = F.inv_sqrt_multiply(A, b, terms=20, tol=1e-9, maxiter=3000)
+    err2 = numpy.linalg.norm(numpy.asarray(x2) - ref)
+    assert err2 <= 1e-7 * numpy.linalg.norm(ref)
+
+
+def test_inv_sqrt_multiply_squares_back():
+    """Applying the quadrature twice gives A^{-1} b (self-consistency
+    without an eigendecomposition oracle)."""
+    nx = 20
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx)
+    h2lmin = 2 * (numpy.pi / (nx + 1)) ** 2 * (nx + 1) ** 2 * 0.5
+    x1, _ = F.inv_sqrt_multiply(
+        lap, b, lmin=h2lmin * 0.5, lmax=8.0 * (nx + 1) ** 2,
+        terms=20, tol=1e-10, maxiter=4000,
+    )
+    x2, _ = F.inv_sqrt_multiply(
+        lap, x1, lmin=h2lmin * 0.5, lmax=8.0 * (nx + 1) ** 2,
+        terms=20, tol=1e-10, maxiter=4000,
+    )
+    rel = float(jnp.linalg.norm(b - lap(x2)) / jnp.linalg.norm(b))
+    assert rel <= 1e-7
+
+
+def test_inv_sqrt_multiply_guards():
+    import pytest
+
+    with pytest.raises(ValueError, match="lmin"):
+        F.inv_sqrt_multiply(
+            ops.diagonal(jnp.ones(8)), jnp.ones(8), lmin=-1.0, lmax=1.0
+        )
