@@ -69,34 +69,58 @@ class EigshResult(NamedTuple):
         return self.status == CONVERGED
 
 
-def lanczos_cgs2_sweep(A_mv, V, H, j0, m, dtype, real_dtype):
+def lanczos_cgs2_sweep(
+    A_mv, V, H, j0, m, dtype, real_dtype, B_mv=None, W=None
+):
     """Full-reorthogonalization Lanczos steps j0..m-1 (CGS2; both passes
     accumulated into H's column, so H stays V^H A V).  A round-off-sized
     residual (invariant subspace found) deflates to a ZERO row instead
     of being normalized into a garbage direction.  Shared by
     :func:`eigsh` and :func:`~krypy_tpu.functional.funm.funm_krylov`.
+
+    With ``B_mv``/``W`` (generalized eigenproblems) the sweep runs in
+    the B-inner product: ``V`` is B-orthonormal, ``W = B V`` is the dual
+    basis used for the projections, ``A_mv`` must apply the COMPOSITE
+    operator :math:`B^{-1} A`, and the return value is ``(V, W, H)``
+    with ``H = V^H A V`` (still Hermitian for Hermitian A).
     """
     brk = breakdown_threshold(dtype)
     row_idx = jnp.arange(m + 1)
+    generalized = B_mv is not None
 
     def step(j, carry):
-        V, H = carry
+        if generalized:
+            V, W, H = carry
+            dual = W
+        else:
+            V, H = carry
+            dual = V
         w = A_mv(V[j])
         mask = (row_idx <= j).astype(real_dtype)
         for _ in range(2):
-            c = jnp.dot(V.conj(), w) * mask
+            c = jnp.dot(dual.conj(), w) * mask
             w = w - jnp.dot(c, V)
             H = H.at[:, j].add(c)
-        beta = jnp.linalg.norm(w)
+        if generalized:
+            Bw = B_mv(w)
+            beta = jnp.sqrt(
+                jnp.maximum(jnp.real(jnp.vdot(w, Bw)), 0.0)
+            )
+        else:
+            beta = jnp.linalg.norm(w)
         alive = beta > brk * jnp.linalg.norm(H[:, j] * mask)
+        live = jnp.where(alive, 1.0, 0.0)
         H = H.at[j + 1, j].set(
             jnp.where(alive, beta, 0.0).astype(dtype)
         )
-        V = V.at[j + 1].set(
-            jnp.where(alive, 1.0, 0.0) * w * safe_div(1.0, beta)
-        )
+        V = V.at[j + 1].set(live * w * safe_div(1.0, beta))
+        if generalized:
+            W = W.at[j + 1].set(live * Bw * safe_div(1.0, beta))
+            return V, W, H
         return V, H
 
+    if generalized:
+        return lax.fori_loop(j0, m, step, (V, W, H))
     return lax.fori_loop(j0, m, step, (V, H))
 
 
@@ -139,6 +163,8 @@ def eigsh(
     max_restarts=200,
     sigma=None,
     inv=None,
+    B=None,
+    Binv=None,
 ):
     r"""k extremal eigenpairs of Hermitian ``A`` by thick-restart
     Lanczos, as one compiled while_loop.
@@ -175,10 +201,34 @@ def eigsh(
       the k pairs are VERIFIED against ``A`` itself: the returned
       ``resnorms[-1]``/``status`` reflect true residuals
       :math:`\|A u - \lambda u\| / |\lambda|`.
+    :param B,Binv: GENERALIZED eigenproblem :math:`A x = \lambda B x`
+      with SPD ``B``: Lanczos runs in the B-inner product on
+      :math:`B^{-1} A` (both operators required; one B and one
+      :math:`B^{-1}` application per step on top of A).  The returned
+      ``U`` columns are B-orthonormal, and the k pairs are VERIFIED
+      against the pencil itself:
+      :math:`\|A u - \lambda B u\| / (|\lambda|\,\|B u\|)`.  Not
+      combinable with ``sigma`` (shift-invert the pencil manually:
+      ``eigsh(lambda v: solve(A - sigma*B, B(v)), ...)``).
     :return: :class:`EigshResult`.
     """
     A_mv = as_matvec(A)
     shift_invert = sigma is not None
+    generalized = B is not None or Binv is not None
+    if generalized:
+        if B is None or Binv is None:
+            raise ValueError(
+                "generalized mode needs BOTH B= and Binv="
+            )
+        if shift_invert:
+            raise ValueError(
+                "sigma with B is not supported; shift-invert the "
+                "pencil manually (see the B docstring)"
+            )
+        B_mv = as_matvec(B)
+        Binv_mv = as_matvec(Binv)
+        pencil_A_mv = A_mv
+        A_mv = lambda v: Binv_mv(pencil_A_mv(v))
     if shift_invert:
         if inv is None:
             raise ValueError(
@@ -211,6 +261,11 @@ def eigsh(
     A_mv = cast_matvec(A_mv, dtype)
     if shift_invert:
         orig_A_mv = cast_matvec(orig_A_mv, dtype)
+    if generalized:
+        B_mv = cast_matvec(B_mv, dtype)
+        pencil_A_mv = cast_matvec(pencil_A_mv, dtype)
+    else:
+        B_mv = None
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
     k = int(k)
@@ -228,8 +283,18 @@ def eigsh(
         jnp.finfo(real_dtype).tiny ** 0.5, real_dtype
     )
 
-    def lanczos_sweep(V, H, j0):
-        return lanczos_cgs2_sweep(A_mv, V, H, j0, m, dtype, real_dtype)
+    def lanczos_sweep(V, W, H, j0):
+        """Sweep wrapper carrying the dual basis W (dummy (0,0) array
+        in the standard case so the loop state keeps one static
+        structure)."""
+        if generalized:
+            return lanczos_cgs2_sweep(
+                A_mv, V, H, j0, m, dtype, real_dtype, B_mv=B_mv, W=W
+            )
+        V, H = lanczos_cgs2_sweep(
+            A_mv, V, H, j0, m, dtype, real_dtype
+        )
+        return V, W, H
 
     def ritz(V, H):
         """Device eigh of the Hermitian projection + selection.
@@ -246,12 +311,22 @@ def eigsh(
         order = jnp.argsort(key)
         return theta[order], S[:, order], spurious[order]
 
-    beta0 = jnp.linalg.norm(v0)
+    if generalized:
+        Bv0 = B_mv(v0)
+        beta0 = jnp.sqrt(
+            jnp.maximum(jnp.real(jnp.vdot(v0, Bv0)), 0.0)
+        )
+        W0 = jnp.zeros((m + 1, N), dtype).at[0].set(
+            Bv0 * safe_div(1.0, beta0)
+        )
+    else:
+        beta0 = jnp.linalg.norm(v0)
+        W0 = jnp.zeros((0, 0), dtype)
     V0 = jnp.zeros((m + 1, N), dtype).at[0].set(
         v0 * safe_div(1.0, beta0)
     )
     H0 = jnp.zeros((m + 1, m + 1), dtype)
-    V1, H1 = lanczos_sweep(V0, H0, 0)
+    V1, W1, H1 = lanczos_sweep(V0, W0, H0, 0)
 
     class_resnorms = jnp.full(max_restarts + 1, jnp.nan, real_dtype)
 
@@ -268,7 +343,7 @@ def eigsh(
         return b, jnp.max(res)
 
     def body(state):
-        V, H, cycles, niter, resnorms, _ = state
+        V, W, H, cycles, niter, resnorms, _ = state
         theta, S, spurious = ritz(V, H)
         b, wres = cycle_stats(H, theta, S, spurious)
         resnorms = resnorms.at[cycles].set(wres)
@@ -282,6 +357,15 @@ def eigsh(
                 .at[:l].set(Y)
                 .at[l].set(V[m])
             )
+            if generalized:
+                # the dual basis transforms linearly: B Y = Sl^T (B V)
+                Wn = (
+                    jnp.zeros_like(W)
+                    .at[:l].set(jnp.dot(Sl.T, W[:m]))
+                    .at[l].set(W[m])
+                )
+            else:
+                Wn = W
             bl = b[:l].astype(dtype)
             diag = jnp.zeros(m + 1, dtype).at[:l].set(
                 theta[:l].astype(dtype)
@@ -292,26 +376,26 @@ def eigsh(
             # H[:, l] itself (pre-setting it here would double-count)
             Hn = jnp.zeros_like(H) + jnp.diag(diag)
             Hn = Hn.at[l, :l].set(bl)
-            return lanczos_sweep(Vn, Hn, l)
+            return lanczos_sweep(Vn, Wn, Hn, l)
 
         def keep(_):
-            return V, H
+            return V, W, H
 
-        Vn, Hn = lax.cond(conv, keep, compress, 0)
+        Vn, Wn, Hn = lax.cond(conv, keep, compress, 0)
         steps = jnp.where(conv, 0, m - l)
         return (
-            Vn, Hn, cycles + 1, niter + steps, resnorms, conv,
+            Vn, Wn, Hn, cycles + 1, niter + steps, resnorms, conv,
         )
 
     def cond(state):
-        _, _, cycles, _, _, conv = state
+        _, _, _, cycles, _, _, conv = state
         return (~conv) & (cycles < max_restarts)
 
     init = (
-        V1, H1, jnp.asarray(0), jnp.asarray(m), class_resnorms,
+        V1, W1, H1, jnp.asarray(0), jnp.asarray(m), class_resnorms,
         jnp.asarray(False),
     )
-    V, H, cycles, niter, resnorms, conv = lax.while_loop(
+    V, W, H, cycles, niter, resnorms, conv = lax.while_loop(
         cond, body, init
     )
 
@@ -321,6 +405,23 @@ def eigsh(
     _, wres = cycle_stats(H, theta, S, spurious)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
     theta_k = theta[:k]
+    if generalized:
+        # verify against the PENCIL: ||A u - theta B u||/(|theta| ||B u||)
+        AU = jnp.stack(
+            [pencil_A_mv(U[:, i]) for i in range(k)], axis=1
+        )
+        BU = jnp.stack([B_mv(U[:, i]) for i in range(k)], axis=1)
+        res = jnp.stack([
+            jnp.linalg.norm(
+                AU[:, i] - theta_k[i].astype(dtype) * BU[:, i]
+            )
+            / jnp.maximum(
+                jnp.abs(theta_k[i]) * jnp.linalg.norm(BU[:, i]),
+                eps_floor,
+            )
+            for i in range(k)
+        ])
+        wres = jnp.max(res)
     if shift_invert:
         # back-transform and VERIFY against A itself (the loop's
         # residuals were for the inverted operator; inexact inner

@@ -197,3 +197,64 @@ def test_eigsh_fewer_reachable_pairs_than_k_is_honest():
     r = F.eigsh(A, k=3, which="sa", tol=1e-10, maxdim=10,
                 max_restarts=3)
     assert int(r.status) != 0
+
+
+def test_eigsh_generalized_diagonal_pencil():
+    """A x = lambda B x with diagonal pencil: eigenvalues a_i/m_i, U
+    B-orthonormal."""
+    n = 300
+    a = numpy.linspace(1.0, 200.0, n)
+    mb = numpy.linspace(0.5, 3.0, n)
+    A = ops.diagonal(jnp.asarray(a))
+    B = ops.diagonal(jnp.asarray(mb))
+    Binv = ops.diagonal(jnp.asarray(1.0 / mb))
+    r = F.eigsh(A, k=4, which="sa", B=B, Binv=Binv, tol=1e-10,
+                maxdim=40)
+    assert int(r.status) == 0
+    want = numpy.sort(a / mb)[:4]
+    assert numpy.allclose(numpy.asarray(r.theta), want, rtol=1e-9)
+    U = numpy.asarray(r.U)
+    G = U.T @ (mb[:, None] * U)
+    assert numpy.allclose(G, numpy.eye(4), atol=1e-10)
+
+
+def test_eigsh_generalized_dense_matches_scipy():
+    import numpy.linalg as la
+    import scipy.linalg
+
+    rng = numpy.random.default_rng(5)
+    n = 120
+    Bd = rng.standard_normal((n, n))
+    Bd = Bd @ Bd.T + n * numpy.eye(n)
+    Ad = rng.standard_normal((n, n))
+    Ad = (Ad + Ad.T) / 2
+    w = scipy.linalg.eigh(Ad, Bd, eigvals_only=True)
+    r = F.eigsh(
+        jnp.asarray(Ad), k=3, which="sa", B=jnp.asarray(Bd),
+        Binv=jnp.asarray(la.inv(Bd)), tol=1e-10, maxdim=40,
+    )
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), w[:3], atol=1e-8)
+
+
+def test_eigsh_generalized_guards():
+    A = jnp.eye(20)
+    with pytest.raises(ValueError, match="BOTH"):
+        F.eigsh(A, k=2, B=jnp.eye(20))
+    with pytest.raises(ValueError, match="pencil"):
+        F.eigsh(A, k=2, B=jnp.eye(20), Binv=jnp.eye(20), sigma=1.0,
+                inv=lambda v: v)
+
+
+def test_eigsh_generalized_sloppy_binv_is_honest():
+    """An inconsistent Binv must fail the pencil verification, not
+    report CONVERGED garbage."""
+    n = 100
+    a = numpy.linspace(1.0, 50.0, n)
+    mb = numpy.linspace(0.5, 2.0, n)
+    A = ops.diagonal(jnp.asarray(a))
+    B = ops.diagonal(jnp.asarray(mb))
+    wrong_Binv = ops.diagonal(jnp.asarray(1.0 / (mb + 0.3)))
+    r = F.eigsh(A, k=3, which="sa", B=B, Binv=wrong_Binv, tol=1e-10,
+                maxdim=30, max_restarts=10)
+    assert int(r.status) != 0
