@@ -86,8 +86,9 @@ def funm_krylov(A, b, f, *, maxdim=30):
     # deflates to a zero row instead.
     V, H = lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype, real_dtype)
 
-    def fT_e1(Hj, Vj, j):
-        """beta * f(T_j) e1 over the leading j x j block.  Dead-block
+    def fT_e1(Hj, Vj):
+        """beta * f(T_j) e1 over the leading block (size from the
+        operand shapes).  Dead-block
         eigenpairs (exact zeros from deflation) are masked OUT before f
         touches them: for f singular at 0 (1/sqrt, log) the IEEE product
         f(0) * 0-coefficient would be inf * 0 = NaN, not 0."""
@@ -101,7 +102,7 @@ def funm_krylov(A, b, f, *, maxdim=30):
         )
         return jnp.dot(Sj, coeff) * beta.astype(dtype)
 
-    fe1 = fT_e1(H[:m, :m], V[:m], m)
+    fe1 = fT_e1(H[:m, :m], V[:m])
     x = jnp.dot(fe1, V[:m])
 
     # nested-approximation distances ||x_m - x_j|| for a handful of
@@ -109,7 +110,7 @@ def funm_krylov(A, b, f, *, maxdim=30):
     # loop over ~5 sizes keeps the compiled graph small)
     corrections = jnp.full(m + 1, jnp.nan, real_dtype)
     for j in range(max(2, m - 4), m):
-        fj = fT_e1(H[:j, :j], V[:j], j)
+        fj = fT_e1(H[:j, :j], V[:j])
         # ||x_m - x_j|| via the coefficient difference (V orthonormal)
         diff = fe1 - jnp.concatenate(
             [fj, jnp.zeros(m - j, dtype)]
@@ -156,7 +157,13 @@ def inv_sqrt_multiply(
     :param terms: quadrature points (geometric accuracy in ``terms``,
       degrading logarithmically with condition number).
     :param tol: target relative accuracy; the inner shifted solves run
-      to ``tol/10``.
+      to ``max(tol/10, floor)`` where ``floor`` is the attainable
+      relative residual of the SEED system's dtype
+      (``~50*eps``) -- a float32 operator with the float64-style
+      default ``tol=1e-8`` then still terminates at its floor instead
+      of running the full maxiter budget, and ``shifted_cg``'s seed
+      stagnation guard plus ``info["shift_status"]`` report what was
+      actually achieved.
     :return: ``(x, info)`` where ``info`` carries the shifted-solve
       statuses and the quadrature parameters.
     """
@@ -193,8 +200,13 @@ def inv_sqrt_multiply(
         2.0 * Kp * np.sqrt(lmin) / (np.pi * terms)
     ) * dn / cn**2
 
+    # clamp the inner target to the rhs dtype's attainable floor; the
+    # kappa factor is unknown here, but the seed stagnation guard
+    # inside shifted_cg handles the conditioning-dependent part
+    eps = float(np.finfo(np.dtype(jnp.asarray(b).dtype)).eps)
+    inner_tol = max(tol / 10.0, 50.0 * eps)
     res = shifted_cg(
-        A, b, jnp.asarray(shifts), tol=tol / 10.0, maxiter=maxiter
+        A, b, jnp.asarray(shifts), tol=inner_tol, maxiter=maxiter
     )
     w = jnp.asarray(weights, res.X.real.dtype).astype(res.X.dtype)
     x = jnp.dot(w, res.X)

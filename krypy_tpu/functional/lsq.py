@@ -64,6 +64,21 @@ def _setup(A, Ah):
     return A_mv, Ah_mv
 
 
+def _x_dimension(A, x0, M, dtype):
+    """x0 vector and x dimension: from x0 when given, else the
+    operator's shape (matrices AND callable LinearOperators), else the
+    square fallback N = M."""
+    if x0 is not None:
+        x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
+        return x0v, x0v.shape[0]
+    shape = getattr(A, "shape", None)
+    if shape is not None and len(shape) == 2 and shape[1] is not None:
+        N = int(shape[1])
+    else:
+        N = M
+    return jnp.zeros(N, dtype), N
+
+
 def _make_stop_tests(
     A_mv, Ah_mv, bv, damp, tol, btol, normb, real_dtype,
     explicit_residual, x0v,
@@ -194,23 +209,7 @@ def lsqr(
     bv = bv.astype(dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
-    if x0 is not None:
-        x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
-        N = x0v.shape[0]
-    else:
-        # x dimension from the operator's shape when it has one
-        # (matrices AND callable LinearOperators); square fallback for
-        # plain callables
-        shape = getattr(A, "shape", None)
-        if (
-            shape is not None
-            and len(shape) == 2
-            and shape[1] is not None
-        ):
-            N = int(shape[1])
-        else:
-            N = M
-        x0v = jnp.zeros(N, dtype)
+    x0v, N = _x_dimension(A, x0, M, dtype)
 
     A_mv, Ah_mv = _setup(A, Ah)
     A_mv = cast_matvec(A_mv, dtype)
@@ -395,23 +394,7 @@ def lsmr(
     bv = bv.astype(dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
-    if x0 is not None:
-        x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
-        N = x0v.shape[0]
-    else:
-        # x dimension from the operator's shape when it has one
-        # (matrices AND callable LinearOperators); square fallback for
-        # plain callables
-        shape = getattr(A, "shape", None)
-        if (
-            shape is not None
-            and len(shape) == 2
-            and shape[1] is not None
-        ):
-            N = int(shape[1])
-        else:
-            N = M
-        x0v = jnp.zeros(N, dtype)
+    x0v, N = _x_dimension(A, x0, M, dtype)
 
     A_mv, Ah_mv = _setup(A, Ah)
     A_mv = cast_matvec(A_mv, dtype)

@@ -136,10 +136,14 @@ class _ShiftedCgState(NamedTuple):
     zeta_old: jnp.ndarray     # (s,)
     alpha_old: jnp.ndarray
     beta_old: jnp.ndarray
+    x_best: jnp.ndarray       # (s, N) snapshot at the best seed residual
+    best_rel: jnp.ndarray
+    stall: jnp.ndarray
     done: jnp.ndarray
 
 
-def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
+def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
+               stagnation_window=None):
     r"""Solve the SPD shifted family ``(A + shifts[i] I) x_i = b`` by
     multi-shift CG in one compiled while_loop.
 
@@ -159,6 +163,18 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
     dominates).  Final statuses are verified against explicitly
     recomputed per-shift true residuals (one vmapped matvec sweep).
 
+    :param stagnation_window: float32 attainable-accuracy guard on the
+      SEED residual (shifts >= 0 only improve conditioning, so every
+      family member floors no later than the seed): after this many
+      iterations without a new seed-residual minimum the solve stops
+      and the iterates snapshotted at the best seed residual are
+      returned -- a reduced-precision CG pushed past its floor
+      DIVERGES, so returning the final iterate would be garbage.
+      Defaults to ``max(50, maxiter // 10)`` (the Euclidean CG residual
+      oscillates with long plateaus on hard spectra, so the window must
+      scale with the budget); 0 disables.  Costs one extra
+      (n_shifts, N) buffer when enabled.
+
     :return: :class:`ShiftedResult` (``resnorms`` holds the final TRUE
       relative residual per shift).
     """
@@ -166,6 +182,8 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
     bv = b.reshape(-1)
     N = bv.shape[0]
     maxiter = N if maxiter is None else int(maxiter)
+    if stagnation_window is None:
+        stagnation_window = max(50, maxiter // 10)
     shifts = jnp.asarray(shifts).reshape(-1)
     s = shifts.shape[0]
 
@@ -218,13 +236,25 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
             jnp.maximum(rho_new, 0.0)
         ) * safe_div(1.0, bnorm)
         done = jnp.all(rel <= tol)
+
+        # seed-residual stagnation guard with best-iterate snapshots
+        seed_rel = jnp.sqrt(jnp.maximum(rho_new, 0.0)) * safe_div(
+            1.0, bnorm
+        )
+        improved = seed_rel < st.best_rel
+        best_rel = jnp.minimum(seed_rel, st.best_rel)
+        stall = jnp.where(improved, 0, st.stall + 1)
+        x_best = jnp.where(improved, x, st.x_best)
         return _ShiftedCgState(
             st.k + 1, x, ps, r_new, p, rho_new, zeta_new, st.zeta,
-            alpha, beta, done,
+            alpha, beta, x_best, best_rel, stall, done,
         )
 
     def cond(st):
-        return (~st.done) & (st.k < maxiter)
+        go = (~st.done) & (st.k < maxiter)
+        if stagnation_window > 0:
+            go = go & (st.stall < stagnation_window)
+        return go
 
     ones = jnp.ones(s, real_dtype)
     init = _ShiftedCgState(
@@ -238,18 +268,29 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8):
         ones,
         jnp.asarray(1.0, real_dtype),
         jnp.asarray(0.0, real_dtype),
+        jnp.zeros((s, N), dtype),
+        jnp.asarray(jnp.inf, real_dtype),
+        jnp.asarray(0),
         jnp.asarray(False),
     )
     final = lax.while_loop(cond, body, init)
+    if stagnation_window > 0:
+        # the seed residual is non-monotone (Euclidean CG), so a
+        # CONVERGED exit keeps the final iterate; the best-seed
+        # snapshot only replaces it on a stagnation exit (where the
+        # final iterate may have diverged past the f32 floor)
+        X = jnp.where(final.done, final.x, final.x_best)
+    else:
+        X = final.x
 
     # explicit per-shift true residuals (honesty: the zeta recurrence
     # can drift at the attainable-accuracy floor)
-    AX = jax.vmap(A_mv)(final.x)
-    R = bv[None, :] - AX - sig[:, None].astype(dtype) * final.x
+    AX = jax.vmap(A_mv)(X)
+    R = bv[None, :] - AX - sig[:, None].astype(dtype) * X
     rel = jax.vmap(
         lambda rr: safe_div(jnp.linalg.norm(rr), bnorm)
     )(R)
     status = jnp.where(rel <= tol, CONVERGED, MAXITER)
     return ShiftedResult(
-        X=final.x, resnorms=rel, niter=final.k, status=status
+        X=X, resnorms=rel, niter=final.k, status=status
     )

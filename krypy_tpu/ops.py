@@ -318,8 +318,13 @@ def gmres_polynomial_preconditioner(
         # the default seed must carry the OPERATOR's dtype: arnoldi
         # derives all basis/Hessenberg dtypes from the seed, and a
         # float32 seed would silently truncate a complex or float64
-        # operator's Arnoldi relation (and hence the roots)
-        probe = op(jnp.ones(int(n), jnp.float32))
+        # operator's Arnoldi relation (and hence the roots).
+        # eval_shape learns the dtype without any device work
+        import jax
+
+        probe = jax.eval_shape(
+            op, jax.ShapeDtypeStruct((int(n),), jnp.float32)
+        )
         seed = jnp.ones(int(n), probe.dtype)
     seed = jnp.asarray(seed).reshape(-1)
 

@@ -179,3 +179,19 @@ def test_shifted_cg_collective_count_independent_of_shifts():
                                tol=1e-6, maxiter=64)
     )
     assert n_body_allreduces(few) == n_body_allreduces(many)
+
+
+def test_shifted_cg_f32_divergence_guard_returns_best():
+    """f32 family pushed far past the attainable floor: the seed
+    stagnation guard must return the BEST-seed snapshot (finite, near
+    the floor), never a diverged final iterate (code-review finding)."""
+    n = 2000
+    d = numpy.linspace(1e-2, 1e4, n).astype(numpy.float32)
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.ones(n, jnp.float32)
+    r = F.shifted_cg(A, b, jnp.asarray([0.0, 1.0]), tol=1e-12,
+                     maxiter=n)
+    assert bool(jnp.all(jnp.isfinite(r.X)))
+    # the returned iterates sit near the f32 floor, not at divergence
+    assert float(jnp.max(r.resnorms)) < 1e-2
+    assert int(r.status[0]) == F.MAXITER  # honest: tol unreachable
