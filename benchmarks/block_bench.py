@@ -46,7 +46,7 @@ def main():
 
     walls_seq, walls_blk = [], []
     for rep in range(3):
-        scale = 1.0 + 1e-3 * rep
+        scale = 1.0 + 1e-3 * (rep + 1)
         t0 = time.perf_counter()
         acc = 0.0
         for j in range(k):

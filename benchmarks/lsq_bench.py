@@ -34,7 +34,7 @@ def main():
         float(jnp.sum(r.x))
         walls = []
         for rep in range(4):
-            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             rr = solve(bb)
             float(jnp.sum(rr.x))

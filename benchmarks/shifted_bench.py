@@ -45,7 +45,7 @@ def cg_main(argv):
     sync(single(b).x)
     wm = ws = 1e9
     for rep in range(3):
-        bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+        bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
         t0 = time.perf_counter()
         sync(multi(bb).X)
         wm = min(wm, time.perf_counter() - t0)
@@ -98,7 +98,7 @@ def main():
 
     walls_m, walls_s = [], []
     for rep in range(3):
-        bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+        bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
         t0 = time.perf_counter()
         r = multi(bb)
         sync(r.X)

@@ -36,7 +36,7 @@ def gmres_main(argv):
         float(jnp.sum(r.x))
         walls = []
         for rep in range(4):
-            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             rr = solve(bb)
             float(jnp.sum(rr.x))
@@ -130,7 +130,7 @@ def restarted_main(argv):
         float(jnp.sum(r.x))
         walls = []
         for rep in range(3):
-            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             rr = solve(bb)
             float(jnp.sum(rr.x))
@@ -193,7 +193,7 @@ def main():
         float(jnp.sum(r.x))
         walls = []
         for rep in range(4):
-            bb = jnp.full(N, 1.0 + 1e-3 * rep, jnp.float32)
+            bb = jnp.full(N, 1.0 + 1e-3 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             rr = solve(bb)
             float(jnp.sum(rr.x))
