@@ -65,7 +65,30 @@ def damped_least_squares():
     )
 
 
+def newton_krylov_bratu():
+    """Nonlinear: the 1-D Bratu problem with autodiff JVPs -- no
+    hand-coded Jacobian anywhere."""
+    n = 150
+    h = 1.0 / (n + 1)
+
+    def residual(u):
+        upad = jnp.pad(u, 1)
+        lap = (upad[2:] - 2 * u + upad[:-2]) / h**2
+        return lap + 3.0 * jnp.exp(u)
+
+    r = F.newton_krylov(
+        residual, jnp.zeros(n, jnp.float64), tol=1e-10,
+        inner_maxiter=200, recycle=3,
+    )
+    print(
+        f"newton_krylov (Bratu, lam=3): {r.niter} Newton steps, "
+        f"{r.inner_iters} inner Krylov iterations (Ritz-recycled), "
+        f"final ||F|| = {r.resnorms[-1]:.2e}"
+    )
+
+
 if __name__ == "__main__":
     eig_feeds_deflation()
     polynomial_preconditioning()
     damped_least_squares()
+    newton_krylov_bratu()

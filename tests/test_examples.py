@@ -33,6 +33,7 @@ def test_eig_and_lsq_example(capsys):
     assert "deflated-by-eigsh" in out
     assert "poly precond" in out
     assert "lsmr" in out
+    assert "newton_krylov" in out
 
 
 def test_multichip_example(capsys):
