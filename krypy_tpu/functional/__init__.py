@@ -46,6 +46,7 @@ from .block import block_cg, block_gmres
 from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
+from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
@@ -64,6 +65,7 @@ __all__ = [
     "chebyshev",
     "fgmres",
     "bicgstab",
+    "tfqmr",
     "lsqr",
     "lsmr",
     "eigsh",
