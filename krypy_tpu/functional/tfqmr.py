@@ -52,7 +52,6 @@ class _TfqmrState(NamedTuple):
     eta: jnp.ndarray
     rho: jnp.ndarray
     alpha: jnp.ndarray
-    cur_rel: jnp.ndarray      # quasi-residual bound / ||b||
     best_rel: jnp.ndarray
     stall: jnp.ndarray
     done: jnp.ndarray         # status or -1 while running
@@ -105,6 +104,7 @@ def tfqmr(
     A_mv = cast_matvec(A_mv, dtype)
     M_mv = cast_matvec(M_mv, dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
+    eps = jnp.asarray(jnp.finfo(real_dtype).tiny * 1e4, real_dtype)
 
     def AM(y):
         return A_mv(y if M_mv is None else M_mv(y))
@@ -170,8 +170,9 @@ def tfqmr(
 
         u, uhat, v, rho = lax.cond(even, next_odd, next_even, 0)
 
-        # quasi-residual bound tau * sqrt(m+2) (m+1 half-steps done)
-        bound = tau * jnp.sqrt(1.0 + st.m.astype(real_dtype)) * safe_div(
+        # Freund's quasi-residual bound tau_m * sqrt(m+1) with
+        # m+1 = st.m + 1 half-steps now done -> sqrt(st.m + 2)
+        bound = tau * jnp.sqrt(2.0 + st.m.astype(real_dtype)) * safe_div(
             1.0, bnorm
         )
         cand = bound <= tol
@@ -182,8 +183,13 @@ def tfqmr(
         )
         converged = cand & (rel_true <= tol)
 
-        breakdown = (~jnp.isfinite(bound)) | (
-            jnp.abs(rho) == 0
+        # rho (biorthogonality) or pivot (alpha denominator) vanishing
+        # is a genuine Lanczos breakdown: eps-scaled tests, plus an
+        # alpha that safe_div zeroed at an even half (vanished pivot)
+        breakdown = (
+            (~jnp.isfinite(bound))
+            | (jnp.abs(rho) <= eps * jnp.linalg.norm(w) + eps)
+            | (even & (jnp.abs(alpha) == 0))
         )
         improved = bound < st.best_rel
         stall = jnp.where(improved, 0, st.stall + 1)
@@ -207,7 +213,7 @@ def tfqmr(
         )
         return _TfqmrState(
             st.m + 1, x, w, u, uhat, v, d, tau, theta, eta, rho,
-            alpha, bound, best, stall, done, resnorms,
+            alpha, best, stall, done, resnorms,
         )
 
     def cond(st):
@@ -227,7 +233,6 @@ def tfqmr(
         rho0,
         jnp.zeros((), dtype),
         rel0,
-        rel0,
         jnp.asarray(0),
         start_done,
         resnorms0,
@@ -239,6 +244,8 @@ def tfqmr(
     return SolveResult(
         x=x if flat else x[:, None],
         resnorms=final.resnorms,
-        niter=final.m // 2,
+        # a solve converging at an odd half-step still did real work:
+        # round half-steps UP to full iterations
+        niter=(final.m + 1) // 2,
         status=status,
     )
