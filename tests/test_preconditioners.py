@@ -72,3 +72,44 @@ def test_multigrid_with_dst_coarse():
     res = F.cg(lap, jnp.ones(nx * nx), M=M, tol=1e-10, maxiter=20)
     assert int(res.status) == F.CONVERGED
     assert int(res.niter) <= 8
+
+
+def test_ssor_preconditioner_spd_and_accelerates_cg():
+    """Red-black SSOR: symmetric (the forward+backward sweep order),
+    positive definite, and roughly halves CG iterations vs Jacobi on
+    the Poisson system."""
+    import numpy
+
+    nx = 48
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx)
+    Ms = ops.ssor_poisson_preconditioner(nx)
+    rng = numpy.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(nx * nx))
+    v = jnp.asarray(rng.standard_normal(nx * nx))
+    s1 = float(jnp.vdot(u, Ms(v)))
+    s2 = float(jnp.vdot(Ms(u), v))
+    assert abs(s1 - s2) <= 1e-12 * abs(s1)
+    assert float(jnp.vdot(u, Ms(u))) > 0
+
+    rj = F.cg(lap, b, M=ops.jacobi_preconditioner(lap), tol=1e-8,
+              maxiter=3000)
+    rs = F.cg(lap, b, M=Ms, tol=1e-8, maxiter=3000)
+    assert int(rs.status) == 0
+    assert int(rs.niter) < 0.7 * int(rj.niter)
+    # CG stops on the M-weighted residual; the Euclidean true residual
+    # may sit an epsilon over the tolerance
+    rel = float(jnp.linalg.norm(b - lap(rs.x)) / jnp.linalg.norm(b))
+    assert rel <= 5e-8
+
+
+def test_ssor_preconditioner_rectangular_and_sweeps():
+    nx, ny = 24, 40
+    lap = ops.poisson_2d(nx, ny)
+    b = jnp.ones(nx * ny)
+    M1 = ops.ssor_poisson_preconditioner(nx, ny, sweeps=1)
+    M2 = ops.ssor_poisson_preconditioner(nx, ny, sweeps=3)
+    r1 = F.cg(lap, b, M=M1, tol=1e-8, maxiter=2000)
+    r2 = F.cg(lap, b, M=M2, tol=1e-8, maxiter=2000)
+    assert int(r1.status) == 0 and int(r2.status) == 0
+    assert int(r2.niter) <= int(r1.niter)  # more sweeps, fewer iters
