@@ -562,7 +562,7 @@ def ssor_poisson_preconditioner(nx, ny=None, omega=1.0, sweeps=1):
 
 def multigrid_poisson_preconditioner(
     nx, nu_pre=2, nu_post=2, omega=0.8, coarsest=7, coarse_sweeps=20,
-    coarse_solver=None, impl="jnp",
+    coarse_solver=None, impl="jnp", smoother="jacobi",
 ):
     r"""Geometric multigrid V-cycle preconditioner for the 2-D Dirichlet
     Poisson operator -- the mesh-independent production preconditioner.
@@ -577,9 +577,17 @@ def multigrid_poisson_preconditioner(
     (The reference has no preconditioner library -- preconditioners are
     user-supplied operators; this is part of the TPU-native operator
     gallery.)
+
+    :param smoother: ``"jacobi"`` (damped, ``omega``) or ``"rbgs"``
+      (red-black Gauss-Seidel: two checkerboard half-updates per sweep,
+      smoothing factor ~0.25 vs Jacobi's ~0.5; the POST-smoother runs
+      the colors in reversed order so the V-cycle stays symmetric and
+      remains a valid CG preconditioner).
     """
     if (nx + 1) & nx != 0:
         raise ValueError("multigrid requires nx = 2^k - 1")
+    if smoother not in ("jacobi", "rbgs"):
+        raise ValueError(f"unknown smoother {smoother!r}")
     if coarse_solver == "dst":
         coarse_solver = poisson_dst_solver(coarsest)
 
@@ -602,9 +610,31 @@ def multigrid_poisson_preconditioner(
         h2 = (1.0 / (nx_l + 1)) ** 2
         diag = 4.0 / h2
 
-        def smooth(u, n_sweeps):
-            def step(u):
-                return u + (omega / diag) * (r - lap_grid(u, nx_l, h2))
+        if smoother == "rbgs":
+            ii = jnp.arange(nx_l)[:, None] + jnp.arange(nx_l)[None, :]
+            red = (ii % 2 == 0)
+
+        def smooth(u, n_sweeps, reverse=False):
+            if smoother == "rbgs":
+                def half(u, mask):
+                    # exact GS for the color: u_c <- (r - offdiag u)/d,
+                    # via the residual form u + (r - A u)/d on the color
+                    return jnp.where(
+                        mask,
+                        u + (1.0 / diag) * (r - lap_grid(u, nx_l, h2)),
+                        u,
+                    )
+
+                order = (~red, red) if reverse else (red, ~red)
+
+                def step(u):
+                    u = half(u, order[0])
+                    return half(u, order[1])
+            else:
+                def step(u):
+                    return u + (omega / diag) * (
+                        r - lap_grid(u, nx_l, h2)
+                    )
 
             if n_sweeps <= 4:
                 for _ in range(n_sweeps):
@@ -619,13 +649,28 @@ def multigrid_poisson_preconditioner(
         if nx_l <= coarsest:
             if coarse_solver is not None:
                 return coarse_solver(r.reshape(-1)).reshape(r.shape)
+            if smoother == "rbgs":
+                # palindromic sweeps (forward, reverse) keep the coarse
+                # smoothing operator exactly symmetric
+                import jax.lax as lax
+
+                def sym_step(i, u):
+                    u = smooth(u, 1)
+                    return smooth(u, 1, reverse=True)
+
+                return lax.fori_loop(
+                    0, max(1, coarse_sweeps // 2), sym_step,
+                    jnp.zeros_like(r),
+                )
             return smooth(jnp.zeros_like(r), coarse_sweeps)
 
         u = smooth(jnp.zeros_like(r), nu_pre)
         res = r - lap_grid(u, nx_l, h2)
         ec = vcycle(_restrict_fw(res), (nx_l - 1) // 2)
         u = u + _prolong_bilinear(ec, nx_l)
-        return smooth(u, nu_post)
+        # reversed color order in post-smoothing keeps the cycle
+        # symmetric (S_post = S_pre^T)
+        return smooth(u, nu_post, reverse=True)
 
     def matvec(x):
         r = x.reshape(nx, nx)

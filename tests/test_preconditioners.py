@@ -113,3 +113,31 @@ def test_ssor_preconditioner_rectangular_and_sweeps():
     r2 = F.cg(lap, b, M=M2, tol=1e-8, maxiter=2000)
     assert int(r1.status) == 0 and int(r2.status) == 0
     assert int(r2.niter) <= int(r1.niter)  # more sweeps, fewer iters
+
+
+def test_multigrid_rbgs_smoother_symmetric_and_effective():
+    """smoother='rbgs': red-black GS smoothing with reversed-color
+    post-sweeps and palindromic coarse sweeps keeps the V-cycle exactly
+    symmetric (valid CG preconditioner) and converges in no more outer
+    iterations than damped Jacobi."""
+    import numpy
+
+    nx = 127
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx)
+    mg_j = ops.multigrid_poisson_preconditioner(nx)
+    mg_g = ops.multigrid_poisson_preconditioner(nx, smoother="rbgs")
+    rj = F.cg(lap, b, M=mg_j, tol=1e-10, maxiter=100)
+    rg = F.cg(lap, b, M=mg_g, tol=1e-10, maxiter=100)
+    assert int(rg.status) == 0
+    assert int(rg.niter) <= int(rj.niter)
+
+    rng = numpy.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(nx * nx))
+    v = jnp.asarray(rng.standard_normal(nx * nx))
+    s1 = float(jnp.vdot(u, mg_g(v)))
+    s2 = float(jnp.vdot(mg_g(u), v))
+    assert abs(s1 - s2) <= 1e-12 * abs(s1)
+
+    with pytest.raises(ValueError, match="smoother"):
+        ops.multigrid_poisson_preconditioner(nx, smoother="zz")
