@@ -50,7 +50,13 @@ from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .newton import NewtonResult, newton_krylov
-from .funm import expm_multiply, funm_krylov, inv_sqrt_multiply
+from .funm import (
+    expm_multiply,
+    funm_krylov,
+    inv_sqrt_multiply,
+    slq_logdet,
+    slq_trace,
+)
 from .shifted import ShiftedResult, shifted_cg, shifted_gmres
 
 __all__ = [
@@ -75,6 +81,8 @@ __all__ = [
     "funm_krylov",
     "expm_multiply",
     "inv_sqrt_multiply",
+    "slq_trace",
+    "slq_logdet",
     "shifted_gmres",
     "shifted_cg",
     "ShiftedResult",

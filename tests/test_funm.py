@@ -149,3 +149,44 @@ def test_inv_sqrt_multiply_guards():
         F.inv_sqrt_multiply(
             ops.diagonal(jnp.ones(8)), jnp.ones(8), lmin=-1.0, lmax=1.0
         )
+
+
+def test_slq_logdet_diagonal_zero_variance():
+    """Rademacher probes on a DIAGONAL operator have zero Hutchinson
+    variance (z_i^2 = 1), so the estimate equals the exact logdet up to
+    pure Lanczos-quadrature error."""
+    n = 400
+    d = numpy.linspace(0.5, 20.0, n)
+    A = ops.diagonal(jnp.asarray(d))
+    est, se = F.slq_logdet(A, jax.random.PRNGKey(0), n_probes=8,
+                           maxdim=30)
+    exact = numpy.sum(numpy.log(d))
+    assert abs(float(est) - exact) <= 1e-5 * abs(exact)
+    assert float(se) <= 1e-8 * abs(exact)
+
+
+def test_slq_logdet_dense_within_error_bars():
+    rng = numpy.random.default_rng(0)
+    n = 200
+    Q, _ = numpy.linalg.qr(rng.standard_normal((n, n)))
+    d = numpy.linspace(1.0, 30.0, n)
+    Am = Q @ numpy.diag(d) @ Q.T
+    exact = numpy.linalg.slogdet(Am)[1]
+    est, se = F.slq_logdet(jnp.asarray(Am), jax.random.PRNGKey(2),
+                           n_probes=48, maxdim=30)
+    # statistical agreement: within 4 standard errors
+    assert abs(float(est) - exact) <= 4.0 * float(se) + 1e-6 * abs(exact)
+
+
+def test_slq_trace_inverse_and_reproducibility():
+    n = 300
+    d = numpy.linspace(1.0, 50.0, n)
+    A = ops.diagonal(jnp.asarray(d))
+    key = jax.random.PRNGKey(7)
+    e1, s1 = F.slq_trace(A, lambda w: 1.0 / w, key, n_probes=8,
+                         maxdim=40)
+    e2, s2 = F.slq_trace(A, lambda w: 1.0 / w, key, n_probes=8,
+                         maxdim=40)
+    assert float(e1) == float(e2)  # same key -> bitwise identical
+    exact = numpy.sum(1.0 / d)
+    assert abs(float(e1) - exact) <= 1e-4 * exact
