@@ -261,8 +261,18 @@ def slq_trace(
         n = shape[0]
     N = int(n)
 
+    # dtype follows the OPERATOR (eval_shape: no device work) -- a
+    # float32 operator stays f32, and a complex Hermitian operator is
+    # NOT silently truncated to real (which would return a wrong
+    # logdet with near-zero error bars)
+    # probe with the WEAKEST real dtype: fixed-dtype operators promote
+    # the result to their own width; dtype-adaptive operators stay
+    # narrow instead of being silently upcast
+    out_aval = jax.eval_shape(
+        A_mv, jax.ShapeDtypeStruct((N,), jnp.float32)
+    )
+    dtype = out_aval.dtype
     probe = jax.random.rademacher(key, (int(n_probes), N))
-    dtype = jnp.zeros(0).dtype  # default float
     Z = probe.astype(dtype)
     A_mv = cast_matvec(A_mv, dtype)
     real_dtype = jnp.zeros(0, dtype).real.dtype
@@ -285,9 +295,15 @@ def slq_trace(
 
     vals = jax.vmap(quad_form)(Z)
     est = jnp.mean(vals)
-    stderr = jnp.std(vals) * safe_div(
-        1.0, jnp.sqrt(jnp.asarray(float(n_probes), real_dtype))
-    )
+    if int(n_probes) > 1:
+        # sample standard error (ddof=1); population std would bias
+        # the bar low
+        stderr = jnp.std(vals, ddof=1) * safe_div(
+            1.0, jnp.sqrt(jnp.asarray(float(n_probes), real_dtype))
+        )
+    else:
+        # a single probe carries no variance information
+        stderr = jnp.asarray(jnp.inf, real_dtype)
     return est, stderr
 
 

@@ -507,6 +507,18 @@ def poisson_dst_solver(nx, ny=None):
     return matvec
 
 
+def _rb_gs_half(u, r, mask, diag, omega, apply_A):
+    """One red-black Gauss-Seidel HALF-update on a grid: the masked
+    color's exact GS value via the residual form
+    ``u + (omega/diag)(r - A u)`` (equals ``(1-omega)u +
+    (omega/diag)(r - offdiag(u))`` since ``A u = diag*u + offdiag(u)``).
+    Shared by :func:`ssor_poisson_preconditioner` and the multigrid
+    ``smoother='rbgs'`` path."""
+    return jnp.where(
+        mask, u + (omega / diag) * (r - apply_A(u)), u
+    )
+
+
 def ssor_poisson_preconditioner(nx, ny=None, omega=1.0, sweeps=1):
     r"""Red-black SSOR preconditioner for the 2-D 5-point Laplacian.
 
@@ -532,18 +544,11 @@ def ssor_poisson_preconditioner(nx, ny=None, omega=1.0, sweeps=1):
     ii = jnp.arange(nx)[:, None] + jnp.arange(ny)[None, :]
     red = (ii % 2 == 0)
 
-    def offdiag(u):
-        """Off-diagonal part of the 5-point Laplacian on the grid."""
-        up = jnp.pad(u, 1)
-        return (
-            -(up[:-2, 1:-1] + up[2:, 1:-1]
-              + up[1:-1, :-2] + up[1:-1, 2:])
-            / h2
-        )
+    def apply_A(u):
+        return _lap2d_grid(u, h2)
 
     def color_update(u, r, mask):
-        unew = (omega / diag) * (r - offdiag(u)) + (1.0 - omega) * u
-        return jnp.where(mask, unew, u)
+        return _rb_gs_half(u, r, mask, diag, omega, apply_A)
 
     def matvec(rv):
         r = rv.reshape(nx, ny)
@@ -578,11 +583,14 @@ def multigrid_poisson_preconditioner(
     user-supplied operators; this is part of the TPU-native operator
     gallery.)
 
-    :param smoother: ``"jacobi"`` (damped, ``omega``) or ``"rbgs"``
-      (red-black Gauss-Seidel: two checkerboard half-updates per sweep,
-      smoothing factor ~0.25 vs Jacobi's ~0.5; the POST-smoother runs
-      the colors in reversed order so the V-cycle stays symmetric and
-      remains a valid CG preconditioner).
+    :param smoother: ``"jacobi"`` (damped by ``omega``) or ``"rbgs"``
+      (red-black Gauss-Seidel at ``omega = 1`` -- the ``omega``
+      parameter applies to the Jacobi smoother only: two checkerboard
+      half-updates per sweep, smoothing factor ~0.25 vs Jacobi's ~0.5;
+      the POST-smoother runs the colors in reversed order so the
+      V-cycle stays symmetric and remains a valid CG preconditioner,
+      and the coarse level rounds ``coarse_sweeps`` UP to symmetric
+      (forward, reverse) pairs).
     """
     if (nx + 1) & nx != 0:
         raise ValueError("multigrid requires nx = 2^k - 1")
@@ -616,20 +624,20 @@ def multigrid_poisson_preconditioner(
 
         def smooth(u, n_sweeps, reverse=False):
             if smoother == "rbgs":
-                def half(u, mask):
-                    # exact GS for the color: u_c <- (r - offdiag u)/d,
-                    # via the residual form u + (r - A u)/d on the color
-                    return jnp.where(
-                        mask,
-                        u + (1.0 / diag) * (r - lap_grid(u, nx_l, h2)),
-                        u,
-                    )
-
+                # shared red-black half-update (residual form, omega=1:
+                # plain Gauss-Seidel; the `omega` parameter applies to
+                # the Jacobi smoother only)
                 order = (~red, red) if reverse else (red, ~red)
 
                 def step(u):
-                    u = half(u, order[0])
-                    return half(u, order[1])
+                    u = _rb_gs_half(
+                        u, r, order[0], diag, 1.0,
+                        lambda uu: lap_grid(uu, nx_l, h2),
+                    )
+                    return _rb_gs_half(
+                        u, r, order[1], diag, 1.0,
+                        lambda uu: lap_grid(uu, nx_l, h2),
+                    )
             else:
                 def step(u):
                     return u + (omega / diag) * (
@@ -658,8 +666,10 @@ def multigrid_poisson_preconditioner(
                     u = smooth(u, 1)
                     return smooth(u, 1, reverse=True)
 
+                # round UP to symmetric pairs: coarse_sweeps=k runs
+                # ceil(k/2) (forward, reverse) pairs = k or k+1 sweeps
                 return lax.fori_loop(
-                    0, max(1, coarse_sweeps // 2), sym_step,
+                    0, (coarse_sweeps + 1) // 2, sym_step,
                     jnp.zeros_like(r),
                 )
             return smooth(jnp.zeros_like(r), coarse_sweeps)
