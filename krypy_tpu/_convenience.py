@@ -3,48 +3,103 @@
 ``cg``/``minres``/``gmres`` build a :class:`~krypy_tpu.linsys.LinearSystem`,
 dispatch to the plain or deflated solver depending on whether a deflation
 basis ``U`` is passed, and return ``(solution_or_None, solver)``.
+
+Structure: all three one-liners funnel through a single driver
+(:func:`_launch`) parameterized by a per-method spec row -- the solver
+pair, the system flags the method assumes, and whether the method takes an
+``ortho`` knob -- instead of three hand-expanded function bodies.
 """
 
 import jax.numpy as jnp
 
-from .deflation import DeflatedCg, DeflatedGmres, DeflatedMinres
-from .linsys import Cg, Gmres, LinearSystem, Minres
+from . import deflation, linsys
 
 __all__ = ["cg", "minres", "gmres"]
 
 
 def wrap_inner_product(inner):
     """Lift a scalar inner product ``inner(x_vec, y_vec)`` to the block
-    form expected internally (reference: krypy/_convenience.py:10-16)."""
+    form expected internally (reference semantics:
+    krypy/_convenience.py:10-16)."""
 
-    def _wrap(a, b):
-        if a.shape[1] == 0:
+    def _blocked(X, Y):
+        if X.shape[1] == 0:
             return jnp.array([[]])
-        return jnp.array([[inner(a[:, 0], b[:, 0])]])
+        return jnp.asarray(inner(X[:, 0], Y[:, 0])).reshape(1, 1)
 
-    return _wrap
-
-
-def _prepare(A, b, U, x0, inner_product):
-    assert len(A.shape) == 2
-    assert A.shape[0] == A.shape[1]
-    assert A.shape[1] == b.shape[0]
-    if inner_product:
-        inner_product = wrap_inner_product(inner_product)
-    if U is not None:
-        U = jnp.reshape(jnp.asarray(U), (U.shape[0], -1))
-    if x0 is not None:
-        x0 = jnp.reshape(jnp.asarray(x0), (x0.shape[0], -1))
-    return U, x0, inner_product
+    return _blocked
 
 
-def _result(out, b):
-    sol = (
-        jnp.reshape(out.xk, b.shape)
-        if out.resnorms[-1] < out.tol
-        else None
+#: method name -> (plain solver, deflated solver, LinearSystem flags,
+#: accepts ``ortho``)
+_METHODS = {
+    "cg": (
+        linsys.Cg,
+        deflation.DeflatedCg,
+        dict(self_adjoint=True, positive_definite=True),
+        False,
+    ),
+    "minres": (linsys.Minres, deflation.DeflatedMinres,
+               dict(self_adjoint=True), True),
+    "gmres": (linsys.Gmres, deflation.DeflatedGmres, dict(), True),
+}
+
+
+def _as_columns(v):
+    """None-passthrough reshape of a vector/block to ``(N, cols)``."""
+    if v is None:
+        return None
+    v = jnp.asarray(v)
+    return v.reshape(v.shape[0], -1)
+
+
+def _launch(method, A, b, options):
+    """Shared driver of the one-liners: validate shapes, assemble the
+    linear system with the method's assumed flags, pick the plain or
+    deflated solver class, run it, and shape the result like ``b``."""
+    if len(A.shape) != 2 or A.shape[0] != A.shape[1]:
+        raise AssertionError("A must be square")
+    if A.shape[1] != b.shape[0]:
+        raise AssertionError("A and b dimensions mismatch")
+
+    Plain, Deflated, flags, has_ortho = _METHODS[method]
+
+    ip = options.pop("inner_product")
+    system = linsys.LinearSystem(
+        A=A,
+        b=b,
+        M=options.pop("M"),
+        Minv=options.pop("Minv"),
+        Ml=options.pop("Ml"),
+        ip_B=wrap_inner_product(ip) if ip else ip,
+        exact_solution=options.pop("exact_solution"),
+        **flags,
     )
-    return sol, out
+    # the reference accepts Mr but never forwards it; mirrored for parity
+    options.pop("Mr")
+
+    solver_kwargs = dict(
+        x0=_as_columns(options.pop("x0")),
+        tol=options.pop("tol"),
+        maxiter=options.pop("maxiter"),
+        explicit_residual=options.pop("use_explicit_residual"),
+        store_arnoldi=options.pop("store_arnoldi"),
+    )
+    if has_ortho:
+        solver_kwargs["ortho"] = options.pop("ortho")
+
+    U = _as_columns(options.pop("U"))
+    if options:
+        raise TypeError(f"unexpected options: {sorted(options)}")
+
+    if U is None:
+        solver = Plain(system, **solver_kwargs)
+    else:
+        solver = Deflated(system, U=U, **solver_kwargs)
+
+    converged = solver.resnorms[-1] < solver.tol
+    x = jnp.reshape(solver.xk, b.shape) if converged else None
+    return x, solver
 
 
 def cg(
@@ -68,30 +123,12 @@ def cg(
     :return: ``(x, solver)`` with ``x=None`` if the tolerance was not
       reached.
     """
-    U, x0, inner_product = _prepare(A, b, U, x0, inner_product)
-    linear_system = LinearSystem(
-        A=A,
-        b=b,
-        M=M,
-        Minv=Minv,
-        Ml=Ml,
-        ip_B=inner_product,
-        self_adjoint=True,
-        positive_definite=True,
-        exact_solution=exact_solution,
-    )
-    kwargs = dict(
-        x0=x0,
-        tol=tol,
-        maxiter=maxiter,
-        explicit_residual=use_explicit_residual,
+    return _launch("cg", A, b, dict(
+        M=M, Minv=Minv, Ml=Ml, Mr=Mr, inner_product=inner_product,
+        exact_solution=exact_solution, x0=x0, U=U, tol=tol, maxiter=maxiter,
+        use_explicit_residual=use_explicit_residual,
         store_arnoldi=store_arnoldi,
-    )
-    if U is None:
-        out = Cg(linear_system, **kwargs)
-    else:
-        out = DeflatedCg(linear_system, U=U, **kwargs)
-    return _result(out, b)
+    ))
 
 
 def minres(
@@ -112,30 +149,12 @@ def minres(
     store_arnoldi=False,
 ):
     """MINRES one-liner; see :class:`~krypy_tpu.linsys.Minres`."""
-    U, x0, inner_product = _prepare(A, b, U, x0, inner_product)
-    linear_system = LinearSystem(
-        A=A,
-        b=b,
-        M=M,
-        Minv=Minv,
-        Ml=Ml,
-        ip_B=inner_product,
-        self_adjoint=True,
-        exact_solution=exact_solution,
-    )
-    kwargs = dict(
-        ortho=ortho,
-        x0=x0,
-        tol=tol,
-        maxiter=maxiter,
-        explicit_residual=use_explicit_residual,
+    return _launch("minres", A, b, dict(
+        M=M, Minv=Minv, Ml=Ml, Mr=Mr, inner_product=inner_product,
+        exact_solution=exact_solution, ortho=ortho, x0=x0, U=U, tol=tol,
+        maxiter=maxiter, use_explicit_residual=use_explicit_residual,
         store_arnoldi=store_arnoldi,
-    )
-    if U is None:
-        out = Minres(linear_system, **kwargs)
-    else:
-        out = DeflatedMinres(linear_system, U=U, **kwargs)
-    return _result(out, b)
+    ))
 
 
 def gmres(
@@ -156,26 +175,9 @@ def gmres(
     store_arnoldi=False,
 ):
     """GMRES one-liner; see :class:`~krypy_tpu.linsys.Gmres`."""
-    U, x0, inner_product = _prepare(A, b, U, x0, inner_product)
-    linear_system = LinearSystem(
-        A=A,
-        b=b,
-        M=M,
-        Minv=Minv,
-        Ml=Ml,
-        ip_B=inner_product,
-        exact_solution=exact_solution,
-    )
-    kwargs = dict(
-        ortho=ortho,
-        x0=x0,
-        tol=tol,
-        maxiter=maxiter,
-        explicit_residual=use_explicit_residual,
+    return _launch("gmres", A, b, dict(
+        M=M, Minv=Minv, Ml=Ml, Mr=Mr, inner_product=inner_product,
+        exact_solution=exact_solution, ortho=ortho, x0=x0, U=U, tol=tol,
+        maxiter=maxiter, use_explicit_residual=use_explicit_residual,
         store_arnoldi=store_arnoldi,
-    )
-    if U is None:
-        out = Gmres(linear_system, **kwargs)
-    else:
-        out = DeflatedGmres(linear_system, U=U, **kwargs)
-    return _result(out, b)
+    ))

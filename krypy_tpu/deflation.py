@@ -41,7 +41,7 @@ class _Projection(utils.Projection):
 
     def __init__(self, linear_system, U, **kwargs):
         raise NotImplementedError(
-            "abstract base class cannot be instanciated"
+            "abstract base class cannot be instantiated"
         )
 
 
@@ -225,8 +225,8 @@ class _DeflationMixin:
             from .errors import RuntimeError as KrypyRuntimeError
 
             raise KrypyRuntimeError(
-                "A `TimedLinearSystem` has to be used in order to obtain "
-                "timings."
+                "estimate_time needs measured per-operator timings: wrap "
+                "the system in a TimedLinearSystem."
             )
         timings = self.linear_system.timings
         return timings.get_ops(solver_ops) + deflweight * timings.get_ops(
@@ -770,8 +770,8 @@ class Ritz:
 
         if not isinstance(projection, ObliqueProjection):
             raise ArgumentError(
-                "Invalid projection used in deflated_solver. "
-                "Valid are ObliqueProjection"
+                "deflated_solver carries an unsupported projection type; "
+                "only ObliqueProjection is handled here."
             )
 
         E = np.asarray(deflated_solver.E)
@@ -808,8 +808,7 @@ class Ritz:
             self.values[zero] = np.inf
         else:
             raise ArgumentError(
-                f"Invalid value '{mode}' for 'mode'. "
-                "Valid are ritz and harmonic."
+                f"unknown mode '{mode}' (choose 'ritz' or 'harmonic')"
             )
 
         # normalize coefficient vectors
