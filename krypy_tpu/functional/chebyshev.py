@@ -191,12 +191,12 @@ def chebyshev(
         )
 
     def cond(state):
-        return (
-            (state.cur_rel > tol)
-            & (state.j < blocks)
-            & (state.stall < stagnation_window)
-            & ~state.broken
-        )
+        go = (state.cur_rel > tol) & (state.j < blocks) & ~state.broken
+        # stagnation_window == 0 disables the guard, matching the
+        # convention of the sibling solvers (cg/bicgstab/tfqmr)
+        if stagnation_window > 0:
+            go = go & (state.stall < stagnation_window)
+        return go
 
     init = _ChebState(
         jnp.asarray(0),

@@ -24,6 +24,8 @@ require square systems, krypy/linsys.py:38-123); this module is
 TPU-native extra capability with the same SolveResult contract.
 """
 
+import warnings
+
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -66,8 +68,12 @@ def _setup(A, Ah):
 
 def _x_dimension(A, x0, M, dtype):
     """x0 vector and x dimension: from x0 when given, else the
-    operator's shape (matrices AND callable LinearOperators), else the
-    square fallback N = M."""
+    operator's shape (matrices AND callable LinearOperators).
+
+    For a shapeless callable without x0 the square fallback N = M is
+    used, with a warning: if the system is actually rectangular, the
+    solve would otherwise start from a wrong-dimension zero vector and
+    fail later with an opaque shape/broadcast error."""
     if x0 is not None:
         x0v = jnp.asarray(x0).reshape(-1).astype(dtype)
         return x0v, x0v.shape[0]
@@ -75,6 +81,11 @@ def _x_dimension(A, x0, M, dtype):
     if shape is not None and len(shape) == 2 and shape[1] is not None:
         N = int(shape[1])
     else:
+        warnings.warn(
+            "operator has no .shape and no x0 was given: assuming a "
+            "SQUARE system (N = M). For rectangular problems pass x0= "
+            "or give the operator a .shape."
+        )
         N = M
     return jnp.zeros(N, dtype), N
 

@@ -35,7 +35,7 @@ _COMPILED_CACHE_MAX = 16
 
 
 def _refine_to_compiled(
-    A64, b, inner_solve, *, tol, max_cycles, x0, inner_dtype
+    A64, b, inner_solve, *, tol, max_cycles, x0, inner_dtype, warm=True
 ):
     b64 = jnp.asarray(b, jnp.float64)
     N = b64.reshape(-1).shape[0]
@@ -105,11 +105,14 @@ def _refine_to_compiled(
         _COMPILED_CACHE[key] = run
 
     # warm the compile outside the timed region (one full throwaway
-    # solve on first use of this cache entry)
-    if not getattr(run, "_warmed", False):
+    # solve on first use of this cache entry); warm_s reports it
+    warm_s = 0.0
+    if warm and not getattr(run, "_warmed", False):
+        tw = time.perf_counter()
         bxw, hw, sw = run(b64, x_init)
         np.asarray(sw)
         run._warmed = True
+        warm_s = time.perf_counter() - tw
 
     t0 = time.perf_counter()
     bx, hist, stats = run(b64, x_init)
@@ -133,6 +136,7 @@ def _refine_to_compiled(
         "cycles": cycles,
         "inner_iters": inner_iters,
         "wall_s": wall,
+        "warm_s": warm_s,
     }
 
 
@@ -146,6 +150,7 @@ def refine_to(
     x0=None,
     inner_dtype=jnp.float32,
     compiled=False,
+    warm=True,
 ):
     """Solve ``A x = b`` to float64 relative residual ``tol`` by iterative
     refinement around a lower-precision compiled inner solver.
@@ -177,11 +182,20 @@ def refine_to(
       (tol / max_cycles / non-improving cycle), same best-iterate
       return; requires ``inner_solve`` to be traceable (every
       functional-lane solver is).
+
+      NOTE: on the first use of each cache entry the compiled path runs
+      one full hidden warm-up solve so that compile time is not billed
+      to ``wall_s`` (unlike the eager path, whose wall includes all
+      work).  ``info['warm_s']`` reports that warm-up (0.0 when the
+      entry was already warm); pass ``warm=False`` to skip it and let
+      the first timed call carry the compile.
+    :param warm: compiled path only -- run the hidden warm-up solve on
+      a cold cache entry (default True).
     """
     if compiled:
         return _refine_to_compiled(
             A64, b, inner_solve, tol=tol, max_cycles=max_cycles, x0=x0,
-            inner_dtype=inner_dtype,
+            inner_dtype=inner_dtype, warm=warm,
         )
     b64 = jnp.asarray(b, jnp.float64)
     bnorm = float(jnp.linalg.norm(b64))

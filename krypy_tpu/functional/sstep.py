@@ -207,12 +207,11 @@ def ca_cg(
         )
 
     def cond(state):
-        return (
-            (state.cur_rel > tol)
-            & (state.j < blocks)
-            & (state.stall < stagnation_window)
-            & ~state.broken
-        )
+        go = (state.cur_rel > tol) & (state.j < blocks) & ~state.broken
+        # stagnation_window == 0 disables the guard (package convention)
+        if stagnation_window > 0:
+            go = go & (state.stall < stagnation_window)
+        return go
 
     init = _CaCgState(
         jnp.asarray(0),
@@ -290,6 +289,22 @@ def modified_leja(ev):
             )
         pick(idx)
     return ev[order]
+
+
+def _leja_head(ev, s):
+    """First ``s`` Leja-ordered shifts, never splitting a conjugate pair.
+
+    ``modified_leja`` keeps conjugate pairs adjacent (Im>0 opener first);
+    a plain ``[:s]`` cut can then strand an opener whose conjugate falls
+    just outside the window.  The Newton basis applies an unpaired opener
+    with only its real part and no pair-correction step -- algebraically
+    consistent, but the basis conditioning silently degrades versus the
+    advertised Leja quality.  Collapse such an opener to its real part so
+    every retained shift is applied exactly as ordered."""
+    head = np.asarray(ev, complex)[:s].copy()
+    if s >= 1 and head[-1].imag > 0:
+        head[-1] = head[-1].real
+    return head
 
 
 def _arnoldi_warmup(MlAMr, seed, s, dtype):
@@ -543,7 +558,7 @@ def ca_gmres(
 
     if use_newton:
         if shifts is not None:
-            ev = modified_leja(np.asarray(shifts))[:s]
+            ev = _leja_head(modified_leja(np.asarray(shifts)), s)
             if ev.size < s:
                 raise ValueError(f"need >= {s} shifts, got {ev.size}")
             theta_re = jnp.asarray(ev.real, real_dtype)
@@ -564,7 +579,7 @@ def ca_gmres(
                 # non-Hermitian eig is host-LAPACK by design
                 # (docs/DESIGN.md section 7)
                 ev = np.linalg.eigvals(np.asarray(Hs)[:wu, :wu])
-                ev = modified_leja(ev)[:s]
+                ev = _leja_head(modified_leja(ev), s)
                 npr = np.dtype(jnp.zeros(0, real_dtype).dtype)
                 return ev.real.astype(npr), ev.imag.astype(npr)
 
@@ -753,12 +768,11 @@ def ca_gmres(
         )
 
     def cond(state):
-        return (
-            (state.cur_rel > tol)
-            & (state.j < blocks)
-            & (state.stall < stagnation_window)
-            & ~state.broken
-        )
+        go = (state.cur_rel > tol) & (state.j < blocks) & ~state.broken
+        # stagnation_window == 0 disables the guard (package convention)
+        if stagnation_window > 0:
+            go = go & (state.stall < stagnation_window)
+        return go
 
     init = _CaGmresState(
         jnp.asarray(0),
