@@ -186,36 +186,46 @@ def config4_shifted_laplacian_deflated(nx):
     }
 
 
-def config5_recycling_sequence(n, n_sys):
+def config5_nls_newton_recycling(nx, recycle=3):
+    """BASELINE config 5 as specified: a RecyclingGmres sequence over the
+    REAL Jacobian solves of a Newton iteration on the stationary
+    nonlinear-Schrödinger equation (manufactured Gaussian-bump solution,
+    symmetric-indefinite Jacobians ``-Lap + 3 kappa u^2 - lam``)."""
     from krypy_tpu import functional as F, ops
 
-    # planted-outlier SPD sequence, slowly varying (the recycling regime);
-    # outlier depth chosen within float32 attainable accuracy
-    base = np.linspace(1, 2, n)
-    base[:4] = [1e-4, 1e-3, 5e-3, 2e-2]
-    rec = F.RecyclingGmres(n_vectors=3, which="sm", hermitian=True)
-    b = jnp.ones(n, jnp.float32)
-    # pre-compile the plain + deflated cores for the operator family
-    # (serving warm-up; one compile per structure for the whole sequence)
-    op0 = ops.diagonal(jnp.asarray(base, dtype=jnp.float32))
+    func, ustar = ops.nls_residual_2d(nx, kappa=1.0, lam=25.0)
+    N = nx * nx
+    x0 = jnp.zeros(N, jnp.float32)
+    rec = F.RecyclingGmres(n_vectors=recycle, which="sm", hermitian=True)
+
     t0 = time.perf_counter()
-    rec.warmup(op0, b, tol=1e-4, maxiter=n)
-    warmup_s = round(time.perf_counter() - t0, 4)
-    iters, walls = [], []
-    for i in range(n_sys):
-        d = base * (1.0 + 0.01 * i)
-        op = ops.diagonal(jnp.asarray(d, dtype=jnp.float32))
-        t0 = time.perf_counter()
-        r = rec.solve(op, b, tol=1e-4, maxiter=n)
-        float(jnp.sum(r.x))
-        walls.append(round(time.perf_counter() - t0, 4))
-        iters.append(int(r.niter))
+    res = F.newton_krylov(
+        func, x0, tol=1e-6, maxiter=15, inner_maxiter=250,
+        recycling_solver=rec, warmup=True,
+    )
+    total_s = round(time.perf_counter() - t0, 4)
+
+    walls = [round(w, 4) for w in res.inner_walls.tolist()]
+    iters = res.inner_history.tolist()
+    # steady-state transient check (VERDICT r2 item 3): later solves must
+    # not cost multiples of the final one
+    transient = (
+        round(max(walls[1:]) / walls[-1], 2)
+        if len(walls) > 2 and walls[-1] > 0 else 1.0
+    )
     return {
-        "config": f"5_recycling_sequence_n{n}x{n_sys}",
-        "warmup_s": warmup_s,
-        "iters": iters,
+        "config": f"5_nls_newton_recycling_{N}dof_x{len(iters)}solves",
+        "newton_steps": int(res.niter),
+        "fnorm_final": float(res.resnorms[-1]),
+        "converged": bool(res.converged),
+        "inner_iters": iters,
         "walls_s": walls,
-        "improved": bool(min(iters[1:]) < iters[0]),
+        "total_s": total_s,
+        "max_transient_vs_last": transient,
+        # recycling kicks in from solve 2 (solve 1 has no Ritz data);
+        # solve 1 additionally runs at the loose initial forcing term, so
+        # the decay signal is iters within the recycled tail
+        "improved": bool(len(iters) > 2 and min(iters[2:]) <= iters[1]),
     }
 
 
@@ -228,14 +238,14 @@ def main():
     nx2 = 127 if small else 1023
     nx3 = 63 if small else 255
     nx4 = 32 if small else 64
-    n5 = 120 if small else 400
+    nx5 = 24 if small else 96
 
     for fn in (
         config1_readme_gmres,
         lambda: config2_poisson_cg_minres(nx2),
         lambda: config3_convdiff_restarted_gmres(nx3),
         lambda: config4_shifted_laplacian_deflated(nx4),
-        lambda: config5_recycling_sequence(n5, 5),
+        lambda: config5_nls_newton_recycling(nx5),
     ):
         print(json.dumps(fn()), flush=True)
 

@@ -27,11 +27,14 @@ from .cg import cg
 from .minres import minres
 from .gmres import gmres, restarted_gmres
 from .deflation import (
+    AutoRecyclingGmres,
     RecyclingGmres,
+    assemble_ritz_vectors,
     deflated_cg,
     deflated_gmres,
     deflated_minres,
     ritz_deflation_vectors,
+    ritz_pairs,
     weighted_qr,
 )
 from .refine import refine_to
@@ -97,7 +100,10 @@ __all__ = [
     "deflated_cg",
     "deflated_minres",
     "RecyclingGmres",
+    "AutoRecyclingGmres",
     "ritz_deflation_vectors",
+    "ritz_pairs",
+    "assemble_ritz_vectors",
     "weighted_qr",
     "SolveResult",
     "CONVERGED",

@@ -22,6 +22,8 @@ All N-dim work (QR of U, projection applications, correction) consists of
 solver itself; the d x d factors are replicated.
 """
 
+import time
+
 from typing import NamedTuple
 
 import numpy as np
@@ -29,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import apply, as_matvec, make_inner, safe_div
+from .. import spectral
 # note: the package re-exports the gmres *function* under the same name,
 # so bind the submodule explicitly through sys.modules
 import importlib
@@ -40,8 +43,11 @@ __all__ = [
     "deflated_cg",
     "deflated_minres",
     "weighted_qr",
+    "ritz_pairs",
+    "assemble_ritz_vectors",
     "ritz_deflation_vectors",
     "RecyclingGmres",
+    "AutoRecyclingGmres",
 ]
 
 
@@ -321,16 +327,11 @@ def deflated_minres(A, b, U, **kwargs):
     return _deflated_short_recurrence(_minres, A, b, U, kwargs)
 
 
-def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
-                           hermitian=False):
-    """Extract Ritz deflation vectors for the NEXT solve from the internal
-    state of a deflated (or plain) functional GMRES solve.
-
-    The augmented Ritz problem is assembled from the small matrices only
-    (reference math: krypy/deflation.py:737-830); the eigensolve of the
-    (n+d) x (n+d) pencil runs on host (decision data), the vector assembly
-    ``[V_n, U] @ coeffs`` is one device GEMM.
-    """
+def _augmented_galerkin(internals):
+    """Host assembly of the augmented Galerkin matrix ``[[H + B E^{-1}C,
+    B], [C, E]]`` of the space ``[V_n, U]`` from the matrices captured by
+    a (deflated) functional GMRES solve (reference math:
+    krypy/deflation.py:781-809).  Returns ``(Mblock, n, d)``."""
     H_full = np.asarray(internals["H"])
     C_full = np.asarray(internals["C"])
     n = int(internals.get("niter", H_full.shape[1]))
@@ -342,20 +343,119 @@ def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
 
     if d:
         # B_ = <V, AU>; for the captured data we use the self-adjoint-free
-        # explicit form via the device basis
+        # explicit form via the device basis (full static GEMM, truncated
+        # on host)
         V = internals["V"]
         AU = internals["AU"]
-        B = np.asarray(jnp.dot(jnp.conj(V[:n]), AU))
+        B = np.asarray(jnp.dot(jnp.conj(V), AU))[:n]
         EinvC = np.linalg.solve(E, C)
         Mblock = np.block([[H + B @ EinvC, B], [C, E]])
     else:
         Mblock = H
+    return Mblock, n, d
 
+
+def ritz_pairs(internals, hermitian=False):
+    """Augmented Ritz values and coefficient vectors (host decision
+    data) from the captured small matrices of a functional GMRES solve."""
+    Mblock, n, d = _augmented_galerkin(internals)
     if hermitian:
         theta, coeffs = np.linalg.eigh((Mblock + Mblock.conj().T) / 2)
     else:
         theta, coeffs = np.linalg.eig(Mblock)
+    return theta, coeffs, n, d
 
+
+def _realify_columns(sel, theta=None):
+    """Real coefficient block spanning (a real surrogate of) the columns
+    of complex ``sel``.
+
+    A complex-conjugate Ritz pair ``(v, conj(v))`` must map to the real
+    pair ``(Re v, Im v)`` -- taking the phase-aligned real part of BOTH
+    members yields two IDENTICAL columns and a rank-deficient deflation
+    basis (singular E, NaN solve).  With ``theta`` given, a column whose
+    eigenvalue is the conjugate of an earlier selected one contributes
+    its imaginary part; without ``theta`` the same rule is applied by
+    detecting near-parallelism against the previous realified column.
+    """
+    p, k = sel.shape
+    idx = np.argmax(np.abs(sel), axis=0)
+    piv = sel[idx, np.arange(k)]
+    phase = piv / np.where(np.abs(piv) == 0, 1.0, np.abs(piv))
+    aligned = sel / phase[None, :]
+
+    out = np.empty((p, k))
+    seen = []  # eigenvalues of already-realified columns
+    for j in range(k):
+        col = np.real(aligned[:, j])
+        use_imag = False
+        if theta is not None:
+            tj = complex(np.asarray(theta).reshape(-1)[j])
+            if abs(tj.imag) > 1e-12 * max(abs(tj), 1.0):
+                for ti in seen:
+                    if abs(ti - np.conj(tj)) <= 1e-8 * max(abs(tj), 1.0):
+                        use_imag = True
+                        break
+            seen.append(tj)
+        elif j > 0:
+            prev = out[:, j - 1]
+            denom = np.linalg.norm(col) * np.linalg.norm(prev)
+            if denom > 0 and abs(col @ prev) > 0.999 * denom:
+                use_imag = True
+        if use_imag:
+            im = np.imag(aligned[:, j])
+            if np.linalg.norm(im) > 1e-12 * np.linalg.norm(aligned[:, j]):
+                col = im
+        out[:, j] = col
+    norms = np.linalg.norm(out, axis=0)
+    return out / np.where(norms == 0, 1.0, norms)
+
+
+def assemble_ritz_vectors(internals, sel, n, d, theta=None):
+    """Assemble ``[V_n, U] @ sel`` as ONE static-shape device GEMM.
+
+    Every device operation uses the STATIC buffer shapes (the full
+    ``(m+1, N)`` basis); the dynamic iteration count ``n`` only ever
+    slices host arrays.  A per-``n`` device slice would recompile the
+    assembly for every distinct iteration count of a recycling
+    sequence -- the multi-second solve-2/solve-3 transients of round 2.
+
+    :param theta: (optional) eigenvalues of the selected columns; enables
+      exact conjugate-pair handling in the real-basis realification.
+    """
+    V = internals["V"]
+    if np.iscomplexobj(sel) and not jnp.iscomplexobj(V):
+        sel = _realify_columns(sel, theta)
+
+    # scatter the (n+d)-row coefficients into the STATIC basis layout
+    # [V (m+1 rows) | U (d rows)] with zeros on the unused rows, so the
+    # assembly GEMM compiles once per buffer shape, not once per n
+    m1 = V.shape[0]
+    basis = V if not d else jnp.concatenate(
+        [V, internals["Uo"].T], axis=0
+    )
+    sel_full = np.zeros((m1 + d, sel.shape[1]), dtype=sel.dtype)
+    sel_full[:n] = sel[:n]
+    if d:
+        sel_full[m1:] = sel[n:]
+    # keep the basis dtype: host eigensolves return f64/c128, which must
+    # not leak into the (possibly f32) device solve
+    sel_dev = jnp.asarray(sel_full).astype(basis.dtype)
+    return jnp.dot(sel_dev.T, basis).T  # (N, n_vectors)
+
+
+def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
+                           hermitian=False):
+    """Extract Ritz deflation vectors for the NEXT solve from the internal
+    state of a deflated (or plain) functional GMRES solve.
+
+    The augmented Ritz problem is assembled from the small matrices only
+    (reference math: krypy/deflation.py:737-830); the eigensolve of the
+    (n+d) x (n+d) pencil runs on host (decision data), the vector assembly
+    ``[V_n, U] @ coeffs`` is one static-shape device GEMM (see
+    :func:`assemble_ritz_vectors`).
+    """
+    theta, coeffs, n, d = ritz_pairs(internals, hermitian=hermitian)
     order = {
         "sm": np.argsort(np.abs(theta)),
         "lm": np.argsort(np.abs(theta))[::-1],
@@ -363,26 +463,7 @@ def ritz_deflation_vectors(internals, n_vectors=3, which="sm",
         "lr": np.argsort(np.real(theta))[::-1],
     }[which][:n_vectors]
     sel = np.ascontiguousarray(coeffs[:, order])
-
-    V = internals["V"]
-    basis = V[:n]
-    if d:
-        basis = jnp.concatenate([V[:n], internals["Uo"].T], axis=0)
-    if np.iscomplexobj(sel) and not jnp.iscomplexobj(V):
-        # real basis: align each coefficient vector's phase at its
-        # largest entry, then keep the real part (exact for real Ritz
-        # vectors, a real-span surrogate for complex pairs)
-        idx = np.argmax(np.abs(sel), axis=0)
-        piv = sel[idx, np.arange(sel.shape[1])]
-        phase = piv / np.where(np.abs(piv) == 0, 1.0, np.abs(piv))
-        sel = np.real(sel / phase[None, :])
-        norms = np.linalg.norm(sel, axis=0)
-        sel = sel / np.where(norms == 0, 1.0, norms)
-    # keep the basis dtype: host eigensolves return f64/c128, which must
-    # not leak into the (possibly f32) device solve
-    sel = jnp.asarray(sel).astype(basis.dtype)
-    vecs = jnp.dot(sel.T, basis).T  # (N, n_vectors)
-    return vecs
+    return assemble_ritz_vectors(internals, sel, n, d, theta=theta[order])
 
 
 class RecyclingGmres:
@@ -480,6 +561,10 @@ class RecyclingGmres:
             self._compiled[key] = entry
         return entry[0], entry[1]
 
+    def _warmup_widths(self):
+        """Deflation widths whose cores warmup pre-compiles."""
+        return (0, self.n_vectors)
+
     def warmup(self, A, b, **kwargs):
         """Pre-compile the plain AND deflated solver cores for this
         operator (or operator family) and rhs structure, so a serving
@@ -487,44 +572,82 @@ class RecyclingGmres:
 
         Runs each core once on a ZERO right-hand side (which converges
         in 0 iterations -- the execution is pure compile cost) with an
-        orthonormal placeholder deflation basis of the configured width.
-        ``kwargs`` must match the subsequent :meth:`solve` calls (they
-        are part of the compilation key).  Returns ``self``.
+        orthonormal placeholder deflation basis of each width in
+        :meth:`_warmup_widths`.  ``kwargs`` must match the subsequent
+        :meth:`solve` calls (they are part of the compilation key).
+        Returns ``self``.
         """
         b = jnp.asarray(b)
         bz = jnp.zeros_like(b)
         N = b.reshape(-1).shape[0]
         dtype = b.dtype
         tol = kwargs.get("tol", 1e-5)
-        for U_shape in (None, (N, self.n_vectors)):
+        for width in self._warmup_widths():
+            U_shape = None if width == 0 else (N, width)
             core, parametric = self._solver_for(A, U_shape, kwargs)
             args = [bz, tol]
             if U_shape is not None:
-                args.append(jnp.eye(N, self.n_vectors, dtype=dtype))
+                args.append(jnp.eye(N, width, dtype=dtype))
             if parametric:
                 args.append(jnp.asarray(A.params))
-            res, _ = core(*args)
+            res, internals = core(*args)
             # sync by scalar fetch: block_until_ready is not a reliable
             # barrier through remote-execution transports (CLAUDE.md),
             # and warmup's whole job is to guarantee compile+execute
             # finished before the serving sequence starts
             float(jnp.real(jnp.sum(res.x)))
+            # warm the Ritz-extraction GEMMs too (static shapes: one
+            # compile per deflation width, reused by every solve).
+            # niter must be >= n_vectors so the warmed assembly GEMM has
+            # the same column count as the serving sequence's
+            ints = dict(internals)
+            m = int(np.asarray(internals["H"]).shape[1])
+            ints["niter"] = min(self.n_vectors, m)
+            ints.setdefault("E", jnp.zeros((0, 0)))
+            try:
+                self._warm_extraction(ints)
+            except np.linalg.LinAlgError:
+                pass
         return self
 
+    def _warm_extraction(self, ints):
+        """Compile the extraction path warmup's core run will feed."""
+        vecs = ritz_deflation_vectors(
+            ints, n_vectors=self.n_vectors, which=self.which,
+            hermitian=self.hermitian,
+        )
+        float(jnp.real(jnp.sum(vecs)))
+
+    def _next_deflation_basis(self, kwargs):
+        """Deflation basis for the upcoming solve (None = plain solve).
+
+        The base driver extracts a FIXED number of Ritz vectors;
+        :class:`AutoRecyclingGmres` overrides this with the priced
+        greedy selection.  Without captured internals an externally
+        seeded basis (checkpoint resume, see
+        :class:`krypy_tpu.checkpoint.CheckpointedRecycling`) is kept."""
+        if self._last_internals is None:
+            return self._U
+        try:
+            return ritz_deflation_vectors(
+                self._last_internals,
+                n_vectors=self.n_vectors,
+                which=self.which,
+                hermitian=self.hermitian,
+            )
+        except np.linalg.LinAlgError:
+            return None
+
+    def _observe(self, width, niter, wall_s):
+        """Timing feedback after each solve (consumed by the auto
+        driver's cost model)."""
+
     def solve(self, A, b, **kwargs):
-        if self._last_internals is not None:
-            try:
-                self._U = ritz_deflation_vectors(
-                    self._last_internals,
-                    n_vectors=self.n_vectors,
-                    which=self.which,
-                    hermitian=self.hermitian,
-                )
-            except np.linalg.LinAlgError:
-                self._U = None
+        self._U = self._next_deflation_basis(kwargs)
 
         b = jnp.asarray(b)
         tol = kwargs.get("tol", 1e-5)
+        t0 = time.perf_counter()
         if self._U is None:
             core, parametric = self._solver_for(A, None, kwargs)
             args = [b, tol]
@@ -542,6 +665,165 @@ class RecyclingGmres:
                 args.append(jnp.asarray(A.params))
             result, internals = core(*args)
             internals = dict(internals)
-        internals["niter"] = int(result.niter)
+        internals["niter"] = int(result.niter)  # also a device sync
+        self._observe(
+            0 if self._U is None else int(self._U.shape[1]),
+            internals["niter"],
+            time.perf_counter() - t0,
+        )
         self._last_internals = internals
         return result
+
+
+class AutoRecyclingGmres(RecyclingGmres):
+    r"""Recycling GMRES with automatic deflation-subspace selection.
+
+    Functional-lane port of the reference's greedy ``RitzFactory`` with
+    ``RitzApriori`` pricing (krypy/recycling/factories.py:52-107,
+    evaluators.py:13-134), adapted to compile-once execution:
+
+    * candidate subsets are the prefixes (width 0..``max_vectors``) of
+      the small-magnitude ordering of the augmented Ritz values -- the
+      greedy search direction of the reference's ``RitzSmall``/
+      ``RitzExtremal`` generators;
+    * each candidate width ``d`` is priced as
+      ``d * tau(0) + predicted_steps(remaining spectrum) * tau(d)``
+      where ``predicted_steps`` comes from the a-priori
+      :class:`~krypy_tpu.spectral.BoundMinres` (degrading to the CG
+      kappa-bound on definite spectra) applied to the NON-deflated Ritz
+      values, and ``tau(d)`` is the MEASURED per-iteration wall of the
+      compiled width-``d`` core, updated online after every solve
+      (SURVEY section 5.1's timing->decision loop with the wall-clock
+      operator timers replaced by compiled-step measurements);
+    * an unevaluable candidate (complex Ritz values, empty remainder) is
+      skipped, mirroring the reference's AssumptionError-as-control-flow
+      (krypy/recycling/factories.py:58-63); if ALL candidates are
+      unevaluable the driver falls back to the fixed-width selection of
+      the base class.
+
+    Widths not yet measured are extrapolated from the cheapest measured
+    width by a ``1 + growth * d`` per-iteration overhead factor.  The
+    candidate widths are static compilation shapes: :meth:`warmup`
+    pre-compiles all ``max_vectors + 1`` cores, so a serving sequence
+    pays no compile inside solves.
+    """
+
+    def __init__(self, max_vectors=4, which="sm", hermitian=True,
+                 growth=0.05):
+        super().__init__(
+            n_vectors=max_vectors, which=which, hermitian=hermitian
+        )
+        self.max_vectors = int(max_vectors)
+        self._growth = float(growth)
+        self._tau = {}
+        #: chosen deflation width per solve (observability)
+        self.selected_widths = []
+        #: predicted iteration counts of the chosen candidates
+        self.predicted_steps = []
+
+    def _warmup_widths(self):
+        return tuple(range(self.max_vectors + 1))
+
+    def _warm_extraction(self, ints):
+        # the auto driver always assembles max_vectors columns and
+        # slices; warm that path plus each slice width
+        theta, coeffs, n, d = ritz_pairs(ints, hermitian=self.hermitian)
+        sel, theta_sel = self._padded_selection(theta, coeffs)
+        U_full = assemble_ritz_vectors(ints, sel, n, d, theta=theta_sel)
+        for w in range(1, self.max_vectors + 1):
+            float(jnp.real(jnp.sum(U_full[:, :w])))
+
+    def _tau_of(self, d):
+        if d in self._tau:
+            return self._tau[d]
+        if not self._tau:
+            return None
+        base_d = min(self._tau, key=self._tau.get)
+        return self._tau[base_d] * (
+            1.0 + self._growth * max(0, d - base_d)
+        )
+
+    def _observe(self, width, niter, wall_s):
+        if niter <= 0:
+            return
+        tau = wall_s / niter
+        prev = self._tau.get(width)
+        self._tau[width] = tau if prev is None else 0.5 * (prev + tau)
+
+    def _padded_selection(self, theta, coeffs):
+        """Coefficient block (and eigenvalues) of the max_vectors
+        smallest-|theta| Ritz vectors, zero-padded so the assembly GEMM
+        shape is independent of how many vectors the selection ends up
+        using."""
+        order = np.argsort(np.abs(theta))[: self.max_vectors]
+        sel = np.ascontiguousarray(coeffs[:, order])
+        theta_sel = np.asarray(theta)[order]
+        if sel.shape[1] < self.max_vectors:
+            pad = self.max_vectors - sel.shape[1]
+            sel = np.pad(sel, ((0, 0), (0, pad)))
+            theta_sel = np.pad(theta_sel, (0, pad), constant_values=1.0)
+        return sel, theta_sel
+
+    def _next_deflation_basis(self, kwargs):
+        if self._last_internals is None:
+            # keep an externally seeded basis (checkpoint resume)
+            w = 0 if self._U is None else int(self._U.shape[1])
+            self.selected_widths.append(w)
+            self.predicted_steps.append(None)
+            return self._U
+        tol = float(kwargs.get("tol", 1e-5))
+        maxiter = kwargs.get("maxiter")
+
+        try:
+            theta, coeffs, n, d_prev = ritz_pairs(
+                self._last_internals, hermitian=self.hermitian
+            )
+        except np.linalg.LinAlgError:
+            self.selected_widths.append(0)
+            self.predicted_steps.append(None)
+            return None
+
+        order = np.argsort(np.abs(theta))
+        dmax = max(0, min(self.max_vectors, len(theta) - 1))
+        budget = float(maxiter) if maxiter else 10.0 * max(len(theta), 1)
+
+        best = None  # (cost, width, steps)
+        for dwidth in range(dmax + 1):
+            remaining = theta[order[dwidth:]]
+            if np.iscomplexobj(remaining) and not np.isreal(
+                remaining
+            ).all():
+                continue  # unevaluable candidate: skip (reference flow)
+            try:
+                bound = spectral.BoundMinres(np.real(remaining))
+                steps = float(bound.get_step(tol))
+            except Exception:
+                continue
+            if not np.isfinite(steps) or steps < 0:
+                steps = budget
+            steps = min(steps, budget)
+            tau = self._tau_of(dwidth)
+            tau0 = self._tau_of(0)
+            if tau is None or tau0 is None:
+                cost = steps  # no timing data yet: price in iterations
+            else:
+                cost = dwidth * tau0 + steps * tau
+            if best is None or cost < best[0]:
+                best = (cost, dwidth, steps)
+
+        if best is None:
+            # every candidate unevaluable: fixed-width fallback
+            self.selected_widths.append(self.n_vectors)
+            self.predicted_steps.append(None)
+            return super()._next_deflation_basis(kwargs)
+
+        _, dwidth, steps = best
+        self.selected_widths.append(dwidth)
+        self.predicted_steps.append(steps)
+        if dwidth == 0:
+            return None
+        sel, theta_sel = self._padded_selection(theta, coeffs)
+        U_full = assemble_ritz_vectors(
+            self._last_internals, sel, n, d_prev, theta=theta_sel
+        )
+        return U_full[:, :dwidth]

@@ -24,6 +24,7 @@ Structure (the framework's standard host/device split):
 """
 
 import logging
+import time
 from typing import NamedTuple
 
 import numpy as np
@@ -53,6 +54,10 @@ class NewtonResult(NamedTuple):
     inner_iters: int
     #: CONVERGED / MAXITER
     status: int
+    #: inner Krylov iterations per Newton step (numpy int array)
+    inner_history: np.ndarray = np.zeros(0, int)
+    #: wall seconds per inner (Jacobian) solve, synced by scalar fetch
+    inner_walls: np.ndarray = np.zeros(0)
 
     @property
     def converged(self):
@@ -69,6 +74,8 @@ def newton_krylov(
     eta_max=0.1,
     M=None,
     recycle=0,
+    recycling_solver=None,
+    warmup=False,
     line_search=True,
     verbose=False,
 ):
@@ -88,6 +95,13 @@ def newton_krylov(
       Jacobian enters via the operator-family protocol (``params = x``),
       so the entire Newton sequence shares one compilation and recycles
       the deflation subspace between steps.
+    :param recycling_solver: explicit recycling driver to use instead of
+      the default fixed-width :class:`RecyclingGmres` (e.g. an
+      auto-selecting one); implies the recycled path regardless of
+      ``recycle``.
+    :param warmup: pre-compile the recycled cores (plain + deflated +
+      Ritz extraction) on the initial Jacobian before the Newton loop,
+      so serving sequences pay no compile inside the timed steps.
     :param line_search: Armijo backtracking (t halved until
       :math:`\|F(x + t\,dx)\| \le (1 - 10^{-4} t)\|F(x)\|`, 8 tries);
       pure Newton otherwise.
@@ -101,8 +115,8 @@ def newton_krylov(
         r = F(xx)
         return r, jnp.linalg.norm(r)
 
-    if recycle > 0:
-        rec = RecyclingGmres(
+    if recycle > 0 or recycling_solver is not None:
+        rec = recycling_solver or RecyclingGmres(
             n_vectors=int(recycle), which="sm", hermitian=False
         )
 
@@ -114,6 +128,10 @@ def newton_krylov(
                 lambda v: jax.jvp(F, (p,), (v,))[1]
             )
             return mv
+
+        if warmup:
+            rec.warmup(jac_op(x), jnp.zeros_like(x), M=M,
+                       maxiter=inner_maxiter)
 
         def inner(xx, rr, eta):
             res = rec.solve(
@@ -142,6 +160,8 @@ def newton_krylov(
     f0 = max(fnorm, 1.0)
     history = [fnorm]
     inner_total = 0
+    inner_history = []
+    inner_walls = []
     prev_fnorm = None
     status = MAXITER
     k = 0
@@ -152,13 +172,22 @@ def newton_krylov(
             k -= 1
             break
 
-        # Eisenstat-Walker choice 2 forcing term
+        # Eisenstat-Walker choice 2 forcing term, with the standard
+        # oversolve safeguard: never ask the inner solve for more
+        # accuracy than the outer convergence test needs (half the
+        # remaining gap) -- without it the LAST Jacobian solve runs to a
+        # sub-attainable tolerance and burns inner_maxiter iterations
         if prev_fnorm is None:
             eta = eta_max
         else:
             eta = min(eta_max, 0.9 * (fnorm / prev_fnorm) ** 2)
+        eta = max(eta, 0.5 * tol * f0 / fnorm)
+        eta = min(eta, eta_max)
 
+        t_in = time.perf_counter()
         dx, nit = inner(x, r, eta)
+        inner_walls.append(time.perf_counter() - t_in)
+        inner_history.append(nit)
         inner_total += nit
 
         t = 1.0
@@ -193,4 +222,6 @@ def newton_krylov(
         niter=k,
         inner_iters=inner_total,
         status=status,
+        inner_history=np.asarray(inner_history, int),
+        inner_walls=np.asarray(inner_walls),
     )

@@ -28,6 +28,7 @@ __all__ = [
     "ssor_poisson_preconditioner",
     "poisson_dst_solver",
     "nls_jacobian_sequence",
+    "nls_residual_2d",
     "readme_diag",
     "sparse_from_scipy",
 ]
@@ -688,6 +689,37 @@ def multigrid_poisson_preconditioner(
 
     matvec.shape = (nx * nx, nx * nx)
     return matvec
+
+
+def nls_residual_2d(nx, kappa=1.0, lam=25.0, amplitude=1.0,
+                    dtype=jnp.float32):
+    r"""Stationary nonlinear-Schrödinger (Gross-Pitaevskii) residual on
+    the 2-D unit square:
+
+    .. math:: F(u) = -\Delta u + \kappa u^3 - \lambda u - g,
+
+    with the source g manufactured so that ``u* = amplitude *`` (Gaussian
+    bump) satisfies ``F(u*) = 0``.  Returns ``(F, u_star)``.
+
+    The Jacobian action ``J(u) v = -Lap v + 3 kappa u^2 v - lam v`` is
+    symmetric; with ``lam`` inside the spectrum of the discrete
+    :math:`-\Delta` (first eigenvalue :math:`\approx 2\pi^2` on the unit
+    square) it is indefinite with a few low-lying modes -- exactly the
+    spectrum recycling deflation targets.  This is the BASELINE config-5
+    problem: a Newton sequence of slowly varying symmetric-indefinite
+    Jacobian solves.
+    """
+    lap = poisson_2d(nx)
+    xs = np.linspace(1.0 / (nx + 1), nx / (nx + 1.0), nx)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    bump = np.exp(-30.0 * ((X - 0.5) ** 2 + (Y - 0.5) ** 2))
+    ustar = jnp.asarray(amplitude * bump.reshape(-1), dtype)
+    g = lap(ustar) + kappa * ustar**3 - lam * ustar
+
+    def F(u):
+        return lap(u) + kappa * u**3 - lam * u - g
+
+    return F, ustar
 
 
 def nls_jacobian_sequence(n, n_sys=5, kappa=1.0, seed=0):
