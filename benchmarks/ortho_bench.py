@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""GMRES per-iteration cost at 1M dof on the real TPU, per ortho mode.
+"""Orthogonalization roofline microbenchmark (VERDICT r2 item 2).
 
-Times a fixed-iteration GMRES run (tol=0 so every iteration executes) on
-the 2-D convection-diffusion operator; reports wall/iter and the implied
-orthogonalization bandwidth vs the HBM roofline.
+Measures, at m=40 / 1M dof f32 on the real TPU:
 
-Run:  python benchmarks/ortho_bench.py [maxiter [nx]]
+* device wall per GMRES iteration for each orthogonalization scheme,
+* achieved HBM bandwidth of the orthogonalization sweeps, against the
+  819 GB/s roofline of TPU v5e.
+
+Bytes model per iteration at Krylov dimension k (f32, N-length rows):
+the batched schemes sweep a row prefix of height h(k) (bucketed) or the
+full m+1 buffer (legacy); each CGS pass reads the prefix twice (project
++ update), the fused Pallas kernel reads it three times TOTAL for both
+passes.  Run: python benchmarks/ortho_bench.py [--size N] [--m M]
 """
 
+import argparse
 import json
-import sys
 import time
 
 import numpy as np
@@ -17,71 +23,98 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(x):
+    return float(jnp.real(jnp.sum(x)))
+
+
+def _buckets(m1):
+    hs, h = [], 16
+    while h < m1:
+        hs.append(h)
+        h *= 2
+    hs.append(m1)
+    return hs
+
+
+def _bucket_of(k, heights):
+    for h in heights:
+        if h >= k + 1:
+            return h
+    return heights[-1]
+
+
+def sweep_bytes(ortho, m, N, itemsize=4):
+    """Total orthogonalization HBM bytes for a full m-iteration solve."""
+    heights = _buckets(m + 1)
+    total = 0
+    for k in range(m):
+        if ortho in ("cgs2", "cgs2b"):
+            h = (m + 1) if ortho == "cgs2" else _bucket_of(k, heights)
+            sweeps = 4  # 2 passes x (project + update)
+        elif ortho == "cgs2_fused":
+            h = _bucket_of(k, heights)
+            sweeps = 3  # fused kernel
+        elif ortho == "bmgs2":
+            h = min((k // 16 + 1) * 16, m + 1)
+            sweeps = 4
+        else:
+            raise ValueError(ortho)
+        total += sweeps * h * N * itemsize
+    return total
+
+
 def main():
-    maxiter = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    nx = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024 * 1024)
+    ap.add_argument("--m", type=int, default=40)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--roofline-gbs", type=float, default=819.0)
+    args = ap.parse_args()
+    N, m = args.size, args.m
 
-    from krypy_tpu import functional as F, ops
+    from krypy_tpu import functional as F
 
-    N = nx * nx
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    cd = ops.convection_diffusion_2d(nx, impl=impl)
-    dtype = jnp.float32
+    # SPD diagonal: trivial matvec so the measurement isolates the
+    # orthogonalization; maxiter-bounded run (tol=0 -> all m iterations)
+    d = jnp.linspace(1.0, 2.0, N).astype(jnp.float32)
+    A = lambda v: d * v
+    rng = np.random.default_rng(0)
 
-    modes = ["cgs2", "bmgs2", "cgs2_pallas"]
     results = {}
-    for ortho in modes:
+    for ortho in ("cgs2", "cgs2_fused", "bmgs2"):
         solve = jax.jit(
             lambda bb, o=ortho: F.gmres(
-                cd, bb, tol=0.0, maxiter=maxiter, ortho=o
+                A, bb, tol=0.0, maxiter=m, ortho=o
             )
         )
-        # warm-up compile
-        b = jnp.ones(N, dtype)
-        r = solve(b)
-        niter = int(r.niter)
-        float(jnp.sum(r.x))
-
-        walls = []
-        for rep in range(4):
-            bb = jnp.full(N, 1.0 + 0.001 * rep, dtype)  # vary input
+        b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+        _sync(solve(b).x)  # compile
+        best = float("inf")
+        for _ in range(args.reps):
+            b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
             t0 = time.perf_counter()
-            rr = solve(bb)
-            float(jnp.sum(rr.x))  # scalar fetch = reliable barrier here
-            walls.append(time.perf_counter() - t0)
-        wall = min(walls)
-        per_iter = wall / niter
-
-        # ortho bytes (bmgs2): 2 passes x (coeff read + update read) of the
-        # ACTIVE panel rows, avg (maxiter/2); cgs2: full maxiter+1 rows.
-        bpe = np.dtype(np.float32).itemsize
-        if ortho.startswith("bmgs"):
-            rows_avg = (maxiter / 2 + 1)
-        else:
-            rows_avg = maxiter + 1
-        ortho_bytes = 2 * 2 * rows_avg * N * bpe
+            _sync(solve(b).x)
+            best = min(best, time.perf_counter() - t0)
+        per_iter_us = best / m * 1e6
+        # subtract nothing: matvec+rotations are ~free vs the sweeps
+        bytes_model = "cgs2b" if ortho == "cgs2" else ortho
+        gbs = sweep_bytes(bytes_model, m, N) / best / 1e9
         results[ortho] = {
-            "wall_s": round(wall, 4),
-            "niter": niter,
-            "per_iter_us": round(per_iter * 1e6, 1),
-            "ortho_GBps": round(ortho_bytes / per_iter / 1e9, 1),
+            "wall_s": round(best, 5),
+            "us_per_iter": round(per_iter_us, 1),
+            "achieved_GBs": round(gbs, 1),
+            "pct_roofline": round(100 * gbs / args.roofline_gbs, 1),
         }
-        print(json.dumps({"ortho": ortho, **results[ortho]}), flush=True)
+        print(json.dumps({"ortho": ortho, "m": m, "N": N,
+                          **results[ortho]}), flush=True)
 
-    print(
-        json.dumps(
-            {
-                "summary": f"gmres_{N}dof_m{maxiter}",
-                "speedup_bmgs2_vs_cgs2": round(
-                    results["cgs2"]["per_iter_us"]
-                    / results["bmgs2"]["per_iter_us"],
-                    2,
-                ),
-                "devices": str(jax.devices()),
-            }
-        ),
-        flush=True,
-    )
+    best_name = min(results, key=lambda o: results[o]["wall_s"])
+    print(json.dumps({
+        "metric": f"gmres_ortho_m{m}_N{N}",
+        "best_scheme": best_name,
+        **results[best_name],
+        "devices": [str(dev) for dev in jax.devices()][:1],
+    }), flush=True)
 
 
 if __name__ == "__main__":

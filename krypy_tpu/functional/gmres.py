@@ -150,14 +150,21 @@ def gmres(
         "bmgs2": 2,
         "cgs_pallas": 1,
         "cgs2_pallas": 2,
+        "cgs2_fused": 2,
     }[ortho]
     sequential = ortho in ("mgs", "dmgs")
     paneled = ortho in ("bmgs", "bmgs2")
     pallas = ortho in ("cgs_pallas", "cgs2_pallas")
-    if pallas and ip is not None:
+    fused = ortho == "cgs2_fused"
+    if (pallas or fused) and ip is not None:
         raise ValueError(
             "the Pallas orthogonalization path supports the Euclidean "
             "inner product only; use ortho='bmgs2' or 'cgs2' with ip"
+        )
+    if fused and M is not None:
+        raise ValueError(
+            "ortho='cgs2_fused' does not support the dual-basis form "
+            "required by M; use ortho='cgs2'"
         )
     with_M = M_mv is not None
 
@@ -169,7 +176,7 @@ def gmres(
             raise ValueError(
                 "basis_dtype requires the Euclidean inner product"
             )
-        if sequential or pallas:
+        if sequential or pallas or fused:
             raise ValueError(
                 "basis_dtype requires a batched/paneled ortho scheme "
                 "(cgs/cgs2/bmgs/bmgs2)"
@@ -288,6 +295,21 @@ def gmres(
     # the basis height so the dynamic row slice is always in range
     panel_rows = max(1, min(16, m + 1))
 
+    # prefix buckets for the batched (cgs/cgs2) schemes: the sweep runs
+    # over a static row-prefix V[:h] with the smallest bucket h >= k+2,
+    # so HBM traffic follows the current Krylov dimension instead of the
+    # full maxiter-sized buffer.  Arithmetic is unchanged: rows beyond k
+    # are masked to zero coefficients and the buffer rows are
+    # zero-initialized, so the extra rows of a bucket contribute exact
+    # zeros.  Doubling buckets bound the compiled-branch count by
+    # log2(m); at m=40 the average swept height drops from 41 to ~26.
+    bucket_heights = []
+    _h = 16
+    while _h < m + 1:
+        bucket_heights.append(_h)
+        _h *= 2
+    bucket_heights.append(m + 1)
+
     def orthogonalize(V, P, w, k):
         """Return (w_orth, h) where h are the accumulated coefficients.
         Subtraction runs against the dual basis P when M is present
@@ -352,6 +374,62 @@ def gmres(
                     interpret=interp,
                 )
                 h = h + coeffs
+        elif fused:
+            from ..kernels.orthogonalize import _divide_block, cgs2_fused
+
+            interp = jax.default_backend() != "tpu"
+            fmask = mask.astype(w.real.dtype)
+            if _divide_block(N, 4096) is None:
+                # no lane-friendly tiling: bucketed jnp fallback
+                def make_branch(hgt):
+                    def branch(operands):
+                        w_b, h_b = operands
+                        Vh, mh = V[:hgt], fmask[:hgt]
+                        for _ in range(passes):
+                            c = row_proj(Vh, w_b) * mh
+                            w_b = w_b - row_upd(c, Vh)
+                            h_b = h_b.at[:hgt].add(c)
+                        return w_b, h_b
+                    return branch
+            else:
+                def make_branch(hgt):
+                    def branch(operands):
+                        w_b, h_b = operands
+                        w_b, c = cgs2_fused(
+                            V, w_b, fmask, rows=hgt, interpret=interp
+                        )
+                        return w_b, h_b + c
+                    return branch
+
+            idx = jnp.searchsorted(
+                jnp.asarray(bucket_heights), k + 1, side="left"
+            )
+            w, h = lax.switch(
+                idx, [make_branch(hh) for hh in bucket_heights], (w, h)
+            )
+        elif len(bucket_heights) > 1:
+            # bucketed batched CGS: switch to the smallest static prefix
+            # covering rows 0..k+1
+            def make_branch(hgt):
+                def branch(operands):
+                    w_b, h_b = operands
+                    Vh = V[:hgt]
+                    Bh = basis[:hgt]
+                    mh = mask[:hgt]
+                    for _ in range(passes):
+                        c = row_proj(Vh, w_b) * mh
+                        w_b = w_b - row_upd(c, Bh)
+                        h_b = h_b.at[:hgt].add(c)
+                    return w_b, h_b
+                return branch
+
+            # rows 0..k are active, so the bucket must cover k+1 rows
+            idx = jnp.searchsorted(
+                jnp.asarray(bucket_heights), k + 1, side="left"
+            )
+            w, h = lax.switch(
+                idx, [make_branch(hh) for hh in bucket_heights], (w, h)
+            )
         else:
             for _ in range(passes):
                 coeffs = row_proj(V, w) * mask

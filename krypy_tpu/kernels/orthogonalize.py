@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cgs_project"]
+__all__ = ["cgs_project", "cgs2_fused"]
 
 
 def _kernel(V_ref, B_ref, w_ref, mask_ref, wout_ref, coeff_out_ref,
@@ -65,6 +65,168 @@ def _kernel(V_ref, B_ref, w_ref, mask_ref, wout_ref, coeff_out_ref,
         @pl.when(j == n_tiles - 1)
         def _emit_coeffs():
             coeff_out_ref[:, :] = coeff_acc[:, :]
+
+
+def _fused_kernel(V_ref, w_ref, mask_ref, w1_ref, c1_out, c2_out,
+                  c1_acc, c2_acc):
+    """Two-phase part of the fused CGS2: phase 0 accumulates the
+    first-pass coefficients; phase 1 re-reads each column slab ONCE from
+    HBM and uses the VMEM-resident copy twice -- apply the first-pass
+    update and project the updated vector for the second-pass
+    coefficients.  Three total HBM sweeps of V per CGS2 iteration
+    (together with :func:`_update_kernel`) instead of the four of two
+    chained projection calls."""
+    phase = pl.program_id(0)
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when((phase == 0) & (j == 0))
+    def _init():
+        c1_acc[:, :] = jnp.zeros_like(c1_acc)
+        c2_acc[:, :] = jnp.zeros_like(c2_acc)
+
+    @pl.when(phase == 0)
+    def _first_pass_coeffs():
+        part = jax.lax.dot_general(
+            V_ref[:, :].conj(),
+            w_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=c1_acc.dtype,
+        )
+        c1_acc[:, :] += part * mask_ref[:, :]
+
+    @pl.when(phase == 1)
+    def _update_and_second_coeffs():
+        slab = V_ref[:, :]
+        update = jax.lax.dot_general(
+            c1_acc[:, :],
+            slab,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=w_ref.dtype,
+        )
+        w1 = w_ref[:, :] - update.astype(w_ref.dtype)
+        w1_ref[:, :] = w1
+        part = jax.lax.dot_general(
+            slab.conj(),
+            w1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=c2_acc.dtype,
+        )
+        c2_acc[:, :] += part * mask_ref[:, :]
+
+        @pl.when(j == n_tiles - 1)
+        def _emit():
+            c1_out[:, :] = c1_acc[:, :]
+            c2_out[:, :] = c2_acc[:, :]
+
+
+def _update_kernel(V_ref, w_ref, c_ref, wout_ref):
+    """Final sweep of the fused CGS2: ``w2 = w1 - c2^T V``."""
+    update = jax.lax.dot_general(
+        c_ref[:, :],
+        V_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=w_ref.dtype,
+    )
+    wout_ref[:, :] = w_ref[:, :] - update.astype(wout_ref.dtype)
+
+
+def _divide_block(N, block_n):
+    """Largest lane-friendly divisor of N not above block_n (or None)."""
+    if N % block_n == 0:
+        return block_n
+    best = None
+    for cand in range(min(block_n, N), 0, -1):
+        if N % cand == 0:
+            best = cand
+            break
+    if best is not None and best < 128 and N > 128:
+        return None
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "block_n", "interpret")
+)
+def cgs2_fused(V, w, mask, *, rows=None, block_n=4096, interpret=False):
+    """Fused two-pass (CGS2) orthogonalization in THREE HBM sweeps of V.
+
+    :param V: basis rows, shape ``(m, N)``; only the first ``rows`` rows
+      are swept (static prefix bucket; defaults to all m).
+    :param w: vector to orthogonalize, shape ``(N,)``.
+    :param mask: per-row multiplier, shape ``(m,)``.
+    :param rows: static number of leading rows to sweep.
+    :return: ``(w_orth, coeffs)`` with ``coeffs = c1 + c2`` of length m.
+    """
+    m, N = V.shape
+    rows = m if rows is None else int(rows)
+    bn = _divide_block(N, block_n)
+    if bn is None:
+        raise ValueError(
+            f"no lane-friendly block divides N={N}; use the jnp path"
+        )
+    n_tiles = N // bn
+
+    w2d = w[None, :]
+    maskr = mask[:rows, None].astype(
+        jnp.result_type(V.dtype, jnp.float32)
+    )
+
+    w1, c1, c2 = pl.pallas_call(
+        _fused_kernel,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((rows, bn), lambda p, j: (jnp.int32(0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda p, j: (jnp.int32(0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1),
+                         lambda p, j: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bn), lambda p, j: (jnp.int32(0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1),
+                         lambda p, j: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1),
+                         lambda p, j: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), w.dtype),
+            jax.ShapeDtypeStruct((rows, 1), w.dtype),
+            jax.ShapeDtypeStruct((rows, 1), w.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, 1), w.dtype),
+            pltpu.VMEM((rows, 1), w.dtype),
+        ],
+        interpret=interpret,
+    )(V, w2d, maskr)
+
+    wout = pl.pallas_call(
+        _update_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows, bn), lambda j: (jnp.int32(0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (jnp.int32(0), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn), lambda j: (jnp.int32(0), j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N), w.dtype),
+        interpret=interpret,
+    )(V, w1, c2)
+
+    coeffs = (c1 + c2)[:, 0]
+    if rows < m:
+        coeffs = jnp.pad(coeffs, (0, m - rows))
+    return wout[0], coeffs
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
