@@ -91,7 +91,7 @@ def init_distributed(
 
 
 def make_global_vector(mesh, data_for_index, global_shape, dtype=None,
-                       axis_name=None):
+                       axis_name=None, sharded_axis=0):
     """Assemble a process-spanning sharded vector on a (possibly
     multi-host) mesh.
 
@@ -99,9 +99,14 @@ def make_global_vector(mesh, data_for_index, global_shape, dtype=None,
       slice into the global array) to the shard's numpy data -- each
       process only materializes the shards it hosts.
     :param global_shape: full logical shape.
+    :param sharded_axis: which logical axis is distributed (default 0:
+      the N axis -- both for 1-D vectors and ``(N, d)`` deflation
+      bases, whose small d axis stays replicated).
     """
     axis_name = mesh.axis_names[0] if axis_name is None else axis_name
-    spec = P(*([None] * (len(global_shape) - 1) + [axis_name]))
+    spec_list = [None] * len(global_shape)
+    spec_list[sharded_axis] = axis_name
+    spec = P(*spec_list)
     sharding = NamedSharding(mesh, spec)
 
     def _cb(index):

@@ -61,7 +61,33 @@ _WORKER = textwrap.dedent(
     niter = int(res.niter)
     rel = float(res.resnorms[niter])
     assert int(res.status) == 0, int(res.status)
-    print(f"RANK{rank} niter={niter} rel={rel:.17e}", flush=True)
+
+    # L3 on DCN: deflated GMRES with a 2-column global sharded basis
+    U = parallel.make_global_vector(
+        mesh,
+        lambda idx: np.stack(
+            [np.ones(N), np.linspace(0, 1, N)], axis=1
+        )[idx],
+        (N, 2),
+    )
+
+    @jax.jit
+    def solve_deflated(bb, UU):
+        return F.deflated_gmres(
+            cd, bb, UU, tol=1e-8, maxiter=60, ortho="bmgs2"
+        )
+
+    with mesh:
+        res_d = solve_deflated(b, U)
+    niter_d = int(res_d.niter)
+    rel_d = float(res_d.resnorms[niter_d])
+    assert int(res_d.status) == 0, int(res_d.status)
+
+    print(
+        f"RANK{rank} niter={niter} rel={rel:.17e} "
+        f"dniter={niter_d} drel={rel_d:.17e}",
+        flush=True,
+    )
     """
 )
 
