@@ -165,6 +165,7 @@ def eigsh(
     inv=None,
     B=None,
     Binv=None,
+    block_size=1,
 ):
     r"""k extremal eigenpairs of Hermitian ``A`` by thick-restart
     Lanczos, as one compiled while_loop.
@@ -210,6 +211,19 @@ def eigsh(
       :math:`\|A u - \lambda B u\| / (|\lambda|\,\|B u\|)`.  Not
       combinable with ``sigma`` (shift-invert the pencil manually:
       ``eigsh(lambda v: solve(A - sigma*B, B(v)), ...)``).
+    :param block_size: advance this many Lanczos vectors per step
+      (block thick-restart Lanczos).  Single-vector Lanczos converges
+      one member of a DEGENERATE/clustered eigenvalue at a time (in
+      exact arithmetic never more than one); a block of size >= the
+      cluster multiplicity captures the whole cluster per cycle -- e.g.
+      the square Laplacian's degenerate pairs need ``block_size=2``.
+      Each block step runs one global CGS2 projection (two ``(m+bs, N)
+      x (N, bs)`` MXU contractions -- the same HBM sweeps as ``bs``
+      single steps but with ``bs``-fold wider, better-shaped GEMM
+      operands) followed by a two-pass intra-block MGS whose round-off
+      rows deflate to zero (cluster exhausted).  Combinable with
+      ``sigma``/``inv``; not with ``B`` (generalized pencils are
+      single-vector only for now).
     :return: :class:`EigshResult`.
     """
     A_mv = as_matvec(A)
@@ -269,19 +283,87 @@ def eigsh(
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
     k = int(k)
+    bs = int(block_size)
+    if bs < 1:
+        raise ValueError(f"block_size must be >= 1, got {bs}")
+    if bs > 1 and generalized:
+        raise ValueError(
+            "block_size > 1 is not supported with generalized pencils"
+        )
     m = (
         min(N, max(2 * k + 8, 24))
         if maxdim is None
         else min(int(maxdim), N)
     )
+    if bs > 1:
+        # block-aligned cycle dimension (the sweep advances bs rows at
+        # a time from the block-aligned restart point)
+        m = max((m // bs) * bs, 2 * bs)
     if k >= m - 1:
         raise ValueError(f"k={k} needs maxdim > k + 1 (have {m})")
     l = min(2 * k, m - 2) if thick is None else min(int(thick), m - 2)
     l = max(l, k)
+    if bs > 1:
+        l = min(-(-l // bs) * bs, m - bs)
 
     eps_floor = jnp.asarray(
         jnp.finfo(real_dtype).tiny ** 0.5, real_dtype
     )
+
+    brk = breakdown_threshold(dtype)
+
+    def block_cgs2_sweep(V, H, j0):
+        """Block Lanczos steps j0, j0+bs, ..., m-bs: one global CGS2
+        projection of the bs-wide block per step (two (m+bs, N) x
+        (N, bs) contractions), then a two-pass intra-block MGS whose
+        round-off rows deflate to ZERO rows (same convention as the
+        single-vector sweep: an exhausted cluster direction must not be
+        normalized into garbage)."""
+        row_idx_b = jnp.arange(m + bs)
+
+        def step(t, carry):
+            V, H = carry
+            j = j0 + t * bs
+            Vblk = lax.dynamic_slice_in_dim(V, j, bs, 0)
+            Wblk = jnp.stack([A_mv(Vblk[i]) for i in range(bs)])
+            mask = (row_idx_b < j + bs).astype(real_dtype)
+            Cacc = jnp.zeros((m + bs, bs), dtype)
+            for _ in range(2):
+                C = (jnp.dot(V.conj(), Wblk.T) * mask[:, None]).astype(
+                    dtype
+                )
+                Wblk = Wblk - jnp.dot(C.T, V)
+                Cacc = Cacc + C
+            seg = lax.dynamic_slice(H, (0, j), (m + bs, bs))
+            H = lax.dynamic_update_slice(H, seg + Cacc, (0, j))
+
+            qs = []
+            Rblk = jnp.zeros((bs, bs), dtype)
+            for i in range(bs):
+                w = Wblk[i]
+                for _ in range(2):
+                    for p in range(i):
+                        c = jnp.vdot(qs[p], w)
+                        w = w - c * qs[p]
+                        Rblk = Rblk.at[p, i].add(c.astype(dtype))
+                nrm = jnp.linalg.norm(w)
+                scale = jnp.sqrt(
+                    jnp.sum(jnp.abs(Cacc[:, i]) ** 2)
+                    + jnp.sum(jnp.abs(Rblk[:i, i]) ** 2)
+                )
+                alive = nrm > brk * scale
+                live = jnp.where(alive, 1.0, 0.0)
+                Rblk = Rblk.at[i, i].set(
+                    jnp.where(alive, nrm, 0.0).astype(dtype)
+                )
+                qs.append(live * w * safe_div(1.0, nrm))
+            Q = jnp.stack(qs).astype(dtype)
+            V = lax.dynamic_update_slice(V, Q, (j + bs, 0))
+            seg2 = lax.dynamic_slice(H, (j + bs, j), (bs, bs))
+            H = lax.dynamic_update_slice(H, seg2 + Rblk, (j + bs, j))
+            return V, H
+
+        return lax.fori_loop(0, (m - j0) // bs, step, (V, H))
 
     def lanczos_sweep(V, W, H, j0):
         """Sweep wrapper carrying the dual basis W (dummy (0,0) array
@@ -291,6 +373,9 @@ def eigsh(
             return lanczos_cgs2_sweep(
                 A_mv, V, H, j0, m, dtype, real_dtype, B_mv=B_mv, W=W
             )
+        if bs > 1:
+            V, H = block_cgs2_sweep(V, H, j0)
+            return V, W, H
         V, H = lanczos_cgs2_sweep(
             A_mv, V, H, j0, m, dtype, real_dtype
         )
@@ -316,31 +401,45 @@ def eigsh(
         beta0 = jnp.sqrt(
             jnp.maximum(jnp.real(jnp.vdot(v0, Bv0)), 0.0)
         )
-        W0 = jnp.zeros((m + 1, N), dtype).at[0].set(
+        W0 = jnp.zeros((m + bs, N), dtype).at[0].set(
             Bv0 * safe_div(1.0, beta0)
         )
     else:
         beta0 = jnp.linalg.norm(v0)
         W0 = jnp.zeros((0, 0), dtype)
-    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(
+    V0 = jnp.zeros((m + bs, N), dtype).at[0].set(
         v0 * safe_div(1.0, beta0)
     )
-    H0 = jnp.zeros((m + 1, m + 1), dtype)
+    if bs > 1:
+        # fill the starting block with orthonormalized deterministic
+        # quasi-random directions (same no-RNG rationale as v0)
+        for i in range(1, bs):
+            u = (
+                jnp.cos(jnp.arange(N) * (0.7391 + 0.1137 * i))
+                + 0.01 * (i + 1)
+            ).astype(dtype)
+            for _ in range(2):
+                c = jnp.dot(V0[:i].conj(), u)
+                u = u - jnp.dot(c, V0[:i])
+            V0 = V0.at[i].set(u * safe_div(1.0, jnp.linalg.norm(u)))
+    H0 = jnp.zeros((m + bs, m + bs), dtype)
     V1, W1, H1 = lanczos_sweep(V0, W0, H0, 0)
 
     class_resnorms = jnp.full(max_restarts + 1, jnp.nan, real_dtype)
 
     def cycle_stats(H, theta, S, spurious):
-        beta_m = jnp.abs(H[m, m - 1])
-        b = beta_m * S[m - 1, :]                     # (m,) borders
-        res = jnp.abs(b[:k]) / jnp.maximum(
-            jnp.abs(theta[:k]), eps_floor
-        )
+        # border block of the blocked relation A V_m = V_m H_m + Q Bord:
+        # per-pair residual norm ||Bord S[:, i]|| (for bs = 1 this is
+        # the classic |beta_m s_{m,i}|)
+        Bord = H[m : m + bs, :m]
+        BS = jnp.dot(Bord, S)                        # (bs, m) borders
+        res = jnp.sqrt(jnp.sum(jnp.abs(BS[:, :k]) ** 2, axis=0))
+        res = res / jnp.maximum(jnp.abs(theta[:k]), eps_floor)
         # a spurious pair among the k wanted means the reachable
         # invariant subspace has dimension < k: it can never converge,
         # so its residual is pinned at +inf (honest MAXITER)
         res = jnp.where(spurious[:k], jnp.inf, res)
-        return b, jnp.max(res)
+        return BS, jnp.max(res)
 
     def body(state):
         V, W, H, cycles, niter, resnorms, _ = state
@@ -355,27 +454,27 @@ def eigsh(
             Vn = (
                 jnp.zeros_like(V)
                 .at[:l].set(Y)
-                .at[l].set(V[m])
+                .at[l : l + bs].set(V[m : m + bs])   # residual block
             )
             if generalized:
                 # the dual basis transforms linearly: B Y = Sl^T (B V)
                 Wn = (
                     jnp.zeros_like(W)
                     .at[:l].set(jnp.dot(Sl.T, W[:m]))
-                    .at[l].set(W[m])
+                    .at[l : l + bs].set(W[m : m + bs])
                 )
             else:
                 Wn = W
-            bl = b[:l].astype(dtype)
-            diag = jnp.zeros(m + 1, dtype).at[:l].set(
+            bl = b[:, :l].astype(dtype)              # (bs, l) border
+            diag = jnp.zeros(m + bs, dtype).at[:l].set(
                 theta[:l].astype(dtype)
             )
-            # arrowhead: diag(theta_l) + border row only -- the first
+            # arrowhead: diag(theta_l) + border rows only -- the first
             # sweep step (j = l) recomputes the column border as its
             # CGS2 coefficients <y_i, A vhat> and accumulates it into
             # H[:, l] itself (pre-setting it here would double-count)
             Hn = jnp.zeros_like(H) + jnp.diag(diag)
-            Hn = Hn.at[l, :l].set(bl)
+            Hn = Hn.at[l : l + bs, :l].set(bl)
             return lanczos_sweep(Vn, Wn, Hn, l)
 
         def keep(_):

@@ -258,3 +258,99 @@ def test_eigsh_generalized_sloppy_binv_is_honest():
     r = F.eigsh(A, k=3, which="sa", B=B, Binv=wrong_Binv, tol=1e-10,
                 maxdim=30, max_restarts=10)
     assert int(r.status) != 0
+
+
+def _laplacian_low_spectrum(nx, count):
+    import itertools
+
+    h = 1.0 / (nx + 1)
+    vals = sorted(
+        4 / h**2 * (
+            numpy.sin(numpy.pi * i * h / 2) ** 2
+            + numpy.sin(numpy.pi * j * h / 2) ** 2
+        )
+        for i, j in itertools.product(range(1, 8), repeat=2)
+    )
+    return numpy.asarray(vals[:count])
+
+
+def test_eigsh_block_converges_degenerate_pair():
+    """The square Laplacian's (i,j)/(j,i) eigenvalues are EXACTLY
+    degenerate; single-vector Lanczos converges at most one member per
+    cluster, block_size=2 must deliver both (VERDICT r2 item 6)."""
+    nx = 24
+    lap = ops.poisson_2d(nx)
+    want = _laplacian_low_spectrum(nx, 4)
+    r = F.eigsh(
+        lap, k=4, n=nx * nx, which="sa", tol=1e-8, block_size=2,
+        maxdim=24, max_restarts=300,
+    )
+    assert int(r.status) == 0
+    got = numpy.sort(numpy.asarray(r.theta))
+    assert numpy.allclose(got, want, rtol=1e-8), (got, want)
+    # both members of the degenerate pair present
+    assert abs(got[1] - got[2]) <= 1e-8 * abs(got[1])
+    U = numpy.asarray(r.U)
+    assert numpy.allclose(U.T @ U, numpy.eye(4), atol=1e-8)
+
+
+@pytest.mark.parametrize("bsz", [2, 3])
+def test_eigsh_block_matches_dense(bsz):
+    rng = numpy.random.default_rng(7)
+    d = numpy.r_[0.5, 0.5, 0.5, 1.0, numpy.linspace(2, 10, 116)]
+    Q, _ = numpy.linalg.qr(rng.standard_normal((120, 120)))
+    A = Q * d @ Q.T
+    A = jnp.asarray(0.5 * (A + A.T))
+    r = F.eigsh(A, k=4, which="sa", tol=1e-9, block_size=bsz, maxdim=24)
+    assert int(r.status) == 0
+    assert numpy.allclose(
+        numpy.sort(numpy.asarray(r.theta)), d[:4], atol=1e-8
+    )
+
+
+def test_eigsh_block_shift_invert_degenerate():
+    nx = 16
+    lap = ops.poisson_2d(nx)
+    want = _laplacian_low_spectrum(nx, 4)
+    sigma = float(want[1]) * 0.9
+
+    def inv(v):
+        res = F.minres(
+            lambda u: lap(u) - sigma * u, v, tol=1e-12, maxiter=2000
+        )
+        return res.x
+
+    r = F.eigsh(
+        lap, k=4, n=nx * nx, sigma=sigma, inv=inv, tol=1e-8,
+        block_size=2, maxdim=24, max_restarts=100,
+    )
+    assert int(r.status) == 0
+    got = numpy.sort(numpy.asarray(r.theta))
+    assert numpy.allclose(got, want, rtol=1e-7), (got, want)
+
+
+def test_eigsh_block_guards():
+    A = jnp.eye(30)
+    with pytest.raises(ValueError, match="block_size"):
+        F.eigsh(A, k=2, block_size=0)
+    with pytest.raises(ValueError, match="generalized"):
+        F.eigsh(A, k=2, B=jnp.eye(30), Binv=jnp.eye(30), block_size=2)
+
+
+def test_eigsh_block_sharded():
+    """Block sweeps on the 8-device mesh: same result as single-device."""
+    mesh = parallel.make_mesh()
+    d = numpy.linspace(1.0, 400.0, 512)
+    d[1] = d[0]  # planted degeneracy
+    A = ops.diagonal(jnp.asarray(d))
+    v0 = parallel.shard_vector(
+        jnp.cos(jnp.arange(512) * 0.7391) + 0.01, mesh
+    )
+
+    with mesh:
+        r = F.eigsh(A, k=3, v0=v0, which="sa", tol=1e-9, block_size=2,
+                    maxdim=24)
+    assert int(r.status) == 0
+    assert numpy.allclose(
+        numpy.sort(numpy.asarray(r.theta)), numpy.sort(d)[:3], rtol=1e-9
+    )
