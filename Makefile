@@ -1,4 +1,8 @@
-.PHONY: test test-full bench suite lint
+.PHONY: test test-full bench suite lint docs
+
+docs:
+	python tools/docgen.py
+	python example.py
 
 test:
 	python -m pytest tests/ -q
