@@ -407,30 +407,15 @@ def gmres(
             w, h = lax.switch(
                 idx, [make_branch(hh) for hh in bucket_heights], (w, h)
             )
-        elif len(bucket_heights) > 1:
-            # bucketed batched CGS: switch to the smallest static prefix
-            # covering rows 0..k+1
-            def make_branch(hgt):
-                def branch(operands):
-                    w_b, h_b = operands
-                    Vh = V[:hgt]
-                    Bh = basis[:hgt]
-                    mh = mask[:hgt]
-                    for _ in range(passes):
-                        c = row_proj(Vh, w_b) * mh
-                        w_b = w_b - row_upd(c, Bh)
-                        h_b = h_b.at[:hgt].add(c)
-                    return w_b, h_b
-                return branch
-
-            # rows 0..k are active, so the bucket must cover k+1 rows
-            idx = jnp.searchsorted(
-                jnp.asarray(bucket_heights), k + 1, side="left"
-            )
-            w, h = lax.switch(
-                idx, [make_branch(hh) for hh in bucket_heights], (w, h)
-            )
         else:
+            # full-buffer batched CGS: rows beyond k are masked.  A
+            # bucketed prefix (lax.switch over static slices V[:h]) was
+            # measured SLOWER (4191 vs 2087 us/iter at m=40/1M dof):
+            # the XLA slice feeding the dots materializes a prefix copy
+            # whose read+write traffic cancels the smaller sweep.  The
+            # no-copy prefix sweep lives in the Pallas path
+            # (ortho='cgs2_fused'), whose BlockSpec reads only the
+            # leading rows.
             for _ in range(passes):
                 coeffs = row_proj(V, w) * mask
                 w = w - row_upd(coeffs, basis)

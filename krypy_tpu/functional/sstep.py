@@ -557,7 +557,21 @@ def ca_gmres(
     _pra = max(1, min(32, m))
 
     if use_newton:
-        if shifts is not None:
+        if isinstance(shifts, tuple):
+            # pre-ordered TRACED shift arrays (theta_re, theta_im) of
+            # length s: the caller has already Leja-ordered them
+            # (conjugate pairs adjacent, Im>0 opener first, no split
+            # pair).  Because they enter as traced values, a driver can
+            # REFRESH the shifts between restart cycles without
+            # recompiling the cycle (restarted_ca_gmres does).
+            theta_re = jnp.asarray(shifts[0], real_dtype)
+            theta_im = jnp.asarray(shifts[1], real_dtype)
+            if theta_re.shape != (s,) or theta_im.shape != (s,):
+                raise ValueError(
+                    f"traced shifts need shape ({s},) each, got "
+                    f"{theta_re.shape}/{theta_im.shape}"
+                )
+        elif shifts is not None:
             ev = _leja_head(modified_leja(np.asarray(shifts)), s)
             if ev.size < s:
                 raise ValueError(f"need >= {s} shifts, got {ev.size}")
@@ -816,6 +830,18 @@ _CA_SHIFTS_CACHE = {}
 _CA_SHIFTS_KEEPALIVE = {}
 
 
+def _ordered_shift_arrays(ev, s, real_np):
+    """Host Leja ordering of eigenvalue estimates into the fixed-shape
+    ``(theta_re, theta_im)`` arrays the traced-shift path of
+    :func:`ca_gmres` consumes.  Fewer than ``s`` estimates are padded
+    by repeating the final (real-collapsed) shift."""
+    ev = _leja_head(modified_leja(np.asarray(ev)), s)
+    if ev.size < s:
+        pad_val = ev[-1].real if ev.size else 1.0
+        ev = np.concatenate([ev, np.full(s - ev.size, pad_val)])
+    return ev.real.astype(real_np), ev.imag.astype(real_np)
+
+
 def restarted_ca_gmres(
     A,
     b,
@@ -827,17 +853,21 @@ def restarted_ca_gmres(
     basis="newton",
     shifts=None,
     shift_warmup=None,
+    refresh_shifts=True,
     **kwargs,
 ):
     """Restarted CA-GMRES: host loop over ONE compiled s-step cycle with
-    the rhs and initial guess as traced arguments.
+    the rhs, initial guess AND Newton shifts as traced arguments.
 
-    The Newton shifts are an operator property, so they are computed
-    ONCE (eagerly, via :func:`newton_shifts` -- callback-free, works on
-    runtimes without host callbacks) and reused across every cycle and
-    every subsequent system with the same operator; the compiled cycle
-    is cached like :func:`~krypy_tpu.functional.gmres.restarted_gmres`'s,
-    so solve-many sequences compile exactly once.
+    The initial shifts come from :func:`newton_shifts` (eager,
+    callback-free, cached per operator).  With ``refresh_shifts`` (the
+    default) every restart re-seeds them from the Leja-ordered Ritz
+    values of the cycle that just finished -- the converged end of the
+    spectrum sharpens the Newton basis conditioning cycle over cycle,
+    which is what keeps s=8 stable on ill-conditioned operators where
+    the short warmup's estimates are poor.  Because the shifts enter
+    the compiled cycle as TRACED arrays, refreshing costs zero
+    recompiles; the cycle cache is keyed by operator/options only.
     """
     b = jnp.asarray(b)
     x = kwargs.pop("x0", None)
@@ -846,51 +876,69 @@ def restarted_ca_gmres(
         if b.ndim > 1:
             x = x[:, None]
     x = jnp.asarray(x)
+    real_np = np.dtype(jnp.zeros(0, b.real.dtype).dtype)
 
-    if basis == "newton" and shifts is None:
-        # shifts are an operator property: cache them so sequences of
-        # right-hand sides skip the warmup (and its per-call re-jit)
-        sk = (
-            id(A), int(s), id(kwargs.get("Ml")), id(kwargs.get("Mr")),
-            b.reshape(-1).shape[0], shift_warmup,
-        )
-        shifts = _CA_SHIFTS_CACHE.get(sk)
+    use_newton = basis == "newton"
+    tre = tim = None
+    if use_newton:
         if shifts is None:
-            shifts = newton_shifts(
-                A, b, s,
-                Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"), x0=x,
-                warmup=shift_warmup,
+            # shifts are an operator property: cache them so sequences
+            # of right-hand sides skip the warmup (and its per-call
+            # re-jit)
+            sk = (
+                id(A), int(s), id(kwargs.get("Ml")),
+                id(kwargs.get("Mr")), b.reshape(-1).shape[0],
+                shift_warmup,
             )
-            if len(_CA_SHIFTS_CACHE) >= _CA_RESTART_CACHE_MAX:
-                old = next(iter(_CA_SHIFTS_CACHE))
-                _CA_SHIFTS_CACHE.pop(old)
-                _CA_SHIFTS_KEEPALIVE.pop(old, None)
-            # keep the id()-keyed objects alive alongside the values
-            _CA_SHIFTS_CACHE[sk] = shifts
-            _CA_SHIFTS_KEEPALIVE[sk] = (
-                A, kwargs.get("Ml"), kwargs.get("Mr"),
-            )
-    shifts_key = (
-        None if shifts is None
-        else tuple(np.asarray(shifts, complex).ravel().tolist())
-    )
+            shifts = _CA_SHIFTS_CACHE.get(sk)
+            if shifts is None:
+                shifts = newton_shifts(
+                    A, b, s,
+                    Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"), x0=x,
+                    warmup=shift_warmup,
+                )
+                if len(_CA_SHIFTS_CACHE) >= _CA_RESTART_CACHE_MAX:
+                    old = next(iter(_CA_SHIFTS_CACHE))
+                    _CA_SHIFTS_CACHE.pop(old)
+                    _CA_SHIFTS_KEEPALIVE.pop(old, None)
+                # keep the id()-keyed objects alive with the values
+                _CA_SHIFTS_CACHE[sk] = shifts
+                _CA_SHIFTS_KEEPALIVE[sk] = (
+                    A, kwargs.get("Ml"), kwargs.get("Mr"),
+                )
+        if isinstance(shifts, tuple):
+            tre = np.asarray(shifts[0], real_np)
+            tim = np.asarray(shifts[1], real_np)
+        else:
+            tre, tim = _ordered_shift_arrays(shifts, int(s), real_np)
+
     key_items = tuple(
         (kk, v if isinstance(v, (bool, int, float, str, type(None)))
          else id(v))
         for kk, v in sorted(kwargs.items())
     )
-    key = (id(A), float(tol), maxiter, s, basis, shifts_key, key_items)
+    key = (id(A), float(tol), maxiter, s, basis, use_newton, key_items)
     cycle = _CA_RESTART_CACHE.get(key)
     if cycle is None:
+        if use_newton:
 
-        @jax.jit
-        def cycle(bb, x0):
-            return ca_gmres(
-                A, bb, x0=x0, tol=tol, maxiter=maxiter, s=s,
-                basis=basis, shifts=shifts, **kwargs,
-            )
+            @jax.jit
+            def cycle(bb, x0, theta_re, theta_im):
+                return ca_gmres(
+                    A, bb, x0=x0, tol=tol, maxiter=maxiter, s=s,
+                    basis=basis, shifts=(theta_re, theta_im),
+                    return_internal=True, **kwargs,
+                )
+        else:
 
-        cycle._keepalive = (A, kwargs, shifts)
+            @jax.jit
+            def cycle(bb, x0):
+                return ca_gmres(
+                    A, bb, x0=x0, tol=tol, maxiter=maxiter, s=s,
+                    basis=basis, return_internal=True, **kwargs,
+                )
+
+        cycle._keepalive = (A, kwargs)
         if len(_CA_RESTART_CACHE) >= _CA_RESTART_CACHE_MAX:
             _CA_RESTART_CACHE.pop(next(iter(_CA_RESTART_CACHE)))
         _CA_RESTART_CACHE[key] = cycle
@@ -898,13 +946,27 @@ def restarted_ca_gmres(
     resnorms = []
     result = None
     for _ in range(max_restarts + 1):
-        result = cycle(b, x)
-        nblocks = int(result.niter) // max(int(s), 1)
+        if use_newton:
+            result, internal = cycle(
+                b, x, jnp.asarray(tre), jnp.asarray(tim)
+            )
+        else:
+            result, internal = cycle(b, x)
+        nsteps = int(result.niter)
+        nblocks = nsteps // max(int(s), 1)
         chunk = list(np.asarray(result.resnorms)[: nblocks + 1])
         resnorms = resnorms[:-1] + chunk if resnorms else chunk
         x = result.x
         if int(result.status) in (CONVERGED, BREAKDOWN):
             break
+        if use_newton and refresh_shifts and nsteps >= s:
+            # re-seed from this cycle's Ritz values (host LAPACK on the
+            # small recovered Hessenberg; shape-stable, no recompile)
+            Hs = np.asarray(internal["H"])[:nsteps, :nsteps]
+            ev = np.linalg.eigvals(Hs)
+            ev = ev[np.isfinite(ev)]
+            if ev.size:
+                tre, tim = _ordered_shift_arrays(ev, int(s), real_np)
 
     return result._replace(
         resnorms=jnp.asarray(np.asarray(resnorms)),
