@@ -48,12 +48,11 @@ def sweep_bytes(ortho, m, N, itemsize=4):
     heights = _buckets(m + 1)
     total = 0
     for k in range(m):
-        if ortho in ("cgs2", "cgs2b"):
-            h = (m + 1) if ortho == "cgs2" else _bucket_of(k, heights)
-            sweeps = 4  # 2 passes x (project + update)
+        if ortho == "cgs2":
+            h, sweeps = m + 1, 4  # full masked sweeps, 2 x (proj+upd)
         elif ortho == "cgs2_fused":
             h = _bucket_of(k, heights)
-            sweeps = 3  # fused kernel
+            sweeps = 3  # fused kernel, prefix BlockSpec
         elif ortho == "bmgs2":
             h = min((k // 16 + 1) * 16, m + 1)
             sweeps = 4
@@ -78,7 +77,15 @@ def main():
     # orthogonalization; maxiter-bounded run (tol=0 -> all m iterations)
     d = jnp.linspace(1.0, 2.0, N).astype(jnp.float32)
     A = lambda v: d * v
-    rng = np.random.default_rng(0)
+
+    def mkb(i):
+        # inputs VARY per rep (identical repeated requests can be served
+        # from a transport cache) but are generated ON DEVICE: a 4 MB
+        # host->device transfer through the tunnel costs ~100 ms and
+        # would dwarf the measured solve
+        b = jnp.sin(jnp.arange(N, dtype=jnp.float32) * (1e-4 + 1e-6 * i))
+        _sync(b)
+        return b
 
     results = {}
     for ortho in ("cgs2", "cgs2_fused", "bmgs2"):
@@ -87,18 +94,16 @@ def main():
                 A, bb, tol=0.0, maxiter=m, ortho=o
             )
         )
-        b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
-        _sync(solve(b).x)  # compile
+        _sync(solve(mkb(0)).x)  # compile
         best = float("inf")
-        for _ in range(args.reps):
-            b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+        for rep in range(args.reps):
+            b = mkb(rep + 1)
             t0 = time.perf_counter()
             _sync(solve(b).x)
             best = min(best, time.perf_counter() - t0)
         per_iter_us = best / m * 1e6
         # subtract nothing: matvec+rotations are ~free vs the sweeps
-        bytes_model = "cgs2b" if ortho == "cgs2" else ortho
-        gbs = sweep_bytes(bytes_model, m, N) / best / 1e9
+        gbs = sweep_bytes(ortho, m, N) / best / 1e9
         results[ortho] = {
             "wall_s": round(best, 5),
             "us_per_iter": round(per_iter_us, 1),

@@ -275,3 +275,66 @@ def test_restarted_ca_gmres_cached_cycles():
     wall = time.perf_counter() - t0
     assert int(res2.status) == 0
     assert wall < 2.0  # compile took far longer; cached path is fast
+
+
+def test_restarted_ca_gmres_shift_refresh_traced():
+    """Shift refresh between cycles must (a) keep ONE compiled cycle
+    (shifts are traced arguments, not compile keys), (b) track plain
+    restarted GMRES's residual trajectory on a hard spectrum at s=8."""
+    from krypy_tpu.functional import sstep as S
+
+    r = numpy.random.RandomState(5)
+    # planted small outliers -> poor short-warmup shift estimates
+    d = numpy.linspace(1.0, 50.0, 400)
+    d[:4] = [1e-4, 5e-4, 2e-3, 1e-2]
+    A = ops.diagonal(jnp.asarray(d))
+    b = jnp.asarray(r.randn(400))
+
+    S._CA_RESTART_CACHE.clear()
+    res = F.restarted_ca_gmres(
+        A, b, s=8, maxiter=40, max_restarts=10, tol=1e-10,
+        refresh_shifts=True,
+    )
+    n_compiled = len(S._CA_RESTART_CACHE)
+    assert n_compiled == 1  # refresh did not recompile
+
+    def true_rel(x):
+        return float(jnp.linalg.norm(b - A(x)) / jnp.linalg.norm(b))
+
+    # same budget without refresh: the refreshed shifts must not make
+    # the final residual worse (the planted outliers make the short
+    # warmup's estimates poor, so refresh usually helps)
+    S._CA_RESTART_CACHE.clear()
+    res_static = F.restarted_ca_gmres(
+        A, b, s=8, maxiter=40, max_restarts=10, tol=1e-10,
+        refresh_shifts=False,
+    )
+    assert numpy.isfinite(true_rel(res.x))
+    assert true_rel(res.x) <= 1.1 * true_rel(res_static.x)
+
+
+def test_ca_gmres_traced_shift_tuple_matches_host_shifts():
+    """The traced (theta_re, theta_im) form must reproduce the
+    host-ordered path exactly (same shifts, same trajectory)."""
+    from krypy_tpu.functional.sstep import (
+        _leja_head, modified_leja, newton_shifts,
+    )
+
+    r = numpy.random.RandomState(11)
+    A = numpy.diag(numpy.linspace(1, 10, 80)) + 0.05 * r.randn(80, 80)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(r.randn(80))
+    ev = newton_shifts(Aj, b, 4)
+    res_host = F.ca_gmres(Aj, b, s=4, basis="newton", shifts=ev,
+                          tol=1e-12, maxiter=40)
+    ordered = _leja_head(modified_leja(numpy.asarray(ev)), 4)
+    res_tuple = F.ca_gmres(
+        Aj, b, s=4, basis="newton",
+        shifts=(jnp.asarray(ordered.real), jnp.asarray(ordered.imag)),
+        tol=1e-12, maxiter=40,
+    )
+    assert int(res_host.status) == int(res_tuple.status)
+    assert numpy.allclose(
+        numpy.asarray(res_host.x), numpy.asarray(res_tuple.x),
+        rtol=1e-12, atol=1e-12,
+    )
