@@ -236,6 +236,10 @@ def config5_nls_newton_recycling(nx, recycle=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=("small", "full"), default="full")
+    ap.add_argument(
+        "--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5],
+        help="which BASELINE configs to run (default: all)",
+    )
     args = ap.parse_args()
     small = args.size == "small"
 
@@ -244,14 +248,15 @@ def main():
     nx4 = 32 if small else 64
     nx5 = 24 if small else 96
 
-    for fn in (
-        config1_readme_gmres,
-        lambda: config2_poisson_cg_minres(nx2),
-        lambda: config3_convdiff_restarted_gmres(nx3),
-        lambda: config4_shifted_laplacian_deflated(nx4),
-        lambda: config5_nls_newton_recycling(nx5),
-    ):
-        print(json.dumps(fn()), flush=True)
+    all_configs = {
+        1: config1_readme_gmres,
+        2: lambda: config2_poisson_cg_minres(nx2),
+        3: lambda: config3_convdiff_restarted_gmres(nx3),
+        4: lambda: config4_shifted_laplacian_deflated(nx4),
+        5: lambda: config5_nls_newton_recycling(nx5),
+    }
+    for idx in args.configs:
+        print(json.dumps(all_configs[idx]()), flush=True)
 
 
 if __name__ == "__main__":

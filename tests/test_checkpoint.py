@@ -71,9 +71,20 @@ def test_checkpointed_recycling(tmp_path):
     )
     r0 = rec1.solve(A, b, tol=1e-6, maxiter=100)
 
+    # the basis was persisted (an extraction failure only warns -- assert
+    # it did not happen so a regression there fails loudly here)
+    state = checkpoint.load(ckdir)
+    assert state is not None and state.get("U") is not None
+    U = numpy.asarray(state["U"])
+    assert U.shape == (N, 3) and numpy.all(numpy.isfinite(U))
+
     # "new process": the recycled basis comes from disk
     rec2 = checkpoint.CheckpointedRecycling(
         ckdir, n_vectors=3, which="sm", hermitian=True
     )
+    assert rec2._rec._U is not None
     r1 = rec2.solve(A, b, tol=1e-6, maxiter=100)
+    # forensics on failure: which subspace did the first solve persist?
+    print("r0.niter", int(r0.niter), "r1.niter", int(r1.niter))
+    print("diag(U.T A U)", numpy.diag(U.T * numpy.asarray(d) @ U))
     assert int(r1.niter) < int(r0.niter)
