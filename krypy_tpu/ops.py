@@ -83,20 +83,34 @@ def poisson_1d(n):
     return matvec
 
 
-def poisson_2d(nx, ny=None, impl="jnp"):
+def poisson_2d(nx, ny=None, impl="jnp", mesh=None):
     """5-point Laplacian on an nx x ny interior grid of the unit square,
     Dirichlet boundaries; SPD, N = nx*ny.
 
     ``impl="jnp"`` (default) applies the stencil as shifted adds -- one
     fused pass, shardable over a mesh (GSPMD inserts halo collectives).
     ``impl="pallas"`` uses the pipelined Pallas kernel (3x faster than the
-    XLA lowering on TPU v5e at 1M dof; single-device, nx a multiple of 8).
+    XLA lowering on TPU v5e at 1M dof; nx a multiple of 8).  With
+    ``mesh=`` the Pallas kernel runs per shard under ``shard_map`` with an
+    explicit one-row ``ppermute`` halo exchange
+    (:func:`krypy_tpu.kernels.stencil.stencil5_sharded`); nx must then be
+    divisible by the mesh size.
     """
     ny = nx if ny is None else ny
     hx2 = (1.0 / (nx + 1)) ** 2
     hy2 = (1.0 / (ny + 1)) ** 2
 
-    if impl == "pallas":
+    if impl == "pallas" and mesh is not None:
+        from .kernels.stencil import stencil5_sharded
+
+        coeffs = (2.0 / hx2 + 2.0 / hy2, -1.0 / hx2, -1.0 / hx2,
+                  -1.0 / hy2, -1.0 / hy2)
+
+        def matvec(x):
+            return stencil5_sharded(
+                x, nx=nx, ny=ny, coeffs=coeffs, mesh=mesh
+            )
+    elif impl == "pallas":
         from .kernels.stencil import laplacian_2d_pipelined
 
         def matvec(x):
@@ -122,14 +136,15 @@ def poisson_2d(nx, ny=None, impl="jnp"):
 
 
 def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
-                            impl="jnp"):
+                            impl="jnp", mesh=None):
     """Nonsymmetric convection-diffusion operator
     ``-eps * Lap(u) + w . grad(u)`` with first-order upwind convection;
     the BASELINE config-3 operator.
 
     ``impl="pallas"``: the whole operator is ONE fused 5-point Pallas
     stencil (diffusion + upwind coefficients combined), reading and
-    writing each grid element once.
+    writing each grid element once.  ``mesh=`` runs it per shard with a
+    ``ppermute`` halo exchange (nx divisible by the mesh size).
     """
     ny = nx if ny is None else ny
     hx = 1.0 / (nx + 1)
@@ -138,7 +153,7 @@ def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
     wx, wy = wind
 
     if impl == "pallas":
-        from .kernels.stencil import stencil5_pipelined
+        from .kernels.stencil import stencil5_pipelined, stencil5_sharded
 
         coeffs = (
             eps * (2.0 / hx2 + 2.0 / hy2) + wx / hx + wy / hy,
@@ -148,8 +163,14 @@ def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
             -eps / hy2,
         )
 
-        def matvec(x):
-            return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
+        if mesh is not None:
+            def matvec(x):
+                return stencil5_sharded(
+                    x, nx=nx, ny=ny, coeffs=coeffs, mesh=mesh
+                )
+        else:
+            def matvec(x):
+                return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
     elif impl == "jnp":
         lap = poisson_2d(nx, ny)
 
@@ -170,16 +191,17 @@ def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
     return matvec
 
 
-def shifted_laplacian_2d(nx, ny=None, sigma=0.0, impl="jnp"):
+def shifted_laplacian_2d(nx, ny=None, sigma=0.0, impl="jnp", mesh=None):
     """Shifted Laplacian ``Lap - sigma I`` (indefinite for sigma inside
     the spectrum); the BASELINE config-4 operator.  ``impl="pallas"``
-    fuses the shift into the 5-point Pallas stencil."""
+    fuses the shift into the 5-point Pallas stencil; ``mesh=`` shards it
+    with a ``ppermute`` halo exchange."""
     ny = nx if ny is None else ny
     hx2 = (1.0 / (nx + 1)) ** 2
     hy2 = (1.0 / (ny + 1)) ** 2
 
     if impl == "pallas":
-        from .kernels.stencil import stencil5_pipelined
+        from .kernels.stencil import stencil5_pipelined, stencil5_sharded
 
         coeffs = (
             2.0 / hx2 + 2.0 / hy2 - sigma,
@@ -189,8 +211,14 @@ def shifted_laplacian_2d(nx, ny=None, sigma=0.0, impl="jnp"):
             -1.0 / hy2,
         )
 
-        def matvec(x):
-            return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
+        if mesh is not None:
+            def matvec(x):
+                return stencil5_sharded(
+                    x, nx=nx, ny=ny, coeffs=coeffs, mesh=mesh
+                )
+        else:
+            def matvec(x):
+                return stencil5_pipelined(x, nx=nx, ny=ny, coeffs=coeffs)
     else:
         lap = poisson_2d(nx, ny, impl=impl)
 

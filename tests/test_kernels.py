@@ -138,6 +138,63 @@ def test_multigrid_pallas_matches_jnp():
     )
 
 
+@pytest.mark.parametrize("nx, ny", [(32, 16), (64, 24), (16, 16)])
+def test_stencil5_sharded_matches_jnp(nx, ny):
+    """The per-shard Pallas kernel + ppermute halo exchange must agree
+    with the single-device jnp operators on the 8-device mesh for every
+    gallery stencil (interpret mode on CPU)."""
+    from krypy_tpu import parallel
+
+    mesh = parallel.make_mesh(8)
+    rng = numpy.random.RandomState(7)
+    x = parallel.shard_vector(jnp.asarray(rng.randn(nx * ny)), mesh)
+    pairs = [
+        (ops.poisson_2d(nx, ny),
+         ops.poisson_2d(nx, ny, impl="pallas", mesh=mesh)),
+        (ops.convection_diffusion_2d(nx, ny),
+         ops.convection_diffusion_2d(nx, ny, impl="pallas", mesh=mesh)),
+        (ops.shifted_laplacian_2d(nx, ny, sigma=7.5),
+         ops.shifted_laplacian_2d(nx, ny, sigma=7.5, impl="pallas",
+                                  mesh=mesh)),
+    ]
+    for ref_op, shard_op in pairs:
+        out = shard_op(x)
+        # output keeps the input's sharding (per-shard compute, no gather)
+        assert out.sharding.spec == x.sharding.spec
+        numpy.testing.assert_allclose(
+            numpy.asarray(out), numpy.asarray(ref_op(x)),
+            rtol=1e-11, atol=1e-11,
+        )
+
+
+def test_stencil5_sharded_rejects_indivisible_nx():
+    from krypy_tpu import parallel
+
+    mesh = parallel.make_mesh(8)
+    op = ops.poisson_2d(12, 16, impl="pallas", mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        op(jnp.zeros(12 * 16))
+
+
+def test_stencil5_sharded_solve():
+    """End-to-end: CG through the sharded Pallas operator converges to
+    the same solution as the jnp path."""
+    from krypy_tpu import functional as F, parallel
+
+    mesh = parallel.make_mesh(8)
+    nx = 32
+    A = ops.poisson_2d(nx, impl="pallas", mesh=mesh)
+    rng = numpy.random.RandomState(8)
+    b = parallel.shard_vector(jnp.asarray(rng.randn(nx * nx)), mesh)
+    with mesh:
+        res = F.cg(A, b, tol=1e-10, maxiter=200)
+    x_ref = F.cg(ops.poisson_2d(nx), jnp.asarray(b), tol=1e-10,
+                 maxiter=200).x
+    numpy.testing.assert_allclose(
+        numpy.asarray(res.x), numpy.asarray(x_ref), rtol=1e-7, atol=1e-9
+    )
+
+
 @pytest.mark.parametrize("nx, ny", [(200, 260), (9, 140), (100, 136)])
 def test_stencil5_block_height_stays_8_aligned(nx, ny):
     """Regression: the VMEM-cap heuristic must never yield a block height
