@@ -78,29 +78,50 @@ def main():
     d = jnp.linspace(1.0, 2.0, N).astype(jnp.float32)
     A = lambda v: d * v
 
-    def mkb(i):
-        # inputs VARY per rep (identical repeated requests can be served
-        # from a transport cache) but are generated ON DEVICE: a 4 MB
-        # host->device transfer through the tunnel costs ~100 ms and
-        # would dwarf the measured solve
-        b = jnp.sin(jnp.arange(N, dtype=jnp.float32) * (1e-4 + 1e-6 * i))
-        _sync(b)
-        return b
+    # rhs batches VARY per rep (identical repeated requests can be
+    # served from a transport cache) and are generated ON DEVICE: a 4 MB
+    # host->device transfer through the tunnel costs ~100 ms and would
+    # dwarf the measured solve.
+    # The axon tunnel adds ~25 ms of constant per-dispatch overhead
+    # (measured by stream_bench.py: one-call walls were ~25 ms at every
+    # size), comparable to the whole m=40 solve.  Device time is
+    # therefore measured by SLOPE: K solves chained in one jit via scan
+    # (distinct rhs per solve), timed at K1 and K2; per-solve =
+    # (t(K2)-t(K1))/(K2-K1), cancelling the constant overhead exactly.
+    K1, K2 = 1, 1 + args.reps
+
+    def mkbs(k, seed):
+        bs = jnp.sin(
+            jnp.arange(k * N, dtype=jnp.float32).reshape(k, N)
+            * (1e-4 + 1e-6 * seed)
+        )
+        _sync(bs)
+        return bs
 
     results = {}
     for ortho in ("cgs2", "cgs2_fused", "bmgs2"):
-        solve = jax.jit(
-            lambda bb, o=ortho: F.gmres(
-                A, bb, tol=0.0, maxiter=m, ortho=o
-            )
-        )
-        _sync(solve(mkb(0)).x)  # compile
-        best = float("inf")
-        for rep in range(args.reps):
-            b = mkb(rep + 1)
-            t0 = time.perf_counter()
-            _sync(solve(b).x)
-            best = min(best, time.perf_counter() - t0)
+
+        @jax.jit
+        def multi(bs, o=ortho):
+            def body(acc, b):
+                r = F.gmres(A, b, tol=0.0, maxiter=m, ortho=o)
+                return acc + jnp.sum(r.x), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), bs)
+            return acc
+
+        def timed(k):
+            float(multi(mkbs(k, 0)))  # compile
+            best = float("inf")
+            for rep in range(3):
+                bs = mkbs(k, rep + 1)
+                t0 = time.perf_counter()
+                float(multi(bs))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = timed(K1), timed(K2)
+        best = (t2 - t1) / (K2 - K1)  # true device s per m-iter solve
         per_iter_us = best / m * 1e6
         # subtract nothing: matvec+rotations are ~free vs the sweeps
         gbs = sweep_bytes(ortho, m, N) / best / 1e9
@@ -109,6 +130,7 @@ def main():
             "us_per_iter": round(per_iter_us, 1),
             "achieved_GBs": round(gbs, 1),
             "pct_roofline": round(100 * gbs / args.roofline_gbs, 1),
+            "onecall_wall_s": round(t1, 5),
         }
         print(json.dumps({"ortho": ortho, "m": m, "N": N,
                           **results[ortho]}), flush=True)

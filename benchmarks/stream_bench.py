@@ -1,18 +1,25 @@
 """Measured HBM streaming bandwidth of THIS chip (roofline anchor).
 
 The ortho roofline discussion (docs/DESIGN.md §8) needs the *achievable*
-streaming bandwidth, not the datasheet number: through the axon tunnel
-the practical ceiling observed for sweep-shaped kernels was well below
-the 819 GB/s v5e datasheet figure.  This probe measures classic STREAM
-kernels (copy / scale / triad) with the repo's timing discipline
-(CLAUDE.md): inputs vary across reps so the tunnel cache cannot serve a
-stale result, completion is observed by fetching a scalar derived from
-the output, best-of-N is reported.
+streaming bandwidth, not the datasheet number.  A naive one-call STREAM
+measurement is useless here: the axon tunnel adds ~25 ms of round-trip
+overhead per dispatch (measured: best_s was ~25-28 ms at every size from
+1M to 16M floats), which swamps the ~100 us the actual sweep takes.
+
+So bandwidth is measured by SLOPE: the kernel is a data-dependent chain
+of K triad sweeps inside one jit (``y <- a*x + c*y``; y's dependence on
+the previous iteration forces K genuine HBM sweeps, and at 16M f32 the
+64 MB working set cannot live in VMEM), timed at K1 and K2; the
+per-sweep time is (t(K2)-t(K1))/(K2-K1), which cancels the constant
+per-call overhead exactly.  Inputs vary across reps so the tunnel cache
+cannot serve a stale result; completion is observed by fetching a scalar
+derived from the output; best-of-N.
 
 Run on the real TPU: ``python benchmarks/stream_bench.py``.
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -20,73 +27,62 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench(fn, make_args, n_bytes, reps):
+@functools.partial(jax.jit, static_argnames=("k",))
+def _triad_chain(x, y, *, k):
+    def body(i, y):
+        return 1.0000001 * x + 0.999 * y
+
+    y = jax.lax.fori_loop(0, k, body, y)
+    return y[0] + y[-1] + jnp.float32(1e-30) * jnp.sum(y[::1024])
+
+
+def _time_at_k(x0, y0, k, reps):
     best = float("inf")
     for i in range(reps):
-        args = make_args(i)
-        # sync the inputs so their construction is outside the timing
-        for a in args:
-            float(jnp.sum(a[:1]))
+        x = x0 + jnp.float32(i)
+        y = y0 + jnp.float32(i)
+        float(x[0] + y[0])  # inputs resident before timing
         t0 = time.perf_counter()
-        out, s = fn(*args)
-        float(s)  # completion barrier: scalar derived from the output
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-    return n_bytes / best / 1e9, best
+        float(_triad_chain(x, y, k=k))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=8)
-    ap.add_argument("--log2n", type=int, nargs="*", default=[20, 22, 24])
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--log2n", type=int, nargs="*", default=[22, 24])
+    ap.add_argument("--k1", type=int, default=8)
+    ap.add_argument("--k2", type=int, default=72)
     args = ap.parse_args()
 
-    dev = jax.devices()[0]
     results = []
     for log2n in args.log2n:
         n = 1 << log2n
-        key = jax.random.PRNGKey(0)
-        x0 = jax.device_put(jax.random.normal(key, (n,), jnp.float32), dev)
-        z0 = jax.device_put(
-            jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32), dev
-        )
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
 
-        @jax.jit
-        def copy(x):
-            y = x * 1.0
-            return y, y[0] + y[-1]
+        # warm both compiles
+        float(_triad_chain(x0, y0, k=args.k1))
+        float(_triad_chain(x0, y0, k=args.k2))
 
-        @jax.jit
-        def scale(x):
-            y = 1.0000001 * x
-            return y, y[0] + y[-1]
-
-        @jax.jit
-        def triad(x, z):
-            y = 1.0000001 * x + z
-            return y, y[0] + y[-1]
-
-        fb = 4  # float32
-        rows = {
-            "copy": (copy, lambda i: (x0 + jnp.float32(i),), 2 * n * fb),
-            "scale": (scale, lambda i: (x0 + jnp.float32(i),), 2 * n * fb),
-            "triad": (
-                triad,
-                lambda i: (x0 + jnp.float32(i), z0 + jnp.float32(i)),
-                3 * n * fb,
+        t1 = _time_at_k(x0, y0, args.k1, args.reps)
+        t2 = _time_at_k(x0, y0, args.k2, args.reps)
+        per_sweep = (t2 - t1) / (args.k2 - args.k1)
+        nbytes = 3 * n * 4  # read x, read y, write y
+        gbs = nbytes / per_sweep / 1e9 if per_sweep > 0 else float("nan")
+        results.append({
+            "kernel": "triad_chain",
+            "n": n,
+            "GBs": round(gbs, 1),
+            "per_sweep_us": round(per_sweep * 1e6, 1),
+            "t_k1_s": round(t1, 5),
+            "t_k2_s": round(t2, 5),
+            "overhead_ms_est": round(
+                (t1 - args.k1 * per_sweep) * 1e3, 2
             ),
-        }
-        for name, (fn, mk, nbytes) in rows.items():
-            gbs, best = _bench(fn, mk, nbytes, args.reps)
-            results.append(
-                {
-                    "kernel": name,
-                    "n": n,
-                    "GBs": round(gbs, 1),
-                    "best_s": round(best, 6),
-                }
-            )
-            print(json.dumps(results[-1]), flush=True)
+        })
+        print(json.dumps(results[-1]), flush=True)
 
     peak = max(r["GBs"] for r in results)
     print(
