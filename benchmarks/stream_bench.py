@@ -29,8 +29,14 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _triad_chain(x, y, *, k):
+    # jnp.roll(., 1) between iterations is the fusion barrier: a plain
+    # chained AXPY is elementwise, so XLA legally fuses all k iterations
+    # into ONE HBM sweep (measured: 20 TB/s "bandwidth" without the
+    # roll).  The roll's two contiguous slices force y to materialize
+    # every iteration while keeping the access pattern sequential, so
+    # each iteration really moves 3 n-vectors through HBM.
     def body(i, y):
-        return 1.0000001 * x + 0.999 * y
+        return jnp.roll(1.0000001 * x + 0.999 * y, 1)
 
     y = jax.lax.fori_loop(0, k, body, y)
     return y[0] + y[-1] + jnp.float32(1e-30) * jnp.sum(y[::1024])
@@ -50,8 +56,11 @@ def _time_at_k(x0, y0, k, reps):
 
 def main():
     ap = argparse.ArgumentParser()
+    # sizes start at 16M floats: below ~64 MB of per-sweep traffic the
+    # K-sweep delta is smaller than the tunnel's run-to-run noise
+    # (measured: the 4M slope came out negative)
     ap.add_argument("--reps", type=int, default=6)
-    ap.add_argument("--log2n", type=int, nargs="*", default=[22, 24])
+    ap.add_argument("--log2n", type=int, nargs="*", default=[24, 25])
     ap.add_argument("--k1", type=int, default=8)
     ap.add_argument("--k2", type=int, default=72)
     args = ap.parse_args()
@@ -84,7 +93,10 @@ def main():
         })
         print(json.dumps(results[-1]), flush=True)
 
-    peak = max(r["GBs"] for r in results)
+    import math
+
+    finite = [r["GBs"] for r in results if math.isfinite(r["GBs"])]
+    peak = max(finite) if finite else float("nan")
     print(
         json.dumps(
             {

@@ -160,9 +160,10 @@ def config4_shifted_laplacian_deflated(nx):
     sl = ops.shifted_laplacian_2d(nx, sigma=35.0)
     b = jnp.ones(N, jnp.float32)
 
-    # first pass: plain GMRES collecting Ritz data
+    # first pass: plain GMRES collecting Ritz data (ortho='auto' engages
+    # the fused Pallas CGS2 kernel on TPU)
     res0, internals = F.gmres(
-        sl, b, tol=1e-4, maxiter=250, return_internal=True
+        sl, b, tol=1e-4, maxiter=250, return_internal=True, ortho="auto"
     )
     internals["niter"] = int(res0.niter)
     internals["E"] = jnp.zeros((0, 0))
@@ -171,7 +172,8 @@ def config4_shifted_laplacian_deflated(nx):
     )
 
     inner = jax.jit(
-        lambda rr: F.deflated_gmres(sl, rr, U, tol=1e-4, maxiter=250)
+        lambda rr: F.deflated_gmres(sl, rr, U, tol=1e-4, maxiter=250,
+                                    ortho="auto")
     )
     _sync(inner(b))  # warm-up compile
     res, info = F.refine_to(sl, b, inner, tol=1e-8, compiled=True)
@@ -186,17 +188,29 @@ def config4_shifted_laplacian_deflated(nx):
     }
 
 
-def config5_nls_newton_recycling(nx, recycle=3):
+def config5_nls_newton_recycling(nx, recycle=3, auto=False):
     """BASELINE config 5 as specified: a RecyclingGmres sequence over the
     REAL Jacobian solves of a Newton iteration on the stationary
     nonlinear-Schrödinger equation (manufactured Gaussian-bump solution,
-    symmetric-indefinite Jacobians ``-Lap + 3 kappa u^2 - lam``)."""
+    symmetric-indefinite Jacobians ``-Lap + 3 kappa u^2 - lam``).
+
+    ``auto=True`` swaps in :class:`AutoRecyclingGmres` (priced greedy
+    width selection fed by measured compiled-step times) so the suite
+    shows the automatic selector against the fixed-width run on the SAME
+    Jacobian sequence (VERDICT r2 item 5)."""
     from krypy_tpu import functional as F, ops
 
     func, ustar = ops.nls_residual_2d(nx, kappa=1.0, lam=25.0)
     N = nx * nx
     x0 = jnp.zeros(N, jnp.float32)
-    rec = F.RecyclingGmres(n_vectors=recycle, which="sm", hermitian=True)
+    if auto:
+        rec = F.AutoRecyclingGmres(
+            max_vectors=recycle + 2, hermitian=True
+        )
+    else:
+        rec = F.RecyclingGmres(
+            n_vectors=recycle, which="sm", hermitian=True
+        )
 
     # The float32 residual-evaluation floor is measured, not estimated:
     # F(ustar) is exactly the rounding noise of one residual evaluation
@@ -222,8 +236,12 @@ def config5_nls_newton_recycling(nx, recycle=3):
         round(max(walls[1:]) / walls[-1], 2)
         if len(walls) > 2 and walls[-1] > 0 else 1.0
     )
+    tag = "5a_auto" if auto else "5"
     return {
-        "config": f"5_nls_newton_recycling_{N}dof_x{len(iters)}solves",
+        "config": f"{tag}_nls_newton_recycling_{N}dof_x{len(iters)}solves",
+        "selected_widths": (
+            [int(w) for w in rec.selected_widths] if auto else None
+        ),
         "newton_steps": int(res.niter),
         "fnorm_final": float(res.resnorms[-1]),
         "eval_floor": round(floor, 5),
@@ -243,8 +261,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=("small", "full"), default="full")
     ap.add_argument(
-        "--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5],
-        help="which BASELINE configs to run (default: all)",
+        "--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6],
+        help="which BASELINE configs to run (default: all; 6 is the "
+        "auto-width variant of 5)",
     )
     args = ap.parse_args()
     small = args.size == "small"
@@ -260,6 +279,9 @@ def main():
         3: lambda: config3_convdiff_restarted_gmres(nx3),
         4: lambda: config4_shifted_laplacian_deflated(nx4),
         5: lambda: config5_nls_newton_recycling(nx5),
+        # 6 = config 5 with automatic subspace-width selection (the
+        # priced greedy selector), same Jacobian sequence
+        6: lambda: config5_nls_newton_recycling(nx5, auto=True),
     }
     for idx in args.configs:
         print(json.dumps(all_configs[idx]()), flush=True)

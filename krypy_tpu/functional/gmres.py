@@ -21,6 +21,14 @@ Orthogonalization schemes (``ortho=``):
 * ``'cgs2_pallas'``/``'cgs_pallas'``: cgs2/cgs with the fused Pallas
   projection kernel (:mod:`krypy_tpu.kernels.orthogonalize`); Euclidean
   inner product only.
+* ``'cgs2_fused'``: both CGS2 passes in ONE bucketed-prefix Pallas
+  kernel (3 basis sweeps total instead of 4, prefix-sized reads) -- the
+  fastest single-chip scheme at moderate maxiter (732 us/iter at m=40 /
+  1M dof f32, slope-timed); Euclidean ip, no ``M``, f32.
+* ``'auto'``: resolve to the fastest eligible scheme at trace time --
+  ``'cgs2_fused'`` for plain f32 Euclidean solves on a TPU backend,
+  ``'cgs2'`` otherwise.  Single-chip heuristic: on a multi-chip mesh
+  pass an explicit batched scheme (the fused kernel is per-device).
 * ``'mgs'``/``'dmgs'``: sequential (doubly) modified Gram-Schmidt via an
   inner ``fori_loop`` -- the reference's schemes (krypy/utils.py:1012-1029)
   for fidelity; latency-bound on accelerators.
@@ -141,6 +149,24 @@ def gmres(
     Ml_mv = as_matvec(Ml)
     Mr_mv = as_matvec(Mr)
     pair, rows = make_inner(ip)
+    if ortho == "auto":
+        # fastest eligible scheme: the fused Pallas CGS2 kernel wins on
+        # TPU (732 vs 1319 us/iter at m=40 / 1M dof f32, slope-timed,
+        # benchmarks/ortho_bench.py) but supports only the Euclidean ip,
+        # no M dual basis, and f32 on a real TPU backend (Mosaic has no
+        # f64); everywhere else batched CGS2 is the right default.
+        _sys_dt = jnp.dtype(system_dtype(bv, x0))
+        ortho = (
+            "cgs2_fused"
+            if (
+                ip is None
+                and M is None
+                and basis_dtype is None
+                and jax.default_backend() == "tpu"
+                and _sys_dt == jnp.dtype(jnp.float32)
+            )
+            else "cgs2"
+        )
     passes = {
         "cgs": 1,
         "cgs2": 2,

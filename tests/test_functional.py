@@ -81,6 +81,24 @@ def test_gmres_bmgs_preconditioned_dual_basis():
     assert float(jnp.linalg.norm(res.x - ref.x)) < 1e-10
 
 
+def test_gmres_ortho_auto():
+    """ortho='auto' resolves to a working scheme everywhere: off-TPU it
+    must be exactly the cgs2 path (identical iterates), and it must
+    accept custom ip / M / f64 (falling back rather than raising)."""
+    A, b = _readme_system()
+    ref = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=60)
+    res = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=60,
+                  ortho="auto")
+    assert int(res.niter) == int(ref.niter)
+    assert numpy.allclose(
+        numpy.asarray(res.x), numpy.asarray(ref.x), rtol=0, atol=0
+    ), "auto must be bit-identical to cgs2 off-TPU"
+    # eligibility fallbacks must not raise
+    r2 = F.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-8, ortho="auto",
+                 ip=lambda x, y: jnp.vdot(x, y))
+    assert int(r2.status) == F.CONVERGED
+
+
 def test_gmres_pallas_rejects_custom_ip():
     A, b = _readme_system()
     with pytest.raises(ValueError):
