@@ -212,14 +212,27 @@ def config5_nls_newton_recycling(nx, recycle=3, auto=False):
             n_vectors=recycle, which="sm", hermitian=True
         )
 
-    # The float32 residual-evaluation floor is measured, not estimated:
-    # F(ustar) is exactly the rounding noise of one residual evaluation
-    # (the true value is 0).  Newton cannot honestly certify below it,
-    # so the target is 3x that floor (relative to ||F(x0)||, the
-    # newton_krylov tol convention), clipped to at most 1e-5 relative.
-    floor = float(jnp.linalg.norm(func(ustar)))
+    # The float32 attainable-residual floor is measured, not estimated.
+    # F(ustar) itself is bitwise 0 (the manufactured g absorbs the
+    # rounding), so the probe is the residual at a LAST-BIT-DITHERED
+    # root: u* dithered by one ulp per component maps through the
+    # Jacobian to the smallest ||F|| any f32-representable iterate
+    # near the root can be distinguished from.  Newton converging below
+    # this level means the iterate is indistinguishable from the true
+    # root at f32 resolution -- the honest certification target
+    # (relative to ||F(x0)||, the newton_krylov tol convention).
+    u32 = jnp.asarray(ustar, jnp.float32)
+    eps32 = float(np.finfo(np.float32).eps)
+    rng = np.random.RandomState(0)
+    floor = float(np.median([
+        float(jnp.linalg.norm(func(
+            u32 * (1 + eps32 * jnp.asarray(
+                rng.uniform(-1, 1, N), jnp.float32))
+        ).astype(jnp.float64)))
+        for _ in range(3)
+    ]))
     f0 = float(jnp.linalg.norm(func(x0)))
-    tol = max(1e-5, 3.0 * floor / max(f0, 1.0))
+    tol = max(1e-5, floor / max(f0, 1.0))
 
     t0 = time.perf_counter()
     res = F.newton_krylov(
@@ -249,6 +262,10 @@ def config5_nls_newton_recycling(nx, recycle=3, auto=False):
         "inner_iters": iters,
         "walls_s": walls,
         "total_s": total_s,
+        # compile warmup happens inside newton_krylov (and so inside
+        # total_s); serving cost = total minus warmup
+        "warmup_s": round(float(res.warmup_s), 4),
+        "serve_s": round(total_s - float(res.warmup_s), 4),
         "max_transient_vs_last": transient,
         # recycling kicks in from solve 2 (solve 1 has no Ritz data);
         # solve 1 additionally runs at the loose initial forcing term, so

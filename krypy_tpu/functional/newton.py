@@ -58,6 +58,10 @@ class NewtonResult(NamedTuple):
     inner_history: np.ndarray = np.zeros(0, int)
     #: wall seconds per inner (Jacobian) solve, synced by scalar fetch
     inner_walls: np.ndarray = np.zeros(0)
+    #: wall seconds of the pre-loop compile warmup (0.0 without
+    #: ``warmup=True``); remote-TPU compiles dominate a short sequence's
+    #: total, so report it separately from serving time
+    warmup_s: float = 0.0
 
     @property
     def converged(self):
@@ -109,6 +113,7 @@ def newton_krylov(
     """
     x = jnp.asarray(x0).reshape(-1)
     dtype = x.dtype
+    warmup_s = 0.0
 
     @jax.jit
     def residual(xx):
@@ -130,8 +135,10 @@ def newton_krylov(
             return mv
 
         if warmup:
+            t_w = time.perf_counter()
             rec.warmup(jac_op(x), jnp.zeros_like(x), M=M,
                        maxiter=inner_maxiter)
+            warmup_s = time.perf_counter() - t_w
 
         def inner(xx, rr, eta):
             res = rec.solve(
@@ -151,9 +158,14 @@ def newton_krylov(
             return dx, int(nit)
 
     @jax.jit
-    def trial_norm(xx, dx, t):
-        r = F(xx + t.astype(dtype) * dx)
-        return jnp.linalg.norm(r)
+    def trial_step(xx, dx, t):
+        # candidate iterate, its residual AND the norm in one dispatch:
+        # through a ~25 ms/dispatch transport the per-step pattern
+        # "trial norm, then separate update + residual" triples the
+        # latency of the common accept-at-t=1 path
+        xn = xx + t.astype(dtype) * dx
+        rn = F(xn)
+        return xn, rn, jnp.linalg.norm(rn)
 
     r, fnorm = residual(x)
     fnorm = float(fnorm)
@@ -191,20 +203,22 @@ def newton_krylov(
         inner_total += nit
 
         t = 1.0
+        xn, rn, tn = trial_step(x, dx, jnp.asarray(t))
+        tn = float(tn)
         if line_search:
             # on sufficient-decrease failure the smallest step is kept:
             # the Newton direction may still be descent-adjacent, and
             # maxiter bounds the damage
-            for _ in range(8):
-                tn = float(trial_norm(x, dx, jnp.asarray(t)))
+            for _ in range(7):
                 if tn <= (1.0 - 1e-4 * t) * fnorm:
                     break
                 t *= 0.5
+                xn, rn, tn = trial_step(x, dx, jnp.asarray(t))
+                tn = float(tn)
 
-        x = x + jnp.asarray(t, dtype) * dx
+        x, r = xn, rn
         prev_fnorm = fnorm
-        r, fnorm = residual(x)
-        fnorm = float(fnorm)
+        fnorm = tn
         history.append(fnorm)
         if verbose:
             _logger.info(
@@ -224,4 +238,5 @@ def newton_krylov(
         status=status,
         inner_history=np.asarray(inner_history, int),
         inner_walls=np.asarray(inner_walls),
+        warmup_s=warmup_s,
     )
