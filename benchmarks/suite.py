@@ -232,7 +232,10 @@ def config5_nls_newton_recycling(nx, recycle=3, auto=False):
         for _ in range(3)
     ]))
     f0 = float(jnp.linalg.norm(func(x0)))
-    tol = max(1e-5, floor / max(f0, 1.0))
+    # target HALF the dithered floor: still attainable (measured: the
+    # sequence reaches ~0.29x floor before stalling) while long enough
+    # a Newton sequence to exercise recycling across several solves
+    tol = max(1e-5, 0.5 * floor / max(f0, 1.0))
 
     t0 = time.perf_counter()
     res = F.newton_krylov(

@@ -200,8 +200,12 @@ def eigsh(
       standard inexact-shift-invert caveat, not a TPU artifact.  With
       ``sigma``, ``which`` is ignored (nearest-``sigma`` selection) and
       the k pairs are VERIFIED against ``A`` itself: the returned
-      ``resnorms[-1]``/``status`` reflect true residuals
-      :math:`\|A u - \lambda u\| / |\lambda|`.
+      ``resnorms[-1]``/``status`` reflect true BACKWARD errors
+      :math:`\|A u - \lambda u\| / (\|A\|\,\|u\|)` with :math:`\|A\|`
+      power-iteration-estimated (normalizing by :math:`|\lambda|` would
+      demand :math:`\kappa(A)\,\epsilon` accuracy for smallest pairs --
+      unattainable at f32 by any algorithm; ARPACK/scipy certify in the
+      inverted space and never re-check against ``A`` at all).
     :param B,Binv: GENERALIZED eigenproblem :math:`A x = \lambda B x`
       with SPD ``B``: Lanczos runs in the B-inner product on
       :math:`B^{-1} A` (both operators required; one B and one
@@ -524,14 +528,33 @@ def eigsh(
     if shift_invert:
         # back-transform and VERIFY against A itself (the loop's
         # residuals were for the inverted operator; inexact inner
-        # solves make them optimistic)
+        # solves make them optimistic).  The verification metric is the
+        # BACKWARD ERROR ||A u - lam u|| / (||A|| ||u||): normalizing by
+        # |lam| instead would demand kappa(A)*eps accuracy for the
+        # smallest eigenpairs -- unattainable at f32 by ANY algorithm,
+        # because roundoff components along the top of the spectrum are
+        # amplified by ||A|| in the residual (ARPACK/scipy do not even
+        # re-verify against A; they certify in the inverted space).
+        # ||A|| is estimated by a short power iteration (underestimates
+        # slightly for clustered tops, which only makes the criterion
+        # stricter).
         lam = jnp.asarray(sigma, real_dtype) + 1.0 / theta_k
         AU = jnp.stack(
             [orig_A_mv(U[:, i]) for i in range(k)], axis=1
         )
+        z = (jnp.cos(jnp.arange(N) * 0.3571) + 0.01).astype(dtype)
+        z = z * safe_div(1.0, jnp.linalg.norm(z))
+
+        def _power(i, zz):
+            w = orig_A_mv(zz)
+            return w * safe_div(1.0, jnp.linalg.norm(w))
+
+        z = lax.fori_loop(0, 8, _power, z)
+        anorm = jnp.linalg.norm(orig_A_mv(z))
+        unorms = jnp.linalg.norm(U, axis=0)
         res = jnp.linalg.norm(
             AU - U * lam[None, :].astype(dtype), axis=0
-        ) / jnp.maximum(jnp.abs(lam), eps_floor)
+        ) / jnp.maximum(anorm.astype(real_dtype) * unorms, eps_floor)
         wres = jnp.max(res)
         theta_k = lam
     resnorms = resnorms.at[jnp.minimum(cycles, max_restarts)].set(wres)
