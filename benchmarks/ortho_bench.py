@@ -67,7 +67,10 @@ def main():
     ap.add_argument("--size", type=int, default=1024 * 1024)
     ap.add_argument("--m", type=int, default=40)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--roofline-gbs", type=float, default=819.0)
+    # default roofline = the MEASURED achievable streaming bandwidth of
+    # this chip+runtime (benchmarks/stream_bench.py: ~690 GB/s triad at
+    # 64 MB+ working sets), not the 819 GB/s datasheet figure
+    ap.add_argument("--roofline-gbs", type=float, default=690.0)
     args = ap.parse_args()
     N, m = args.size, args.m
 

@@ -200,7 +200,11 @@ def config5_nls_newton_recycling(nx, recycle=3, auto=False):
     Jacobian sequence (VERDICT r2 item 5)."""
     from krypy_tpu import functional as F, ops
 
-    func, ustar = ops.nls_residual_2d(nx, kappa=1.0, lam=25.0)
+    # amplitude=3: strong enough nonlinearity for a ~5-step Newton
+    # sequence (amplitude=1 converges in 3), so recycling has a sequence
+    # to amortize over
+    func, ustar = ops.nls_residual_2d(nx, kappa=1.0, lam=25.0,
+                                      amplitude=3.0)
     N = nx * nx
     x0 = jnp.zeros(N, jnp.float32)
     if auto:
