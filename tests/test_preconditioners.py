@@ -141,3 +141,40 @@ def test_multigrid_rbgs_smoother_symmetric_and_effective():
 
     with pytest.raises(ValueError, match="smoother"):
         ops.multigrid_poisson_preconditioner(nx, smoother="zz")
+
+
+def test_multigrid_cg_on_mesh_matches_single_device():
+    """The full production stack -- multigrid-preconditioned CG -- on
+    the 8-device mesh: the V-cycle's grid transfers and smoothers must
+    partition under GSPMD and reproduce the single-device solve
+    (tol above the f32 floor, stagnation-guarded -- below the floor BOTH
+    lanes diverge identically, which is the documented f32 behavior)."""
+    from krypy_tpu import parallel
+    import jax
+
+    nx = 63
+    N = nx * nx
+    mesh = parallel.make_mesh(8)
+    lap = ops.poisson_2d(nx)
+    mg = ops.multigrid_poisson_preconditioner(
+        nx, coarsest=31, coarse_sweeps=30
+    )
+    b1 = jnp.ones(N, jnp.float32)
+    ref = F.cg(lap, b1, M=mg, tol=1e-5, maxiter=50, stagnation_window=6)
+    b = parallel.shard_vector(b1, mesh)
+    with mesh:
+        res = jax.jit(
+            lambda bb: F.cg(lap, bb, M=mg, tol=1e-5, maxiter=50,
+                            stagnation_window=6)
+        )(b)
+    assert int(res.status) == F.CONVERGED
+    assert int(res.niter) == int(ref.niter)
+    assert len({s.device for s in res.x.addressable_shards}) == 8
+    rel = float(
+        jnp.linalg.norm(lap(res.x.astype(jnp.float64)) - b1)
+        / jnp.linalg.norm(b1)
+    )
+    assert rel < 1e-4
+    numpy.testing.assert_allclose(
+        numpy.asarray(res.x), numpy.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )
