@@ -20,6 +20,23 @@ _X64 = os.environ.get("KRYPY_TPU_X64", "1") != "0"
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls default to fast bf16-multiply MXU passes
+# (precision=DEFAULT), which silently injects ~1e-3..1e-4 relative noise
+# into the library's core contractions -- inner products, Gram-Schmidt
+# sweeps, Gram matrices.  Measured impact: the 1M-dof shift-invert
+# eigensolve's leading eigenvalue carried 6.5e-4 relative error and
+# failed its 5e-4 backward-error certification; with full f32 precision
+# the error is ~1e-6 (benchmarks/RESULTS_r3.md).  A numerics library
+# must not trade digits silently, so full f32 accumulation is the
+# import-time default.  The cost is ~nil on the solver hot paths: the
+# orthogonalization contractions are HBM-bound (~521 of the ~690 GB/s
+# measured ceiling), far below the MXU balance point even at 6-pass f32.
+# Opt out (e.g. for bf16-dominated workloads) with
+# ``KRYPY_TPU_PRECISION=default``.
+_PRECISION = os.environ.get("KRYPY_TPU_PRECISION", "highest")
+if _PRECISION != "default":
+    jax.config.update("jax_default_matmul_precision", _PRECISION)
+
 
 def x64_enabled() -> bool:
     """Return True if 64-bit mode was enabled at import time."""
