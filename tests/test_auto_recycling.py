@@ -7,9 +7,7 @@ the NLS Newton sequence of BASELINE config 5.
 """
 
 import numpy
-import pytest
 
-import jax
 import jax.numpy as jnp
 
 from krypy_tpu import functional as F, ops
