@@ -327,31 +327,53 @@ def deflated_minres(A, b, U, **kwargs):
     return _deflated_short_recurrence(_minres, A, b, U, kwargs)
 
 
+@jax.jit
+def _pack_galerkin(H, C, E, V, AU):
+    """Device-side pack of every small matrix the host eig needs into
+    ONE flat buffer: through a ~25 ms/round-trip transport, fetching
+    H, C, E and the Gram block separately costs 4 round trips per
+    recycling hand-off; one concatenated fetch costs one."""
+    B = jnp.dot(jnp.conj(V), AU)  # (m+1, d) Gram block <V, AU>
+    dt = jnp.result_type(H.dtype, C.dtype, E.dtype, B.dtype)
+    return jnp.concatenate(
+        [H.ravel().astype(dt), C.ravel().astype(dt),
+         E.ravel().astype(dt), B.ravel().astype(dt)]
+    )
+
+
 def _augmented_galerkin(internals):
     """Host assembly of the augmented Galerkin matrix ``[[H + B E^{-1}C,
     B], [C, E]]`` of the space ``[V_n, U]`` from the matrices captured by
     a (deflated) functional GMRES solve (reference math:
     krypy/deflation.py:781-809).  Returns ``(Mblock, n, d)``."""
-    H_full = np.asarray(internals["H"])
-    C_full = np.asarray(internals["C"])
-    n = int(internals.get("niter", H_full.shape[1]))
-    E = np.asarray(internals["E"]) if "E" in internals else np.zeros((0, 0))
-    d = E.shape[0]
-
-    H = H_full[:n, :n]
-    C = C_full[:n, :d].T if d else np.zeros((0, n))
+    n = int(internals.get(
+        "niter", np.asarray(internals["H"]).shape[1]
+    ))
+    E_dev = internals["E"] if "E" in internals else jnp.zeros((0, 0))
+    d = int(E_dev.shape[0])
 
     if d:
-        # B_ = <V, AU>; for the captured data we use the self-adjoint-free
-        # explicit form via the device basis (full static GEMM, truncated
-        # on host)
-        V = internals["V"]
-        AU = internals["AU"]
-        B = np.asarray(jnp.dot(jnp.conj(V), AU))[:n]
+        H_dev, C_dev = internals["H"], internals["C"]
+        V, AU = internals["V"], internals["AU"]
+        flat = np.asarray(
+            _pack_galerkin(
+                jnp.asarray(H_dev), jnp.asarray(C_dev),
+                jnp.asarray(E_dev), V, AU,
+            )
+        )
+        sizes = [np.prod(np.shape(a)) for a in (H_dev, C_dev, E_dev)]
+        o1, o2, o3 = np.cumsum(sizes).astype(int)
+        H_full = flat[:o1].reshape(np.shape(H_dev))
+        C_full = flat[o1:o2].reshape(np.shape(C_dev))
+        E = flat[o2:o3].reshape(np.shape(E_dev))
+        B = flat[o3:].reshape(np.shape(V)[0], d)[:n]
+        H = H_full[:n, :n]
+        C = C_full[:n, :d].T
         EinvC = np.linalg.solve(E, C)
         Mblock = np.block([[H + B @ EinvC, B], [C, E]])
     else:
-        Mblock = H
+        H_full = np.asarray(internals["H"])
+        Mblock = H_full[:n, :n]
     return Mblock, n, d
 
 
