@@ -731,11 +731,29 @@ class AutoRecyclingGmres(RecyclingGmres):
     """
 
     def __init__(self, max_vectors=4, which="sm", hermitian=True,
-                 growth=0.05):
+                 growth=0.05, widths=None):
+        """:param widths: candidate deflation widths (default: every
+        width ``0..max_vectors``).  Each width is a distinct compiled
+        core, and remote-TPU compiles dominate :meth:`warmup` (measured:
+        ~56 s for 6 widths on the config-5 sequence vs ~15 s for 2), so
+        serving deployments can restrict the set, e.g.
+        ``widths=(0, max_vectors)``; the priced selection then runs over
+        the allowed set only.  0 and ``max_vectors`` are always
+        included (0 is the no-deflation fallback; ``max_vectors`` caps
+        the extraction shape)."""
         super().__init__(
             n_vectors=max_vectors, which=which, hermitian=hermitian
         )
         self.max_vectors = int(max_vectors)
+        if widths is None:
+            self._widths = tuple(range(self.max_vectors + 1))
+        else:
+            ws = {0, self.max_vectors} | {int(w) for w in widths}
+            if not all(0 <= w <= self.max_vectors for w in ws):
+                raise ValueError(
+                    f"widths must lie in [0, {self.max_vectors}]"
+                )
+            self._widths = tuple(sorted(ws))
         self._growth = float(growth)
         self._tau = {}
         #: chosen deflation width per solve (observability)
@@ -744,7 +762,7 @@ class AutoRecyclingGmres(RecyclingGmres):
         self.predicted_steps = []
 
     def _warmup_widths(self):
-        return tuple(range(self.max_vectors + 1))
+        return self._widths
 
     def _warm_extraction(self, ints):
         # the auto driver always assembles max_vectors columns and
@@ -752,8 +770,9 @@ class AutoRecyclingGmres(RecyclingGmres):
         theta, coeffs, n, d = ritz_pairs(ints, hermitian=self.hermitian)
         sel, theta_sel = self._padded_selection(theta, coeffs)
         U_full = assemble_ritz_vectors(ints, sel, n, d, theta=theta_sel)
-        for w in range(1, self.max_vectors + 1):
-            float(jnp.real(jnp.sum(U_full[:, :w])))
+        for w in self._widths:
+            if w > 0:
+                float(jnp.real(jnp.sum(U_full[:, :w])))
 
     def _tau_of(self, d):
         if d in self._tau:
@@ -810,7 +829,7 @@ class AutoRecyclingGmres(RecyclingGmres):
         budget = float(maxiter) if maxiter else 10.0 * max(len(theta), 1)
 
         best = None  # (cost, width, steps)
-        for dwidth in range(dmax + 1):
+        for dwidth in (w for w in self._widths if w <= dmax):
             remaining = theta[order[dwidth:]]
             if np.iscomplexobj(remaining) and not np.isreal(
                 remaining

@@ -51,6 +51,25 @@ def test_auto_selects_outlier_width_and_beats_fixed_iterations():
     assert sum(auto_iters[1:]) <= sum(fixed_iters[1:])
 
 
+def test_auto_restricted_widths():
+    """widths= restricts the candidate set (fewer compiled cores for
+    serving); selections stay within it, 0 and max always included."""
+    seq, b = _outlier_sequence()
+    n = b.shape[0]
+    auto = F.AutoRecyclingGmres(max_vectors=4, hermitian=True,
+                                widths=(0, 4))
+    assert auto._widths == (0, 4)
+    auto.warmup(seq[0], b, tol=1e-4, maxiter=n)
+    iters = [
+        int(auto.solve(op, b, tol=1e-4, maxiter=n).niter) for op in seq
+    ]
+    assert all(w in (0, 4) for w in auto.selected_widths)
+    assert any(w == 4 for w in auto.selected_widths[1:])
+    assert min(iters[1:]) < iters[0]
+    with numpy.testing.assert_raises(ValueError):
+        F.AutoRecyclingGmres(max_vectors=3, widths=(0, 7))
+
+
 def test_auto_predictions_track_actual_iterations():
     """The a-priori bound pricing should predict the recycled iteration
     counts to within a small factor (it is a BOUND, so it may only
