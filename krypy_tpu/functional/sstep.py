@@ -699,13 +699,31 @@ def ca_gmres(
         for _ in range(2):
             Z, C = lax.fori_loop(0, active_panels, panel_body, (Z, C))
 
-        # 3. CholQR2 of the panel: Z = conj(L1 L2) Q_rows,
-        #    R = L2^H L1^H upper triangular
+        # 3. SHIFTED CholQR2 of the panel: Z = conj(L1 L2) Q_rows,
+        #    R = L2^H L1^H upper triangular.  The candidate panel can
+        #    lose rank at the f32 floor (measured: smallest Gram
+        #    eigenvalue 3.5e-9 < eps*||G|| on the 1M-dof ones-rhs
+        #    Poisson probe, where A*r0 is boundary-supported and the
+        #    first Newton direction nearly parallels r0); an unshifted
+        #    Cholesky then returns NaN whenever the reduction order
+        #    rounds that eigenvalue negative -- which the TPU's did.
+        #    The standard fix (shifted CholeskyQR, Fukaya et al.) adds
+        #    c*eps*tr(G) I before factorizing: the factor stays finite,
+        #    and the second (clean) pass restores orthonormality to
+        #    working precision; the deficient direction degrades to an
+        #    arbitrary orthonormal one instead of poisoning the basis.
+        def _shifted_chol(G):
+            scale = jnp.real(jnp.trace(G)) / s
+            shift = (64.0 * float(jnp.finfo(real_dtype).eps)) * scale
+            return jnp.linalg.cholesky(
+                G + shift.astype(dtype) * eye_s
+            )
+
         G1 = jnp.dot(Z.conj(), Z.T)
-        L1 = jnp.linalg.cholesky(G1)
+        L1 = _shifted_chol(G1)
         Q1 = jax.scipy.linalg.solve_triangular(L1.conj(), Z, lower=True)
         G2 = jnp.dot(Q1.conj(), Q1.T)
-        L2 = jnp.linalg.cholesky(G2)
+        L2 = _shifted_chol(G2)
         Qp = jax.scipy.linalg.solve_triangular(L2.conj(), Q1, lower=True)
         Rt = jnp.dot(L2.conj().T, L1.conj().T)            # (s, s) upper
 
