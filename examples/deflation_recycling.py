@@ -57,6 +57,28 @@ def functional_lane():
     print(f"functional recycling iterations per solve: {iters}")
 
 
+def auto_width_lane():
+    """AutoRecyclingGmres picks the deflation width per solve by
+    pricing candidate widths with the a-priori iteration bound and the
+    measured per-iteration wall of each compiled core -- here it should
+    discover that width 4 (the planted outlier count) pays."""
+    n = 200
+    base = numpy.linspace(1, 2, n)
+    base[:4] = [1e-6, 1e-3, 5e-3, 2e-2]
+    auto = F.AutoRecyclingGmres(max_vectors=4, hermitian=True)
+    b = jnp.ones(n)
+    iters = []
+    for i in range(4):
+        op = ops.diagonal(jnp.asarray(base * (1.0 + 0.01 * i)))
+        r = auto.solve(op, b, tol=1e-6, maxiter=n)
+        iters.append(int(r.niter))
+    print(
+        f"auto recycling iterations per solve: {iters}, "
+        f"selected widths: {auto.selected_widths}"
+    )
+
+
 if __name__ == "__main__":
     compat_lane()
     functional_lane()
+    auto_width_lane()
