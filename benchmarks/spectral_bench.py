@@ -83,6 +83,13 @@ def main():
                     float(eig.theta[0]) - float(exact0)
                 ) / float(exact0),
                 "converged": bool(eig.status == 0),
+                # per-pair backward errors vs A: the degenerate (1,2)/
+                # (2,1) cluster members are the pairs block Lanczos
+                # exists for -- each must certify, not just the max
+                "pair_backward_errors": [
+                    float(r) for r in eig.pair_resnorms
+                ],
+                "theta": [float(t) for t in eig.theta],
             }
         ),
         flush=True,

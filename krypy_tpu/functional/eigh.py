@@ -63,6 +63,13 @@ class EigshResult(NamedTuple):
     niter: jnp.ndarray
     #: CONVERGED / MAXITER
     status: jnp.ndarray
+    #: final per-pair residuals, shape ``(k,)`` -- the quantity whose
+    #: max is ``resnorms[-1]``/``status``: Lanczos border residuals in
+    #: general, pencil residuals for generalized problems, backward
+    #: errors vs A for shift-invert.  Per-pair visibility matters for
+    #: clustered/degenerate spectra, where one ill-conditioned member
+    #: can lag the rest of its cluster.
+    pair_resnorms: jnp.ndarray = None
 
     @property
     def converged(self):
@@ -443,12 +450,12 @@ def eigsh(
         # invariant subspace has dimension < k: it can never converge,
         # so its residual is pinned at +inf (honest MAXITER)
         res = jnp.where(spurious[:k], jnp.inf, res)
-        return BS, jnp.max(res)
+        return BS, res, jnp.max(res)
 
     def body(state):
         V, W, H, cycles, niter, resnorms, _ = state
         theta, S, spurious = ritz(V, H)
-        b, wres = cycle_stats(H, theta, S, spurious)
+        b, _, wres = cycle_stats(H, theta, S, spurious)
         resnorms = resnorms.at[cycles].set(wres)
         conv = wres <= tol
 
@@ -505,7 +512,7 @@ def eigsh(
     # final extraction (also records the last cycle's residual when the
     # loop exited on max_restarts without a final body call)
     theta, S, spurious = ritz(V, H)
-    _, wres = cycle_stats(H, theta, S, spurious)
+    _, pair_res, wres = cycle_stats(H, theta, S, spurious)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
     theta_k = theta[:k]
     if generalized:
@@ -524,6 +531,7 @@ def eigsh(
             )
             for i in range(k)
         ])
+        pair_res = res
         wres = jnp.max(res)
     if shift_invert:
         # back-transform and VERIFY against A itself (the loop's
@@ -555,6 +563,7 @@ def eigsh(
         res = jnp.linalg.norm(
             AU - U * lam[None, :].astype(dtype), axis=0
         ) / jnp.maximum(anorm.astype(real_dtype) * unorms, eps_floor)
+        pair_res = res
         wres = jnp.max(res)
         theta_k = lam
     resnorms = resnorms.at[jnp.minimum(cycles, max_restarts)].set(wres)
@@ -565,4 +574,5 @@ def eigsh(
         resnorms=resnorms,
         niter=niter,
         status=status,
+        pair_resnorms=pair_res,
     )
