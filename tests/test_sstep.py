@@ -338,3 +338,23 @@ def test_ca_gmres_traced_shift_tuple_matches_host_shifts():
         numpy.asarray(res_host.x), numpy.asarray(res_tuple.x),
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_ca_gmres_rank_deficient_panel_stays_finite():
+    """Eigenvector rhs: the first Newton direction (A - theta0) b is
+    ~0, so the candidate panel's Gram matrix is numerically singular.
+    Whether plain Cholesky survives that is a rounding-order lottery
+    (the TPU's reduction order NaN'd where the CPU's happened not to);
+    the shifted CholQR2 guard must keep the solve finite and
+    progressing on every backend."""
+    n = 256
+    lap = ops.poisson_1d(n)
+    h = 1.0 / (n + 1)
+    b = jnp.asarray(
+        numpy.sin(numpy.arange(1, n + 1) * numpy.pi * h), jnp.float32
+    )
+    r = F.ca_gmres(lap, b, tol=1e-6, maxiter=16, s=4, basis="newton")
+    rn = numpy.asarray(r.resnorms)
+    assert numpy.all(numpy.isfinite(numpy.asarray(r.x)))
+    finite = rn[numpy.isfinite(rn)]
+    assert finite.size > 1 and float(numpy.nanmin(rn)) < 1e-2
