@@ -219,9 +219,14 @@ def eigsh(
       :math:`B^{-1}` application per step on top of A).  The returned
       ``U`` columns are B-orthonormal, and the k pairs are VERIFIED
       against the pencil itself:
-      :math:`\|A u - \lambda B u\| / (|\lambda|\,\|B u\|)`.  Not
-      combinable with ``sigma`` (shift-invert the pencil manually:
-      ``eigsh(lambda v: solve(A - sigma*B, B(v)), ...)``).
+      :math:`\|A u - \lambda B u\| / (|\lambda|\,\|B u\|)`.
+      COMBINABLE with ``sigma``: pass ``inv=`` applying
+      :math:`(A - \sigma B)^{-1}` and Lanczos runs on the spectral
+      transform :math:`(A-\sigma B)^{-1} B` (self-adjoint in the same
+      B-inner product), returning the k pencil eigenvalues nearest
+      ``sigma``; ``Binv`` is then unused and optional, and the pairs
+      are verified against the pencil with the backward error
+      :math:`\|Au-\lambda Bu\|/((\|A\|+|\lambda|\|B\|)\|u\|)`.
     :param block_size: advance this many Lanczos vectors per step
       (block thick-restart Lanczos).  Single-vector Lanczos converges
       one member of a DEGENERATE/clustered eigenvalue at a time (in
@@ -241,27 +246,32 @@ def eigsh(
     shift_invert = sigma is not None
     generalized = B is not None or Binv is not None
     if generalized:
-        if B is None or Binv is None:
+        if B is None or (Binv is None and not shift_invert):
             raise ValueError(
-                "generalized mode needs BOTH B= and Binv="
-            )
-        if shift_invert:
-            raise ValueError(
-                "sigma with B is not supported; shift-invert the "
-                "pencil manually (see the B docstring)"
+                "generalized mode needs BOTH B= and Binv= (Binv is "
+                "unused -- optional -- under sigma= shift-invert)"
             )
         B_mv = as_matvec(B)
-        Binv_mv = as_matvec(Binv)
         pencil_A_mv = A_mv
-        A_mv = lambda v: Binv_mv(pencil_A_mv(v))
+        if not shift_invert:
+            Binv_mv = as_matvec(Binv)
+            A_mv = lambda v: Binv_mv(pencil_A_mv(v))
     if shift_invert:
         if inv is None:
             raise ValueError(
                 "sigma= (shift-invert) requires inv=, a matvec applying "
-                "(A - sigma I)^{-1}"
+                "(A - sigma I)^{-1} (or (A - sigma B)^{-1} with B=)"
             )
         orig_A_mv = A_mv
-        A_mv = as_matvec(inv)
+        inv_mv = as_matvec(inv)
+        if generalized:
+            # spectral transform of the pencil: Lanczos on
+            # C = (A - sigma B)^{-1} B, self-adjoint in the B-inner
+            # product that the generalized lane already maintains;
+            # eigenvalues nu = 1/(lambda - sigma)
+            A_mv = lambda v: inv_mv(B_mv(v))
+        else:
+            A_mv = inv_mv
         which = "lm"  # largest of the inverted spectrum = nearest sigma
     if v0 is not None:
         v0 = jnp.asarray(v0).reshape(-1)
@@ -301,6 +311,7 @@ def eigsh(
         raise ValueError(
             "block_size > 1 is not supported with generalized pencils"
         )
+
     m = (
         min(N, max(2 * k + 8, 24))
         if maxdim is None
@@ -515,7 +526,42 @@ def eigsh(
     _, pair_res, wres = cycle_stats(H, theta, S, spurious)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
     theta_k = theta[:k]
-    if generalized:
+    if generalized and shift_invert:
+        # back-transform lambda = sigma + 1/nu and verify against the
+        # PENCIL with a backward-error normalization (same rationale as
+        # the standard shift-invert branch below: |lambda|-relative
+        # residuals are unattainable for small pairs at f32):
+        # ||A u - lam B u|| / ((||A|| + |lam| ||B||) ||u||), with both
+        # operator norms power-iteration-estimated.
+        lam = jnp.asarray(sigma, real_dtype) + 1.0 / theta_k
+        AU = jnp.stack(
+            [pencil_A_mv(U[:, i]) for i in range(k)], axis=1
+        )
+        BU = jnp.stack([B_mv(U[:, i]) for i in range(k)], axis=1)
+
+        def _opnorm(mv):
+            z = (jnp.cos(jnp.arange(N) * 0.3571) + 0.01).astype(dtype)
+            z = z * safe_div(1.0, jnp.linalg.norm(z))
+
+            def _pw(i, zz):
+                w = mv(zz)
+                return w * safe_div(1.0, jnp.linalg.norm(w))
+
+            z = lax.fori_loop(0, 8, _pw, z)
+            return jnp.linalg.norm(mv(z)).astype(real_dtype)
+
+        anorm = _opnorm(pencil_A_mv)
+        bnorm = _opnorm(B_mv)
+        unorms = jnp.linalg.norm(U, axis=0)
+        res = jnp.linalg.norm(
+            AU - BU * lam[None, :].astype(dtype), axis=0
+        ) / jnp.maximum(
+            (anorm + jnp.abs(lam) * bnorm) * unorms, eps_floor
+        )
+        pair_res = res
+        wres = jnp.max(res)
+        theta_k = lam
+    elif generalized:
         # verify against the PENCIL: ||A u - theta B u||/(|theta| ||B u||)
         AU = jnp.stack(
             [pencil_A_mv(U[:, i]) for i in range(k)], axis=1
@@ -533,7 +579,7 @@ def eigsh(
         ])
         pair_res = res
         wres = jnp.max(res)
-    if shift_invert:
+    elif shift_invert:
         # back-transform and VERIFY against A itself (the loop's
         # residuals were for the inverted operator; inexact inner
         # solves make them optimistic).  The verification metric is the

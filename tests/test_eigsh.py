@@ -241,9 +241,43 @@ def test_eigsh_generalized_guards():
     A = jnp.eye(20)
     with pytest.raises(ValueError, match="BOTH"):
         F.eigsh(A, k=2, B=jnp.eye(20))
-    with pytest.raises(ValueError, match="pencil"):
-        F.eigsh(A, k=2, B=jnp.eye(20), Binv=jnp.eye(20), sigma=1.0,
-                inv=lambda v: v)
+    # sigma with B requires inv (the pencil solve)
+    with pytest.raises(ValueError, match="inv="):
+        F.eigsh(A, k=2, B=jnp.eye(20), Binv=jnp.eye(20), sigma=1.0)
+
+
+def test_eigsh_generalized_shift_invert():
+    """Interior eigenvalues of the pencil A x = lam B x nearest sigma:
+    Lanczos on (A - sigma B)^{-1} B in the B-inner product (Binv not
+    needed).  Oracle: scipy.linalg.eigh(A, B)."""
+    import scipy.linalg
+
+    n = 150
+    rng = numpy.random.RandomState(7)
+    Q = numpy.linalg.qr(rng.randn(n, n))[0]
+    A = Q @ numpy.diag(numpy.linspace(1.0, 50.0, n)) @ Q.T
+    A = (A + A.T) / 2
+    Bd = numpy.linspace(0.5, 2.0, n)
+    B = numpy.diag(Bd)
+    exact = scipy.linalg.eigh(A, B, eigvals_only=True)
+    sigma = float(exact[n // 2]) * 1.0007
+
+    Aj = jnp.asarray(A)
+    shifted = jnp.asarray(A - sigma * B)
+    inv = lambda v: jnp.linalg.solve(shifted, v)
+    r = F.eigsh(
+        Aj, k=3, sigma=sigma, inv=inv,
+        B=lambda v: jnp.asarray(Bd) * v, maxdim=24, tol=1e-8, n=n,
+    )
+    assert int(r.status) == 0
+    got = numpy.sort(numpy.asarray(r.theta))
+    want = numpy.sort(exact[numpy.argsort(numpy.abs(exact - sigma))[:3]])
+    numpy.testing.assert_allclose(got, want, rtol=1e-8)
+    # U columns are B-orthonormal
+    U = numpy.asarray(r.U)
+    G = U.T @ (Bd[:, None] * U)
+    numpy.testing.assert_allclose(G, numpy.eye(3), atol=1e-6)
+    assert numpy.all(numpy.asarray(r.pair_resnorms) <= 1e-8)
 
 
 def test_eigsh_generalized_sloppy_binv_is_honest():
