@@ -60,7 +60,12 @@ from .funm import (
     slq_logdet,
     slq_trace,
 )
-from .shifted import ShiftedResult, shifted_cg, shifted_gmres
+from .shifted import (
+    ShiftedResult,
+    restarted_shifted_gmres,
+    shifted_cg,
+    shifted_gmres,
+)
 
 __all__ = [
     "refine_to",
@@ -87,6 +92,7 @@ __all__ = [
     "slq_trace",
     "slq_logdet",
     "shifted_gmres",
+    "restarted_shifted_gmres",
     "shifted_cg",
     "ShiftedResult",
     "spectral_bounds",

@@ -39,7 +39,12 @@ from .common import (
     system_dtype,
 )
 
-__all__ = ["shifted_cg", "shifted_gmres", "ShiftedResult"]
+__all__ = [
+    "shifted_cg",
+    "shifted_gmres",
+    "restarted_shifted_gmres",
+    "ShiftedResult",
+]
 
 
 class ShiftedResult(NamedTuple):
@@ -122,6 +127,140 @@ def shifted_gmres(A, b, shifts, *, maxiter=50, tol=1e-8, ortho="cgs2"):
     status = jnp.where(rel_res <= tol, CONVERGED, MAXITER)
     return ShiftedResult(
         X=X, resnorms=rel_res, niter=k, status=status
+    )
+
+
+def restarted_shifted_gmres(
+    A, b, shifts, *, maxiter=50, max_restarts=10, tol=1e-8,
+    ortho="cgs2", seed=0,
+):
+    r"""Restarted multi-shift GMRES with COLLINEAR residuals (the
+    seed-system scheme of Frommer & Gl\"assner, SIAM J. Sci. Comput.
+    19(1), 1998).
+
+    Plain restarting breaks the multi-shift trick: after one cycle the
+    shifted residuals point in different directions, so no single Krylov
+    space serves the family (which is why :func:`shifted_gmres` is
+    single-cycle by design).  The seed scheme restores it by
+    construction: the seed shift runs ordinary restarted GMRES, and
+    every other shift solves the SQUARE augmented system
+
+    .. math:: [\,\bar H + \sigma_i \bar I \;|\; z\,]
+              \begin{bmatrix} y_i \\ \zeta_i \end{bmatrix}
+              = \beta_i e_1,
+
+    where ``z`` is the seed's small-coordinate residual, which forces
+    its new residual to be exactly :math:`\zeta_i` times the seed's.
+    Starting from the shared residual ``b`` (zero initial guess), ALL
+    residuals stay parallel to one direction by induction, every cycle
+    rebuilds one basis from that direction, and each shift's
+    collinearity factor is a scalar carried between cycles.
+
+    Per cycle: one m-step Arnoldi + a vmapped batch of (m+1)-square
+    solves + one ``(s, m) x (m, N)`` update GEMM -- same device shape
+    as the single-cycle solver.  Final per-shift relative residuals are
+    recomputed EXPLICITLY (s matvecs) so statuses are honest regardless
+    of accumulated collinearity drift.
+
+    :param seed: index into ``shifts`` of the seed system (default 0;
+      convergence of the family is typically governed by the hardest
+      shift, so put it first or pass its index).
+    :return: :class:`ShiftedResult` with ``niter`` = total Krylov steps.
+    """
+    b = jnp.asarray(b)
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    m = min(int(maxiter), N)
+    shifts = jnp.asarray(shifts).reshape(-1)
+    ns = shifts.shape[0]
+    seed = int(seed)
+    if not 0 <= seed < ns:
+        raise ValueError(f"seed index {seed} outside [0, {ns})")
+
+    A_mv = as_matvec(A)
+    dtype = system_dtype(bv)
+    small_dtype = jnp.promote_types(dtype, shifts.dtype)
+    shifts = shifts.astype(small_dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    # after the first cycle the shared residual direction lives in the
+    # promoted dtype (complex for complex shifts), so the basis build
+    # runs there too
+    A_mv = cast_matvec(A_mv, small_dtype)
+
+    sub_diag = jnp.eye(m + 1, m, k=-1, dtype=small_dtype)
+    shift_rows = jnp.eye(m + 1, m, dtype=small_dtype)
+    e1 = jnp.zeros(m + 1, small_dtype).at[0].set(1.0)
+
+    @jax.jit
+    def cycle(r_dir, betas, X):
+        """One seed cycle.  ``r_dir`` is the shared unit residual
+        direction, ``betas`` the per-shift collinearity factors
+        (r_i = betas[i] * r_dir), ``X`` the iterates ``(ns, N)``."""
+        rel = arnoldi(A_mv, r_dir, maxiter=m, ortho=ortho)
+        V, H, k = rel.V, rel.H, rel.niter
+        col_mask = jnp.arange(m) < k
+        Hs = H.astype(small_dtype)
+
+        # seed: masked least squares at its shift
+        Hseed = jnp.where(
+            col_mask[None, :], Hs + shifts[seed] * shift_rows, sub_diag
+        )
+        q, r = jnp.linalg.qr(Hseed, mode="reduced")
+        y_seed = jax.scipy.linalg.solve_triangular(
+            r, jnp.dot(q.conj().T, e1)
+        )
+        z = e1 - jnp.dot(Hseed, y_seed)         # (m+1,) small residual
+        znorm = jnp.linalg.norm(z)
+
+        def other(sigma, beta_i):
+            Hm = jnp.where(
+                col_mask[None, :], Hs + sigma * shift_rows, sub_diag
+            )
+            Msq = jnp.concatenate([Hm, z[:, None]], axis=1)  # (m+1, m+1)
+            qq, rr = jnp.linalg.qr(Msq, mode="reduced")
+            w = jax.scipy.linalg.solve_triangular(
+                rr, jnp.dot(qq.conj().T, beta_i * e1)
+            )
+            return w[:m], w[m]                   # y_i, zeta_i
+
+        Ys, zetas = jax.vmap(other)(shifts, betas)
+        # the seed's own row follows the same formula with zeta = its
+        # collinearity factor update: r_seed_new = beta_seed * z, i.e.
+        # y = beta_seed * y_seed, zeta = beta_seed
+        Ys = Ys.at[seed].set(betas[seed] * y_seed)
+        zetas = zetas.at[seed].set(betas[seed])
+
+        X = X + jnp.dot(Ys, V[:m].astype(small_dtype))
+        # next direction: the seed's residual V z (unit-normalized);
+        # new collinearity factors in that normalization
+        r_new = jnp.dot(z, V.astype(small_dtype))
+        r_dir_new = r_new * safe_div(1.0, znorm)
+        betas_new = zetas * znorm
+        return r_dir_new, betas_new, X, jnp.abs(betas_new), k
+
+    bnorm = jnp.linalg.norm(bv)
+    r_dir = (bv * safe_div(1.0, bnorm)).astype(small_dtype)
+    betas = jnp.full(ns, bnorm, small_dtype)
+    X = jnp.zeros((ns, N), small_dtype)
+    total_k = 0
+    for _ in range(int(max_restarts) + 1):
+        r_dir, betas, X, absres, k = cycle(r_dir, betas, X)
+        total_k += int(k)
+        if float(jnp.max(absres)) <= tol * float(bnorm):
+            break
+
+    # honest statuses: explicit true residuals (ns matvecs)
+    true_res = jax.vmap(
+        lambda x, sigma: jnp.linalg.norm(
+            bv.astype(small_dtype) - (A_mv(x) + sigma * x)
+        )
+    )(X, shifts)
+    rel_res = (true_res / jnp.maximum(bnorm, jnp.finfo(
+        real_dtype).tiny)).real.astype(real_dtype)
+    status = jnp.where(rel_res <= tol, CONVERGED, MAXITER)
+    return ShiftedResult(
+        X=X, resnorms=rel_res, niter=jnp.asarray(total_k),
+        status=status,
     )
 
 

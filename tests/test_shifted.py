@@ -195,3 +195,72 @@ def test_shifted_cg_f32_divergence_guard_returns_best():
     # the returned iterates sit near the f32 floor, not at divergence
     assert float(jnp.max(r.resnorms)) < 1e-2
     assert int(r.status[0]) == F.MAXITER  # honest: tol unreachable
+
+
+def test_restarted_shifted_gmres_converges_where_single_cycle_cannot():
+    """Seed-system restarts: m=25 cycles reach 1e-8 where one m=25
+    cycle stalls; residuals stay collinear by construction, statuses
+    come from explicit true residuals."""
+    Am, b = _nonsym(n=300, seed=3)
+    shifts = numpy.array([0.0, 0.5, 2.0, 10.0])
+    one = F.shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts),
+        maxiter=25, tol=1e-8,
+    )
+    assert not bool(one.converged.all())  # single cycle insufficient
+    r = F.restarted_shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts),
+        maxiter=25, max_restarts=12, tol=1e-8,
+    )
+    assert bool(r.converged.all()), numpy.asarray(r.resnorms)
+    # explicit per-shift residual check against the reported ones
+    for i, s in enumerate(shifts):
+        x = numpy.asarray(r.X[i])
+        rel = numpy.linalg.norm(b - (Am @ x + s * x)) / numpy.linalg.norm(b)
+        assert rel <= 1.1e-8
+        assert abs(rel - float(r.resnorms[i])) <= 1e-10
+
+
+def test_restarted_shifted_gmres_matches_per_shift_restarted_gmres():
+    """Each shift's solution agrees with independently restarted GMRES
+    on that single system (same m), to the shared tolerance."""
+    from krypy_tpu.functional.gmres import restarted_gmres
+
+    Am, b = _nonsym(n=200, seed=4)
+    shifts = numpy.array([0.1, 1.0, 5.0])
+    r = F.restarted_shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts),
+        maxiter=20, max_restarts=15, tol=1e-9,
+    )
+    assert bool(r.converged.all())
+    for i, s in enumerate(shifts):
+        ref = restarted_gmres(
+            jnp.asarray(Am + s * numpy.eye(200)), jnp.asarray(b),
+            maxiter=20, max_restarts=25, tol=1e-9,
+        )
+        assert numpy.allclose(
+            numpy.asarray(r.X[i]), numpy.asarray(ref.x),
+            rtol=1e-6, atol=1e-8,
+        )
+
+
+def test_restarted_shifted_gmres_complex_shifts_and_seed():
+    """Complex shifts promote the direction after cycle 1; a non-zero
+    seed index works and bad seed indices raise."""
+    import pytest
+
+    Am, b = _nonsym(n=150, seed=5)
+    shifts = numpy.array([0.5 + 0.3j, 2.0 - 1.0j, 4.0])
+    r = F.restarted_shifted_gmres(
+        jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts),
+        maxiter=20, max_restarts=15, tol=1e-8, seed=1,
+    )
+    assert bool(r.converged.all()), numpy.asarray(r.resnorms)
+    for i, s in enumerate(shifts):
+        x = numpy.asarray(r.X[i])
+        rel = numpy.linalg.norm(b - (Am @ x + s * x)) / numpy.linalg.norm(b)
+        assert rel <= 1.1e-8
+    with pytest.raises(ValueError, match="seed"):
+        F.restarted_shifted_gmres(
+            jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts), seed=7
+        )
