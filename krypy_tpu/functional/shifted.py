@@ -191,11 +191,17 @@ def restarted_shifted_gmres(
     shift_rows = jnp.eye(m + 1, m, dtype=small_dtype)
     e1 = jnp.zeros(m + 1, small_dtype).at[0].set(1.0)
 
-    @jax.jit
-    def cycle(r_dir, betas, X):
+    # compiled-cycle cache (same pattern and rationale as
+    # gmres._RESTART_CACHE): a sequence of calls on the same operator,
+    # shift count and options compiles exactly once
+    ckey = (id(A), m, ortho, ns, seed, str(small_dtype), N)
+
+    def cycle(r_dir, betas, X, sh):
         """One seed cycle.  ``r_dir`` is the shared unit residual
         direction, ``betas`` the per-shift collinearity factors
-        (r_i = betas[i] * r_dir), ``X`` the iterates ``(ns, N)``."""
+        (r_i = betas[i] * r_dir), ``X`` the iterates ``(ns, N)``,
+        ``sh`` the traced shift values (so the compiled cycle is
+        reusable across shift values of the same count/dtype)."""
         rel = arnoldi(A_mv, r_dir, maxiter=m, ortho=ortho)
         V, H, k = rel.V, rel.H, rel.niter
         col_mask = jnp.arange(m) < k
@@ -203,7 +209,7 @@ def restarted_shifted_gmres(
 
         # seed: masked least squares at its shift
         Hseed = jnp.where(
-            col_mask[None, :], Hs + shifts[seed] * shift_rows, sub_diag
+            col_mask[None, :], Hs + sh[seed] * shift_rows, sub_diag
         )
         q, r = jnp.linalg.qr(Hseed, mode="reduced")
         y_seed = jax.scipy.linalg.solve_triangular(
@@ -223,7 +229,7 @@ def restarted_shifted_gmres(
             )
             return w[:m], w[m]                   # y_i, zeta_i
 
-        Ys, zetas = jax.vmap(other)(shifts, betas)
+        Ys, zetas = jax.vmap(other)(sh, betas)
         # the seed's own row follows the same formula with zeta = its
         # collinearity factor update: r_seed_new = beta_seed * z, i.e.
         # y = beta_seed * y_seed, zeta = beta_seed
@@ -238,13 +244,21 @@ def restarted_shifted_gmres(
         betas_new = zetas * znorm
         return r_dir_new, betas_new, X, jnp.abs(betas_new), k
 
+    jcycle = _SEED_CYCLE_CACHE.get(ckey)
+    if jcycle is None:
+        jcycle = jax.jit(cycle)
+        jcycle._keepalive = (A,)
+        if len(_SEED_CYCLE_CACHE) >= _SEED_CYCLE_CACHE_MAX:
+            _SEED_CYCLE_CACHE.pop(next(iter(_SEED_CYCLE_CACHE)))
+        _SEED_CYCLE_CACHE[ckey] = jcycle
+
     bnorm = jnp.linalg.norm(bv)
     r_dir = (bv * safe_div(1.0, bnorm)).astype(small_dtype)
     betas = jnp.full(ns, bnorm, small_dtype)
     X = jnp.zeros((ns, N), small_dtype)
     total_k = 0
     for _ in range(int(max_restarts) + 1):
-        r_dir, betas, X, absres, k = cycle(r_dir, betas, X)
+        r_dir, betas, X, absres, k = jcycle(r_dir, betas, X, shifts)
         total_k += int(k)
         if float(jnp.max(absres)) <= tol * float(bnorm):
             break
@@ -262,6 +276,12 @@ def restarted_shifted_gmres(
         X=X, resnorms=rel_res, niter=jnp.asarray(total_k),
         status=status,
     )
+
+
+#: compiled seed-cycle cache (same pattern/rationale as
+#: gmres._RESTART_CACHE)
+_SEED_CYCLE_CACHE = {}
+_SEED_CYCLE_CACHE_MAX = 16
 
 
 class _ShiftedCgState(NamedTuple):
