@@ -526,6 +526,22 @@ def eigsh(
     _, pair_res, wres = cycle_stats(H, theta, S, spurious)
     U = jnp.dot(S[:, :k].T, V[:m]).T                  # (N, k)
     theta_k = theta[:k]
+
+    def _opnorm(mv):
+        """8-step power-iteration ||.||_2 estimate (deterministic
+        quasi-random start; shared by both shift-invert verifications).
+        Underestimates slightly for clustered tops, which only makes
+        the backward-error criterion stricter."""
+        z = (jnp.cos(jnp.arange(N) * 0.3571) + 0.01).astype(dtype)
+        z = z * safe_div(1.0, jnp.linalg.norm(z))
+
+        def _pw(i, zz):
+            w = mv(zz)
+            return w * safe_div(1.0, jnp.linalg.norm(w))
+
+        z = lax.fori_loop(0, 8, _pw, z)
+        return jnp.linalg.norm(mv(z)).astype(real_dtype)
+
     if generalized and shift_invert:
         # back-transform lambda = sigma + 1/nu and verify against the
         # PENCIL with a backward-error normalization (same rationale as
@@ -538,17 +554,6 @@ def eigsh(
             [pencil_A_mv(U[:, i]) for i in range(k)], axis=1
         )
         BU = jnp.stack([B_mv(U[:, i]) for i in range(k)], axis=1)
-
-        def _opnorm(mv):
-            z = (jnp.cos(jnp.arange(N) * 0.3571) + 0.01).astype(dtype)
-            z = z * safe_div(1.0, jnp.linalg.norm(z))
-
-            def _pw(i, zz):
-                w = mv(zz)
-                return w * safe_div(1.0, jnp.linalg.norm(w))
-
-            z = lax.fori_loop(0, 8, _pw, z)
-            return jnp.linalg.norm(mv(z)).astype(real_dtype)
 
         anorm = _opnorm(pencil_A_mv)
         bnorm = _opnorm(B_mv)
@@ -596,19 +601,11 @@ def eigsh(
         AU = jnp.stack(
             [orig_A_mv(U[:, i]) for i in range(k)], axis=1
         )
-        z = (jnp.cos(jnp.arange(N) * 0.3571) + 0.01).astype(dtype)
-        z = z * safe_div(1.0, jnp.linalg.norm(z))
-
-        def _power(i, zz):
-            w = orig_A_mv(zz)
-            return w * safe_div(1.0, jnp.linalg.norm(w))
-
-        z = lax.fori_loop(0, 8, _power, z)
-        anorm = jnp.linalg.norm(orig_A_mv(z))
+        anorm = _opnorm(orig_A_mv)
         unorms = jnp.linalg.norm(U, axis=0)
         res = jnp.linalg.norm(
             AU - U * lam[None, :].astype(dtype), axis=0
-        ) / jnp.maximum(anorm.astype(real_dtype) * unorms, eps_floor)
+        ) / jnp.maximum(anorm * unorms, eps_floor)
         pair_res = res
         wres = jnp.max(res)
         theta_k = lam

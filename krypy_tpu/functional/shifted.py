@@ -25,6 +25,8 @@ direction b).
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,6 +36,7 @@ from .common import (
     CONVERGED,
     MAXITER,
     as_matvec,
+    breakdown_threshold,
     cast_matvec,
     safe_div,
     system_dtype,
@@ -132,7 +135,7 @@ def shifted_gmres(A, b, shifts, *, maxiter=50, tol=1e-8, ortho="cgs2"):
 
 def restarted_shifted_gmres(
     A, b, shifts, *, maxiter=50, max_restarts=10, tol=1e-8,
-    ortho="cgs2", seed=0,
+    ortho="cgs2", seed=0, stagnation_window=3,
 ):
     r"""Restarted multi-shift GMRES with COLLINEAR residuals (the
     seed-system scheme of Frommer & Gl\"assner, SIAM J. Sci. Comput.
@@ -165,6 +168,11 @@ def restarted_shifted_gmres(
     :param seed: index into ``shifts`` of the seed system (default 0;
       convergence of the family is typically governed by the hardest
       shift, so put it first or pass its index).
+    :param stagnation_window: stop after this many cycles without
+      improvement in the family's max implied residual and return the
+      best snapshot (f32 solves stall at the attainable-accuracy floor
+      and then diverge if pushed -- same guard as the other solvers);
+      0 disables.
     :return: :class:`ShiftedResult` with ``niter`` = total Krylov steps.
     """
     b = jnp.asarray(b)
@@ -190,6 +198,9 @@ def restarted_shifted_gmres(
     sub_diag = jnp.eye(m + 1, m, k=-1, dtype=small_dtype)
     shift_rows = jnp.eye(m + 1, m, dtype=small_dtype)
     e1 = jnp.zeros(m + 1, small_dtype).at[0].set(1.0)
+    # z is in the e1-normalized small coordinates, so the happy-
+    # breakdown test is relative to 1
+    brk = float(breakdown_threshold(small_dtype))
 
     # compiled-cycle cache (same pattern and rationale as
     # gmres._RESTART_CACHE): a sequence of calls on the same operator,
@@ -218,31 +229,63 @@ def restarted_shifted_gmres(
         z = e1 - jnp.dot(Hseed, y_seed)         # (m+1,) small residual
         znorm = jnp.linalg.norm(z)
 
+        # happy breakdown: z ~ 0 means the seed solved exactly and
+        # the augmented system [Hm | z] is singular (its QR emits NaN).
+        # The Krylov space is then (numerically) invariant, so the
+        # PLAIN per-shift least squares is exact for every shift; use
+        # it, keep the previous direction, and carry the plain small
+        # residual norms as the new factors (collinearity is moot at
+        # this scale -- the final explicit check keeps statuses honest).
+        z_ok = znorm > brk
+
         def other(sigma, beta_i):
             Hm = jnp.where(
                 col_mask[None, :], Hs + sigma * shift_rows, sub_diag
             )
-            Msq = jnp.concatenate([Hm, z[:, None]], axis=1)  # (m+1, m+1)
+            zsafe = jnp.where(z_ok, z, e1)       # keep QR non-singular
+            Msq = jnp.concatenate([Hm, zsafe[:, None]], axis=1)
             qq, rr = jnp.linalg.qr(Msq, mode="reduced")
             w = jax.scipy.linalg.solve_triangular(
                 rr, jnp.dot(qq.conj().T, beta_i * e1)
             )
-            return w[:m], w[m]                   # y_i, zeta_i
+            # plain masked least squares (the z ~ 0 fallback)
+            qp, rp = jnp.linalg.qr(Hm, mode="reduced")
+            y_p = jax.scipy.linalg.solve_triangular(
+                rp, jnp.dot(qp.conj().T, beta_i * e1)
+            )
+            res_p = jnp.linalg.norm(beta_i * e1 - jnp.dot(Hm, y_p))
+            y_i = jnp.where(z_ok, w[:m], y_p)
+            zeta_i = jnp.where(z_ok, w[m], 0.0)
+            return y_i, zeta_i, res_p
 
-        Ys, zetas = jax.vmap(other)(sh, betas)
+        Ys, zetas, res_plain = jax.vmap(other)(sh, betas)
         # the seed's own row follows the same formula with zeta = its
         # collinearity factor update: r_seed_new = beta_seed * z, i.e.
         # y = beta_seed * y_seed, zeta = beta_seed
-        Ys = Ys.at[seed].set(betas[seed] * y_seed)
-        zetas = zetas.at[seed].set(betas[seed])
+        Ys = Ys.at[seed].set(
+            jnp.where(z_ok, betas[seed] * y_seed, Ys[seed])
+        )
+        zetas = zetas.at[seed].set(jnp.where(z_ok, betas[seed], 0.0))
+        res_plain = res_plain.at[seed].set(
+            jnp.where(
+                z_ok, res_plain[seed], jnp.abs(betas[seed]) * znorm
+            )
+        )
 
         X = X + jnp.dot(Ys, V[:m].astype(small_dtype))
         # next direction: the seed's residual V z (unit-normalized);
         # new collinearity factors in that normalization
         r_new = jnp.dot(z, V.astype(small_dtype))
-        r_dir_new = r_new * safe_div(1.0, znorm)
-        betas_new = zetas * znorm
-        return r_dir_new, betas_new, X, jnp.abs(betas_new), k
+        r_dir_new = jnp.where(
+            z_ok, r_new * safe_div(1.0, znorm), r_dir
+        )
+        betas_new = jnp.where(z_ok, zetas * znorm, res_plain)
+        # ONE host fetch per cycle: [max residual, krylov steps]
+        stats = jnp.stack([
+            jnp.max(jnp.abs(betas_new)).astype(real_dtype),
+            k.astype(real_dtype),
+        ])
+        return r_dir_new, betas_new, X, stats
 
     jcycle = _SEED_CYCLE_CACHE.get(ckey)
     if jcycle is None:
@@ -257,16 +300,38 @@ def restarted_shifted_gmres(
     betas = jnp.full(ns, bnorm, small_dtype)
     X = jnp.zeros((ns, N), small_dtype)
     total_k = 0
+    # f32 floor guard (CLAUDE.md: solves stall at the attainable floor
+    # and then DIVERGE if pushed further): keep the best-X snapshot and
+    # stop after `stagnation_window` cycles without improvement
+    best = float("inf")
+    X_best = X
+    stall = 0
+    bnorm_f = float(bnorm)
     for _ in range(int(max_restarts) + 1):
-        r_dir, betas, X, absres, k = jcycle(r_dir, betas, X, shifts)
-        total_k += int(k)
-        if float(jnp.max(absres)) <= tol * float(bnorm):
+        r_dir, betas, X, stats = jcycle(r_dir, betas, X, shifts)
+        stats_h = np.asarray(stats)
+        absmax, k = float(stats_h[0]), int(stats_h[1])
+        total_k += k
+        if absmax < best:
+            best, X_best, stall = absmax, X, 0
+        else:
+            stall += 1
+        if absmax <= tol * bnorm_f:
             break
+        if stagnation_window and stall >= stagnation_window:
+            break
+    X = X_best
 
-    # honest statuses: explicit true residuals (ns matvecs)
-    true_res = jax.vmap(
-        lambda x, sigma: jnp.linalg.norm(
-            bv.astype(small_dtype) - (A_mv(x) + sigma * x)
+    # honest statuses: explicit true residuals (ns matvecs, one
+    # compiled dispatch; lax.map so user matvecs only ever see 1-D
+    # vectors -- vmap would impose a batching requirement no other
+    # solver in the lane does)
+    true_res = jax.jit(
+        lambda XX, ss: lax.map(
+            lambda xs: jnp.linalg.norm(
+                bv.astype(small_dtype) - (A_mv(xs[0]) + xs[1] * xs[0])
+            ),
+            (XX, ss),
         )
     )(X, shifts)
     rel_res = (true_res / jnp.maximum(bnorm, jnp.finfo(

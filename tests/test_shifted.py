@@ -264,3 +264,24 @@ def test_restarted_shifted_gmres_complex_shifts_and_seed():
         F.restarted_shifted_gmres(
             jnp.asarray(Am), jnp.asarray(b), jnp.asarray(shifts), seed=7
         )
+
+
+def test_restarted_shifted_gmres_happy_breakdown():
+    """Eigenvector rhs (Krylov grade 1): the seed solves exactly in one
+    step, z = 0 makes the augmented system singular -- the plain-LSQ
+    fallback must return the EXACT solutions for every shift instead of
+    NaN (the invariant space contains all of them)."""
+    A = jnp.diag(jnp.arange(1.0, 9.0))
+    b = jnp.zeros(8).at[2].set(1.0)
+    r = F.restarted_shifted_gmres(
+        A, b, jnp.asarray([0.0, 1.0]), maxiter=6, max_restarts=5,
+        tol=1e-10,
+    )
+    assert bool(r.converged.all()), numpy.asarray(r.resnorms)
+    assert numpy.all(numpy.isfinite(numpy.asarray(r.X)))
+    numpy.testing.assert_allclose(
+        numpy.asarray(r.X[0]), numpy.asarray(b) / 3.0, atol=1e-12
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(r.X[1]), numpy.asarray(b) / 4.0, atol=1e-12
+    )
