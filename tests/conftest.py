@@ -21,3 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# The full combinatorial grid (KRYPY_TPU_TEST_STRIDE=1, ~11.7K tests)
+# accumulates thousands of compiled executables in one process, after
+# which XLA:CPU's JIT segfaults compiling yet another while_loop
+# (reproduced twice at ~99%, in different tests each time, always
+# inside backend_compile_and_load).  Dropping the compilation caches
+# between modules bounds the live-executable count; the default strided
+# run stays unaffected (cache reuse across modules is what keeps it at
+# ~9 min).
+import pytest  # noqa: E402
+
+if os.environ.get("KRYPY_TPU_TEST_STRIDE") == "1":
+
+    @pytest.fixture(autouse=True, scope="module")
+    def _clear_jax_caches_between_modules():
+        yield
+        jax.clear_caches()
