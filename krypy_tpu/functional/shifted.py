@@ -58,7 +58,9 @@ class ShiftedResult(NamedTuple):
     X: jnp.ndarray
     #: final relative residual per shift, shape ``(n_shifts,)``
     resnorms: jnp.ndarray
-    #: Krylov dimension actually built (shared by all shifts)
+    #: Krylov steps actually built, shared by all shifts (the cycle
+    #: dimension for single-cycle :func:`shifted_gmres`; the TOTAL over
+    #: cycles for :func:`restarted_shifted_gmres`)
     niter: jnp.ndarray
     #: CONVERGED / MAXITER per shift, shape ``(n_shifts,)``
     status: jnp.ndarray
@@ -165,9 +167,13 @@ def restarted_shifted_gmres(
     recomputed EXPLICITLY (s matvecs) so statuses are honest regardless
     of accumulated collinearity drift.
 
-    :param seed: index into ``shifts`` of the seed system (default 0;
-      convergence of the family is typically governed by the hardest
-      shift, so put it first or pass its index).
+    :param seed: index into ``shifts`` of the INITIAL seed system
+      (default 0).  After every cycle the seed moves to the shift with
+      the largest implied residual -- a converged seed would misread
+      its eps-level residual as subspace invariance and stall the rest
+      of the family (the re-seeding remedy of the original paper);
+      since residuals are collinear, any shift can take over seamlessly
+      and the move costs no recompiles (the index is traced).
     :param stagnation_window: stop after this many cycles without
       improvement in the family's max implied residual and return the
       best snapshot (f32 solves stall at the attainable-accuracy floor
@@ -204,15 +210,16 @@ def restarted_shifted_gmres(
 
     # compiled-cycle cache (same pattern and rationale as
     # gmres._RESTART_CACHE): a sequence of calls on the same operator,
-    # shift count and options compiles exactly once
-    ckey = (id(A), m, ortho, ns, seed, str(small_dtype), N)
+    # shift count and options compiles exactly once.  The seed index is
+    # a TRACED argument (re-seeding costs no recompiles).
+    ckey = (id(A), m, ortho, ns, str(small_dtype), N)
 
-    def cycle(r_dir, betas, X, sh):
+    def cycle(r_dir, betas, X, sh, seed_idx):
         """One seed cycle.  ``r_dir`` is the shared unit residual
         direction, ``betas`` the per-shift collinearity factors
         (r_i = betas[i] * r_dir), ``X`` the iterates ``(ns, N)``,
-        ``sh`` the traced shift values (so the compiled cycle is
-        reusable across shift values of the same count/dtype)."""
+        ``sh`` the traced shift values and ``seed_idx`` the traced seed
+        index (the host re-seeds on the hardest shift each cycle)."""
         rel = arnoldi(A_mv, r_dir, maxiter=m, ortho=ortho)
         V, H, k = rel.V, rel.H, rel.niter
         col_mask = jnp.arange(m) < k
@@ -220,7 +227,7 @@ def restarted_shifted_gmres(
 
         # seed: masked least squares at its shift
         Hseed = jnp.where(
-            col_mask[None, :], Hs + sh[seed] * shift_rows, sub_diag
+            col_mask[None, :], Hs + sh[seed_idx] * shift_rows, sub_diag
         )
         q, r = jnp.linalg.qr(Hseed, mode="reduced")
         y_seed = jax.scipy.linalg.solve_triangular(
@@ -229,71 +236,103 @@ def restarted_shifted_gmres(
         z = e1 - jnp.dot(Hseed, y_seed)         # (m+1,) small residual
         znorm = jnp.linalg.norm(z)
 
-        # happy breakdown: z ~ 0 means the seed solved exactly and
-        # the augmented system [Hm | z] is singular (its QR emits NaN).
-        # The Krylov space is then (numerically) invariant, so the
-        # PLAIN per-shift least squares is exact for every shift; use
-        # it, keep the previous direction, and carry the plain small
-        # residual norms as the new factors (collinearity is moot at
-        # this scale -- the final explicit check keeps statuses honest).
+        # z ~ 0 would make the augmented system [Hm | z] singular (its
+        # QR emits NaN).  Because the host re-seeds on the HARDEST
+        # shift each cycle, this fires only on genuine (numerical)
+        # invariance of the Krylov space -- where the plain per-shift
+        # least squares is exact for every shift.  lax.cond so the hot
+        # path pays only one batched small solve.
         z_ok = znorm > brk
 
-        def other(sigma, beta_i):
-            Hm = jnp.where(
-                col_mask[None, :], Hs + sigma * shift_rows, sub_diag
-            )
-            zsafe = jnp.where(z_ok, z, e1)       # keep QR non-singular
-            Msq = jnp.concatenate([Hm, zsafe[:, None]], axis=1)
-            qq, rr = jnp.linalg.qr(Msq, mode="reduced")
-            w = jax.scipy.linalg.solve_triangular(
-                rr, jnp.dot(qq.conj().T, beta_i * e1)
-            )
-            # plain masked least squares (the z ~ 0 fallback)
-            qp, rp = jnp.linalg.qr(Hm, mode="reduced")
-            y_p = jax.scipy.linalg.solve_triangular(
-                rp, jnp.dot(qp.conj().T, beta_i * e1)
-            )
-            res_p = jnp.linalg.norm(beta_i * e1 - jnp.dot(Hm, y_p))
-            y_i = jnp.where(z_ok, w[:m], y_p)
-            zeta_i = jnp.where(z_ok, w[m], 0.0)
-            return y_i, zeta_i, res_p
+        def aug_branch(_):
+            def one(sigma, beta_i):
+                Hm = jnp.where(
+                    col_mask[None, :], Hs + sigma * shift_rows, sub_diag
+                )
+                Msq = jnp.concatenate([Hm, z[:, None]], axis=1)
+                qq, rr = jnp.linalg.qr(Msq, mode="reduced")
+                w = jax.scipy.linalg.solve_triangular(
+                    rr, jnp.dot(qq.conj().T, beta_i * e1)
+                )
+                return w[:m], w[m]               # y_i, zeta_i
 
-        Ys, zetas, res_plain = jax.vmap(other)(sh, betas)
-        # the seed's own row follows the same formula with zeta = its
-        # collinearity factor update: r_seed_new = beta_seed * z, i.e.
-        # y = beta_seed * y_seed, zeta = beta_seed
-        Ys = Ys.at[seed].set(
-            jnp.where(z_ok, betas[seed] * y_seed, Ys[seed])
-        )
-        zetas = zetas.at[seed].set(jnp.where(z_ok, betas[seed], 0.0))
-        res_plain = res_plain.at[seed].set(
-            jnp.where(
-                z_ok, res_plain[seed], jnp.abs(betas[seed]) * znorm
+            Ys, zetas = jax.vmap(one)(sh, betas)
+            # the seed's own row: r_seed_new = beta_seed * z, i.e.
+            # y = beta_seed * y_seed, zeta = beta_seed
+            Ys = Ys.at[seed_idx].set(betas[seed_idx] * y_seed)
+            zetas = zetas.at[seed_idx].set(betas[seed_idx])
+            r_new = jnp.dot(z, V.astype(small_dtype))
+            return (
+                Ys,
+                zetas * znorm,
+                r_new * safe_div(1.0, znorm),
             )
-        )
 
+        def plain_branch(_):
+            def one(sigma, beta_i):
+                Hm = jnp.where(
+                    col_mask[None, :], Hs + sigma * shift_rows, sub_diag
+                )
+                qp, rp = jnp.linalg.qr(Hm, mode="reduced")
+                y_p = jax.scipy.linalg.solve_triangular(
+                    rp, jnp.dot(qp.conj().T, beta_i * e1)
+                )
+                res_p = jnp.linalg.norm(
+                    beta_i * e1 - jnp.dot(Hm, y_p)
+                )
+                return y_p, res_p
+
+            Ys, resn = jax.vmap(one)(sh, betas)
+            return Ys, resn.astype(small_dtype), r_dir
+
+        Ys, betas_new, r_dir_new = lax.cond(
+            z_ok, aug_branch, plain_branch, None
+        )
         X = X + jnp.dot(Ys, V[:m].astype(small_dtype))
-        # next direction: the seed's residual V z (unit-normalized);
-        # new collinearity factors in that normalization
-        r_new = jnp.dot(z, V.astype(small_dtype))
-        r_dir_new = jnp.where(
-            z_ok, r_new * safe_div(1.0, znorm), r_dir
-        )
-        betas_new = jnp.where(z_ok, zetas * znorm, res_plain)
-        # ONE host fetch per cycle: [max residual, krylov steps]
+        absb = jnp.abs(betas_new)
+        # ONE host fetch per cycle:
+        # [max residual, krylov steps, hardest-shift index]
         stats = jnp.stack([
-            jnp.max(jnp.abs(betas_new)).astype(real_dtype),
+            jnp.max(absb).astype(real_dtype),
             k.astype(real_dtype),
+            jnp.argmax(absb).astype(real_dtype),
         ])
         return r_dir_new, betas_new, X, stats
 
-    jcycle = _SEED_CYCLE_CACHE.get(ckey)
-    if jcycle is None:
+    cached = _SEED_CYCLE_CACHE.get(ckey)
+    if cached is None:
+        from .gmres import restarted_gmres as _rg
+
         jcycle = jax.jit(cycle)
-        jcycle._keepalive = (A,)
+        # cached residual checker: a fresh jit per call would recompile
+        # the ns-matvec check on every solve (review finding)
+        jcheck = jax.jit(
+            lambda XX, ss, bb: lax.map(
+                lambda xs: jnp.linalg.norm(
+                    bb - (A_mv(xs[0]) + xs[1] * xs[0])
+                ),
+                (XX, ss),
+            )
+        )
+        # cached per-shift rescue driver (shift traced): the collinear
+        # premise can break legitimately -- e.g. an easy seed reaching
+        # eps within cycle 1 forces the plain fallback, after which the
+        # family's residuals are NOT parallel -- and then the implied
+        # factors under-report.  Unconverged shifts finish with honest
+        # per-shift restarted GMRES from their current iterates.
+        jrescue = jax.jit(
+            lambda bb, x0, sg: _rg(
+                lambda v: A_mv(v) + sg * v, bb, x0=x0, maxiter=m,
+                max_restarts=int(max_restarts), tol=float(tol),
+                compiled=True,
+            )
+        )
+        cached = (jcycle, jcheck, jrescue)
+        cached[0]._keepalive = (A,)
         if len(_SEED_CYCLE_CACHE) >= _SEED_CYCLE_CACHE_MAX:
             _SEED_CYCLE_CACHE.pop(next(iter(_SEED_CYCLE_CACHE)))
-        _SEED_CYCLE_CACHE[ckey] = jcycle
+        _SEED_CYCLE_CACHE[ckey] = cached
+    jcycle, jcheck, jrescue = cached
 
     bnorm = jnp.linalg.norm(bv)
     r_dir = (bv * safe_div(1.0, bnorm)).astype(small_dtype)
@@ -307,8 +346,11 @@ def restarted_shifted_gmres(
     X_best = X
     stall = 0
     bnorm_f = float(bnorm)
+    seed_idx = seed
     for _ in range(int(max_restarts) + 1):
-        r_dir, betas, X, stats = jcycle(r_dir, betas, X, shifts)
+        r_dir, betas, X, stats = jcycle(
+            r_dir, betas, X, shifts, jnp.asarray(seed_idx, jnp.int32)
+        )
         stats_h = np.asarray(stats)
         absmax, k = float(stats_h[0]), int(stats_h[1])
         total_k += k
@@ -320,22 +362,38 @@ def restarted_shifted_gmres(
             break
         if stagnation_window and stall >= stagnation_window:
             break
+        # re-seed on the hardest shift (Frommer-Glassner): a converged
+        # seed would otherwise misread its eps-level residual as
+        # invariance and stall the rest of the family
+        seed_idx = int(stats_h[2])
     X = X_best
 
     # honest statuses: explicit true residuals (ns matvecs, one
     # compiled dispatch; lax.map so user matvecs only ever see 1-D
     # vectors -- vmap would impose a batching requirement no other
     # solver in the lane does)
-    true_res = jax.jit(
-        lambda XX, ss: lax.map(
-            lambda xs: jnp.linalg.norm(
-                bv.astype(small_dtype) - (A_mv(xs[0]) + xs[1] * xs[0])
-            ),
-            (XX, ss),
+    true_res = jcheck(X, shifts, bv.astype(small_dtype))
+    rel_res = np.asarray(
+        (true_res / jnp.maximum(bnorm, jnp.finfo(
+            real_dtype).tiny)).real.astype(real_dtype)
+    )
+    # rescue pass: finish shifts the collinear scheme left unconverged
+    # (per-shift restarted GMRES from the current iterates, up to the
+    # same restart budget each -- never worse than the sequential
+    # baseline, and a no-op when the fast path converged everything)
+    for i in np.nonzero(rel_res > tol)[0]:
+        ri = jrescue(
+            bv.astype(small_dtype), X[i], shifts[i]
         )
-    )(X, shifts)
-    rel_res = (true_res / jnp.maximum(bnorm, jnp.finfo(
-        real_dtype).tiny)).real.astype(real_dtype)
+        total_k += int(ri.niter)
+        X = X.at[i].set(ri.x.astype(small_dtype))
+    if bool(np.any(rel_res > tol)):
+        true_res = jcheck(X, shifts, bv.astype(small_dtype))
+        rel_res = np.asarray(
+            (true_res / jnp.maximum(bnorm, jnp.finfo(
+                real_dtype).tiny)).real.astype(real_dtype)
+        )
+    rel_res = jnp.asarray(rel_res)
     status = jnp.where(rel_res <= tol, CONVERGED, MAXITER)
     return ShiftedResult(
         X=X, resnorms=rel_res, niter=jnp.asarray(total_k),

@@ -285,3 +285,27 @@ def test_restarted_shifted_gmres_happy_breakdown():
     numpy.testing.assert_allclose(
         numpy.asarray(r.X[1]), numpy.asarray(b) / 4.0, atol=1e-12
     )
+
+
+def test_restarted_shifted_gmres_easy_seed_hard_family():
+    """An EASY seed converging to eps within cycle 1 forces the plain
+    fallback and breaks collinearity; the rescue pass must still finish
+    the hard shift (review finding: it previously stalled at 6.6e-4
+    with the implied factors under-reporting convergence)."""
+    rng = numpy.random.default_rng(0)
+    n = 300
+    d = numpy.linspace(1.0, 50.0, n)
+    S = rng.standard_normal((n, n)) * 0.3 / numpy.sqrt(n)
+    A = jnp.asarray(numpy.diag(d) + S - S.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    r = F.restarted_shifted_gmres(
+        A, b, jnp.asarray([1000.0, 0.0]), maxiter=25, max_restarts=40,
+        tol=1e-8,
+    )
+    assert bool(r.converged.all()), numpy.asarray(r.resnorms)
+    for i, sg in enumerate([1000.0, 0.0]):
+        x = numpy.asarray(r.X[i])
+        rel = numpy.linalg.norm(
+            numpy.asarray(b) - (numpy.asarray(A) @ x + sg * x)
+        ) / numpy.linalg.norm(numpy.asarray(b))
+        assert rel <= 1.1e-8
