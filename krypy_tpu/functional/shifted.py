@@ -212,7 +212,12 @@ def restarted_shifted_gmres(
     # gmres._RESTART_CACHE): a sequence of calls on the same operator,
     # shift count and options compiles exactly once.  The seed index is
     # a TRACED argument (re-seeding costs no recompiles).
-    ckey = (id(A), m, ortho, ns, str(small_dtype), N)
+    # tol/max_restarts are baked into the cached rescue driver, so they
+    # are part of the key
+    ckey = (
+        id(A), m, ortho, ns, str(small_dtype), N, float(tol),
+        int(max_restarts),
+    )
 
     def cycle(r_dir, betas, X, sh, seed_idx):
         """One seed cycle.  ``r_dir`` is the shared unit residual
