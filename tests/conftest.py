@@ -23,19 +23,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
-# The full combinatorial grid (KRYPY_TPU_TEST_STRIDE=1, ~11.7K tests)
-# accumulates thousands of compiled executables in one process, after
-# which XLA:CPU's JIT segfaults compiling yet another while_loop
-# (reproduced twice at ~99%, in different tests each time, always
-# inside backend_compile_and_load).  Dropping the compilation caches
-# between modules bounds the live-executable count; the default strided
-# run stays unaffected (cache reuse across modules is what keeps it at
-# ~9 min).
+# A long pytest session accumulates thousands of compiled executables
+# in one process, after which XLA:CPU's JIT segfaults compiling the
+# next while_loop (reproduced three times at ~99%, in different
+# test_sstep tests each time, always inside backend_compile_and_load;
+# first on the 11.7K-test full grid, then on the default run once the
+# suite grew past ~4.4K tests).  Dropping the compilation caches
+# between modules bounds the live-executable count; measured cost is
+# ~nil (the full grid ran 27:30 with clearing, in line with the
+# default run, because cross-module cache reuse is rare).
 import pytest  # noqa: E402
 
-if os.environ.get("KRYPY_TPU_TEST_STRIDE") == "1":
 
-    @pytest.fixture(autouse=True, scope="module")
-    def _clear_jax_caches_between_modules():
-        yield
-        jax.clear_caches()
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
