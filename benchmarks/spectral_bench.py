@@ -95,6 +95,47 @@ def main():
         flush=True,
     )
 
+    # the same k=4 smallest pairs by preconditioned LOBPCG: NO inner
+    # solves -- one A application and one V-cycle per pair per
+    # iteration, everything (3k, N) block GEMMs.  The backward-error
+    # criterion matches the eigsh leg's certification metric, so the
+    # two walls are directly comparable.
+    lob_j = jax.jit(
+        lambda X: F.lobpcg(
+            lap, X0=X, which="sa", M=mg, tol=5e-4,
+            criterion="backward", maxiter=60,
+        )
+    )
+    base = jnp.stack(
+        [
+            jnp.cos(jnp.arange(N) * (0.7391 + 0.1137 * i)) + 0.01
+            for i in range(4)
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    lob = timed(
+        lambda s: lob_j(base * s),
+        f"lobpcg_k4_mg_{N}dof",
+        lambda r: r.theta,
+    )
+    print(
+        json.dumps(
+            {
+                "lobpcg_theta0": float(lob.theta[0]),
+                "rel_err": abs(
+                    float(lob.theta[0]) - float(exact0)
+                ) / float(exact0),
+                "converged": bool(lob.status == 0),
+                "niter": int(lob.niter),
+                "pair_backward_errors": [
+                    float(r) for r in lob.pair_resnorms
+                ],
+                "theta": [float(t) for t in lob.theta],
+            }
+        ),
+        flush=True,
+    )
+
     # heat semigroup exp(-dt A) b
     expm_j = jax.jit(
         lambda v: F.expm_multiply(lap, v, -1e-5, maxdim=30)

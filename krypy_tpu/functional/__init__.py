@@ -52,6 +52,7 @@ from .bicgstab import bicgstab
 from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
+from .lobpcg import LobpcgResult, lobpcg
 from .newton import NewtonResult, newton_krylov
 from .funm import (
     expm_multiply,
@@ -84,6 +85,8 @@ __all__ = [
     "lsmr",
     "eigsh",
     "EigshResult",
+    "lobpcg",
+    "LobpcgResult",
     "newton_krylov",
     "NewtonResult",
     "funm_krylov",
