@@ -428,7 +428,7 @@ def ca_gmres(
     has one entry per block, ``niter`` counts Arnoldi steps
     (blocks * s).
 
-    Two s-step bases (``basis=``):
+    Three s-step bases (``basis=``):
 
     * ``'monomial'`` (default): scaled matrix powers, ZERO reductions in
       the basis build.  Conditions like :math:`\\kappa^s` -- keep s small
@@ -445,6 +445,17 @@ def ca_gmres(
       keep the solve callback-free.  Survives much harder spectra than
       the monomial basis at s=4..8 (tested on kappa ~ 1e6 operators
       where the monomial basis breaks down in float32).
+    * ``'chebyshev'``: scaled-and-translated Chebyshev three-term
+      recurrence :math:`u_{i+1} = (M_lAM_r - c)u_i - (e/2)^2 u_{i-1}`
+      on the Manteuffel-style ellipse enclosing the Ritz estimates
+      (same warmup / ``shifts=`` plumbing as the Newton basis -- only
+      the center ``c`` and squared quarter-focal distance survive, so
+      real arithmetic handles complex-conjugate spectra via ``e^2``,
+      which may be negative).  Near-optimal basis conditioning on the
+      ellipse; for SPD spectra (an interval) this is THE s-step basis
+      and stays well conditioned at s = 8..16 where the Newton basis'
+      per-shift quality matters.  Per-step normalization, s cheap
+      norm-reductions per block, same Hessenberg-recovery algebra.
 
     Euclidean inner product and left/right preconditioning only (the
     reference's M changes the inner product; CholQR2 would need a
@@ -500,12 +511,13 @@ def ca_gmres(
     beta = jnp.linalg.norm(Mlr0)
     rel0 = safe_div(beta, Mlb_norm)
 
-    if basis not in ("monomial", "newton"):
+    if basis not in ("monomial", "newton", "chebyshev"):
         raise ValueError(f"unknown s-step basis {basis!r}")
     use_newton = basis == "newton"
+    use_cheb = basis == "chebyshev"
     is_complex = jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
 
-    if use_newton:
+    if use_newton or use_cheb:
         lam = jnp.asarray(1.0, real_dtype)  # unused: per-step norms
         inv_lam = lam
     elif lam_est is None:
@@ -521,7 +533,7 @@ def ca_gmres(
         lam = jnp.maximum(lam, 1e-30).astype(real_dtype)
     else:
         lam = jnp.asarray(lam_est, real_dtype)
-    if not use_newton:
+    if not (use_newton or use_cheb):
         inv_lam = (1.0 / lam).astype(real_dtype)
 
     v0 = jnp.where(beta > 0, 1.0, 0.0) * safe_div(1.0, beta)
@@ -556,7 +568,7 @@ def ca_gmres(
     _pr = max(1, min(32, m + 1))
     _pra = max(1, min(32, m))
 
-    if use_newton:
+    if use_newton or use_cheb:
         if isinstance(shifts, tuple):
             # pre-ordered TRACED shift arrays (theta_re, theta_im) of
             # length s: the caller has already Leja-ordered them
@@ -619,7 +631,33 @@ def ca_gmres(
                 )
                 theta_re = jnp.asarray(tr, real_dtype)
                 theta_im = jnp.asarray(ti, real_dtype)
-        if is_complex:
+        if use_cheb:
+            # Manteuffel-style enclosing ellipse of the Ritz estimates
+            # (axis-aligned, 5% margin): center c, squared quarter-focal
+            # distance e2q = (e/2)^2 = (a^2 - b^2)/4.  The scaled
+            # Chebyshev recurrence uses ONLY c and e2q -- real
+            # arithmetic survives complex-conjugate spectra because e^2
+            # enters, never e (e2q < 0 is a vertical-foci ellipse).
+            # Both are traced scalars, so drivers can refresh the
+            # ellipse between restart cycles without recompiling (the
+            # same property as the Newton lane's traced shift arrays).
+            a_semi = 0.5 * (jnp.max(theta_re) - jnp.min(theta_re)) * 1.05
+            if is_complex:
+                c_im = 0.5 * (jnp.max(theta_im) + jnp.min(theta_im))
+                b_semi = (
+                    0.5 * (jnp.max(theta_im) - jnp.min(theta_im)) * 1.05
+                )
+                ccen = (
+                    0.5 * (jnp.max(theta_re) + jnp.min(theta_re))
+                    + 1j * c_im
+                ).astype(dtype)
+            else:
+                b_semi = jnp.max(jnp.abs(theta_im)) * 1.05
+                ccen = (
+                    0.5 * (jnp.max(theta_re) + jnp.min(theta_re))
+                ).astype(dtype)
+            e2q = ((a_semi**2 - b_semi**2) / 4.0).astype(dtype)
+        elif is_complex:
             theta = (theta_re + 1j * theta_im).astype(dtype)
             b2 = jnp.zeros(s, real_dtype)
         else:
@@ -653,6 +691,26 @@ def ca_gmres(
                 sigs.append(sig)
                 cols.append(u)
             sig_arr = jnp.stack(sigs).astype(real_dtype)
+        elif use_cheb:
+            # scaled-and-translated Chebyshev three-term recurrence
+            # u_{i+1} = (A - c) u_i - (e/2)^2 u_{i-1} with per-step
+            # normalization (the 1/sigma factor re-expresses the
+            # previous unnormalized vector): near-optimal conditioning
+            # on the enclosing ellipse, s norm-reductions per block
+            uprev = jnp.zeros_like(u)
+            sigs = []
+            for i in range(s):
+                w = MlAMr(u) - ccen * u
+                if i >= 1:
+                    w = w - (
+                        e2q * safe_div(1.0, sigs[i - 1]).astype(dtype)
+                    ) * uprev
+                sig = jnp.linalg.norm(w)
+                uprev = u
+                u = w * safe_div(1.0, sig)
+                sigs.append(sig)
+                cols.append(u)
+            sig_arr = jnp.stack(sigs).astype(real_dtype)
         else:
             # matrix powers (no reductions; fixed spectral scaling)
             for _ in range(s):
@@ -672,6 +730,14 @@ def ca_gmres(
             if s > 1:
                 sup = -(
                     b2[: s - 1] * safe_div(1.0, sig_arr[: s - 1])
+                ).astype(dtype)
+                Td = Td.at[sidx[: s - 1], sidx[1:]].set(sup)
+        elif use_cheb:
+            # A v_i = c v_i + (e2q / sigma_i) v_{i-1} + sigma_{i+1} v_{i+1}
+            Td = Td.at[sidx, sidx].set(ccen)
+            if s > 1:
+                sup = e2q * safe_div(
+                    1.0, sig_arr[: s - 1]
                 ).astype(dtype)
                 Td = Td.at[sidx[: s - 1], sidx[1:]].set(sup)
 
@@ -835,6 +901,8 @@ def ca_gmres(
         internal = {"V": final.V, "H": final.H, "lam": lam}
         if use_newton:
             internal["shifts"] = theta
+        elif use_cheb:
+            internal["ellipse"] = (ccen, e2q)
         return result, internal
     return result
 
@@ -896,9 +964,9 @@ def restarted_ca_gmres(
     x = jnp.asarray(x)
     real_np = np.dtype(jnp.zeros(0, b.real.dtype).dtype)
 
-    use_newton = basis == "newton"
+    needs_shifts = basis in ("newton", "chebyshev")
     tre = tim = None
-    if use_newton:
+    if needs_shifts:
         if shifts is None:
             # shifts are an operator property: cache them so sequences
             # of right-hand sides skip the warmup (and its per-call
@@ -935,10 +1003,10 @@ def restarted_ca_gmres(
          else id(v))
         for kk, v in sorted(kwargs.items())
     )
-    key = (id(A), float(tol), maxiter, s, basis, use_newton, key_items)
+    key = (id(A), float(tol), maxiter, s, basis, needs_shifts, key_items)
     cycle = _CA_RESTART_CACHE.get(key)
     if cycle is None:
-        if use_newton:
+        if needs_shifts:
 
             @jax.jit
             def cycle(bb, x0, theta_re, theta_im):
@@ -964,7 +1032,7 @@ def restarted_ca_gmres(
     resnorms = []
     result = None
     for _ in range(max_restarts + 1):
-        if use_newton:
+        if needs_shifts:
             result, internal = cycle(
                 b, x, jnp.asarray(tre), jnp.asarray(tim)
             )
@@ -977,7 +1045,7 @@ def restarted_ca_gmres(
         x = result.x
         if int(result.status) in (CONVERGED, BREAKDOWN):
             break
-        if use_newton and refresh_shifts and nsteps >= s:
+        if needs_shifts and refresh_shifts and nsteps >= s:
             # re-seed from this cycle's Ritz values (host LAPACK on the
             # small recovered Hessenberg; shape-stable, no recompile)
             Hs = np.asarray(internal["H"])[:nsteps, :nsteps]

@@ -86,10 +86,15 @@ def test_ca_cg_sharded():
 @pytest.mark.parametrize("s,basis", [
     (1, "monomial"), (2, "monomial"), (4, "monomial"),
     (2, "newton"), (4, "newton"),
+    (2, "chebyshev"), (4, "chebyshev"), (8, "chebyshev"),
 ])
 def test_ca_gmres_matches_gmres_at_block_boundaries(s, basis):
     """In exact arithmetic CA-GMRES equals GMRES at every block
-    boundary; in float64 the residual histories agree to rounding."""
+    boundary; in float64 the residual histories agree to rounding.
+    The Chebyshev basis' three-term recurrence accumulates slightly
+    more rounding per block than the shift-per-step Newton basis
+    (measured ~4e-5 peak boundary deviation on this probe), hence its
+    looser comparison; the converged residual is equal."""
     r = numpy.random.RandomState(0)
     A = numpy.diag(numpy.linspace(1, 10, 80)) + 0.1 * r.randn(80, 80)
     b = jnp.asarray(r.randn(80))
@@ -99,9 +104,10 @@ def test_ca_gmres_matches_gmres_at_block_boundaries(s, basis):
     assert int(res.status) == 0
     rg = numpy.asarray(ref.resnorms)
     rc = numpy.asarray(res.resnorms)
+    bdry_rel = 2e-4 if basis == "chebyshev" else 1e-6
     for j in range(1, int(res.niter) // s):
         if j * s <= int(ref.niter):
-            assert rc[j] == pytest.approx(rg[j * s], rel=1e-6)
+            assert rc[j] == pytest.approx(rg[j * s], rel=bdry_rel)
     rel = float(
         jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
     )
@@ -338,6 +344,85 @@ def test_ca_gmres_traced_shift_tuple_matches_host_shifts():
         numpy.asarray(res_host.x), numpy.asarray(res_tuple.x),
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_ca_gmres_chebyshev_survives_s12_f32():
+    """Unpreconditioned f32 Poisson where the monomial basis breaks
+    down at s=8: the Chebyshev (interval) basis tracks full GMRES's
+    true residual even at s=12 -- the SPD sweet spot the basis exists
+    for (near-optimal conditioning on the enclosing ellipse)."""
+    nx = 64
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    b64 = jnp.ones(nx * nx, jnp.float64)
+
+    def true_rel(x):
+        x64 = jnp.asarray(numpy.asarray(x), jnp.float64)
+        return float(
+            jnp.linalg.norm(b64 - lap(x64)) / jnp.linalg.norm(b64)
+        )
+
+    ref = F.gmres(lap, b, tol=0.0, maxiter=72)
+    for s in (8, 12):
+        ch = F.ca_gmres(lap, b, s=s, basis="chebyshev", tol=0.0,
+                        maxiter=72, stagnation_window=10**9)
+        assert int(ch.niter) == 72  # no breakdown
+        assert true_rel(ch.x) <= 1.1 * true_rel(ref.x)
+
+
+def test_ca_gmres_chebyshev_complex():
+    """Complex non-Hermitian system: the ellipse picks up a complex
+    center and the recurrence runs in complex arithmetic."""
+    r = numpy.random.RandomState(7)
+    A = (
+        numpy.diag(numpy.linspace(1, 10, 80))
+        + 0.1 * r.randn(80, 80)
+        + 0.05j * r.randn(80, 80)
+    )
+    b = jnp.asarray(r.randn(80) + 1j * r.randn(80))
+    res = F.ca_gmres(jnp.asarray(A), b, s=4, basis="chebyshev",
+                     tol=1e-10, maxiter=60)
+    assert int(res.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-9
+
+
+def test_ca_gmres_chebyshev_explicit_shifts_callback_free():
+    """Passing eigenvalue estimates (the same shifts= plumbing as the
+    Newton basis) skips the warmup; the ellipse is derived from them."""
+    r = numpy.random.RandomState(3)
+    A = numpy.diag(numpy.linspace(1, 10, 60)) + 0.05 * r.randn(60, 60)
+    ev = numpy.linalg.eigvals(A)
+    b = jnp.asarray(r.randn(60))
+    res = F.ca_gmres(jnp.asarray(A), b, s=4, basis="chebyshev",
+                     shifts=ev, tol=1e-12, maxiter=40)
+    assert int(res.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ res.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-11
+
+
+def test_restarted_ca_gmres_chebyshev():
+    """Restarted driver with the Chebyshev basis: converges across
+    cycles, the per-cycle ellipse refresh keeps ONE compiled cycle
+    (the ellipse derives from traced shift arrays)."""
+    from krypy_tpu.functional import sstep as S
+
+    nx = 48
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float64)
+    S._CA_RESTART_CACHE.clear()
+    res = F.restarted_ca_gmres(
+        lap, b, s=8, maxiter=40, max_restarts=30, tol=1e-9,
+        basis="chebyshev",
+    )
+    assert int(res.status) == 0
+    assert len(S._CA_RESTART_CACHE) == 1
+    rel = float(jnp.linalg.norm(b - lap(res.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-8
 
 
 def test_ca_gmres_rank_deficient_panel_stays_finite():
