@@ -98,11 +98,14 @@ def main():
     # the same k=4 smallest pairs by preconditioned LOBPCG: NO inner
     # solves -- one A application and one V-cycle per pair per
     # iteration, everything (3k, N) block GEMMs.  The backward-error
-    # criterion matches the eigsh leg's certification metric, so the
-    # two walls are directly comparable.
+    # criterion matches the eigsh leg's certification metric; tol 1e-6
+    # (not the eigsh leg's 5e-4) because a backward error of b allows
+    # eigenvalue perturbations ~ b*||A||: at ||A|| ~ 8e6, 5e-4 would
+    # certify theta errors of O(100) -- measured 1e-6 resolves the
+    # degenerate pair to ~1e-5 absolute in 18 iterations
     lob_j = jax.jit(
         lambda X: F.lobpcg(
-            lap, X0=X, which="sa", M=mg, tol=5e-4,
+            lap, X0=X, which="sa", M=mg, tol=1e-6,
             criterion="backward", maxiter=60,
         )
     )

@@ -61,9 +61,9 @@ def gmres_main(argv):
     )
     results = {}
     for s in (2, 4, 8):
-        for basis in ("monomial", "newton"):
+        for basis in ("monomial", "newton", "chebyshev"):
             kw = {}
-            if basis == "newton":
+            if basis in ("newton", "chebyshev"):
                 # precompute shifts eagerly: the axon runtime has no
                 # host-callback support inside jitted computations
                 kw["shifts"] = F.newton_shifts(lap, jnp.ones(N, jnp.float32), s)
@@ -76,6 +76,19 @@ def gmres_main(argv):
                 ),
                 f"ca_gmres_s{s}_{basis}",
             )
+    # the Chebyshev (interval) basis keeps conditioning at block sizes
+    # the Newton basis' per-shift quality cannot reach on this SPD probe
+    for s in (12, 16):
+        kw = {"shifts": F.newton_shifts(lap, jnp.ones(N, jnp.float32), s)}
+        results[s, "chebyshev"] = timed(
+            jax.jit(
+                lambda b, s=s, kw=kw: F.ca_gmres(
+                    lap, b, s=s, basis="chebyshev", tol=0.0,
+                    maxiter=iters, stagnation_window=10**9, **kw,
+                )
+            ),
+            f"ca_gmres_s{s}_chebyshev",
+        )
     # bf16 Krylov-basis storage: THROUGHPUT probe (the kappa~4e6 Poisson
     # operator is far past the eps(bf16)*kappa accuracy floor; the row
     # measures the HBM-traffic win of half-width basis reads, which is

@@ -11,7 +11,7 @@ This is the natural TPU eigensolver shape and the deliberate complement
 to :func:`~krypy_tpu.functional.eigh.eigsh`:
 
 * **every** operation is a block GEMM on ``(3k, N)`` panels -- matvecs,
-  projections, CholQR factorizations, Rayleigh-Ritz assembly all map
+  projections, panel factorizations, Rayleigh-Ritz assembly all map
   straight onto the MXU with k-fold wider operands than Lanczos;
 * unlike shift-invert Lanczos it needs **no inner solves** -- only one
   application of A (and of the preconditioner / B) per wanted pair per
@@ -27,8 +27,8 @@ the lane):
 
 * the trial basis ``S = [X; W; P]`` is kept (approximately)
   B-orthonormal by construction -- W and P are CGS2-projected against X
-  and jointly factorized by **shifted CholQR2** (Fukaya et al.; same
-  guard as the CA-GMRES panels in ``sstep.py``), so the Rayleigh-Ritz
+  and jointly factorized by two-pass **SVQB** (Stathopoulos & Wu 2002;
+  eigh-based, NaN-free on rank-deficient panels), so the Rayleigh-Ritz
   problem is an ordinary Hermitian ``eigh`` on the device;
 * directions that die (converged/rank-deficient rows) deflate to ZERO
   rows; Ritz pairs of the dead block are pushed to the end of the
@@ -227,54 +227,72 @@ def lobpcg(
     def bx_of(Xr, BXr):
         return BXr if generalized else Xr
 
-    def _shifted_chol(G, jdim):
-        # shifted CholeskyQR guard (Fukaya et al.): keeps the factor
-        # finite on rank-deficient panels; the second pass restores
-        # orthonormality of the well-conditioned part to working
-        # precision (same recipe as sstep.py's candidate panels)
-        scale = jnp.real(jnp.trace(G)) / jdim
-        shift = (64.0 * float(jnp.finfo(real_dtype).eps)) * scale
-        return jnp.linalg.cholesky(
-            G + shift.astype(dtype) * jnp.eye(jdim, dtype=dtype)
-        )
+    def _b_svqb2(Z, AZ, BZ):
+        """Two-pass SVQB (Stathopoulos & Wu 2002) of the rows of Z in
+        the B-inner product; the (small dense) row transform is applied
+        to the carried A- and B-images as well, so no operator
+        re-application is needed.
 
-    def _b_cholqr2(Z, AZ, BZ):
-        """Two-pass shifted CholQR of the rows of Z in the B-inner
-        product; the (triangular-solve) row transform is applied to the
-        carried A- and B-images as well, so no operator re-application
-        is needed.  Exact zero rows stay exactly zero (their Gram
-        row/column is zero, so the shifted factor is diagonal there).
+        Two deflation rules, both to exact ZERO rows:
 
-        Rows whose Gram diagonal sits at/below the Cholesky shift are
-        DEFLATED to zero first: the shifted factor cannot normalize
-        them (their pseudo-normalized image keeps a tiny norm), and a
-        tiny live row in the Rayleigh-Ritz basis yields a junk
-        near-zero Ritz value that smallest-algebraic selection would
-        pick up.  This is exactly the converged-pair failure mode of
-        textbook LOBPCG: the locked pairs' conjugate directions decay
-        to rounding level and must leave the trial space."""
+        * rows whose Gram diagonal is negligible against the panel
+          (``d_i <= 64 eps mean(d)``) leave the trial space first --
+          this is the converged-pair failure mode of textbook LOBPCG
+          (locked pairs' conjugate directions decay to rounding level;
+          a tiny live row would yield a junk near-zero Ritz value that
+          smallest-algebraic selection picks up);
+        * eigenvalues of the diagonally-scaled Gram at/below
+          ``j eps lambda_max`` are dropped inside the factorization
+          (rank-deficient directions).
+
+        SVQB (an eigh of the scaled Gram) rather than shifted CholQR:
+        the f32 Gram of a (j, N=1e6) panel carries ~sqrt(N) eps ~ 1e-4
+        relative dot-product noise -- far above any O(eps)-shifted
+        Cholesky's guard -- and a multigrid-preconditioned residual
+        block is nearly rank-1 (all rows map toward the smooth error),
+        so the shifted factor went indefinite -> NaN under the TPU's
+        accumulation order (measured: first advance step at 1M dof;
+        host CPU rounded the same Gram PSD).  An eigendecomposition
+        cannot produce NaN, and clamped directions deflate cleanly."""
         j = Z.shape[0]
+        eps = float(jnp.finfo(real_dtype).eps)
         for _ in range(2):
-            d = jnp.real(
-                jnp.sum(Z.conj() * bx_of(Z, BZ), axis=1)
+            d = jnp.real(jnp.sum(Z.conj() * bx_of(Z, BZ), axis=1))
+            alive = (d > (64.0 * eps) * jnp.sum(d) / j).astype(
+                real_dtype
             )
-            shift = (
-                64.0 * float(jnp.finfo(real_dtype).eps)
-            ) * jnp.sum(d) / j
-            alive = (d > shift).astype(real_dtype)
             Z = Z * alive[:, None]
             AZ = AZ * alive[:, None]
             if generalized:
                 BZ = BZ * alive[:, None]
             G = jnp.dot(Z.conj(), bx_of(Z, BZ).T)
             G = 0.5 * (G + G.conj().T)
-            L = _shifted_chol(G, j)
-            Z = jax.scipy.linalg.solve_triangular(L.conj(), Z, lower=True)
-            AZ = jax.scipy.linalg.solve_triangular(L.conj(), AZ, lower=True)
+            dd = jnp.maximum(jnp.real(jnp.diag(G)), 0.0)
+            scale = safe_div(1.0, jnp.sqrt(dd))
+            Gh = G * (scale[:, None] * scale[None, :]).astype(dtype)
+            lam, S = jnp.linalg.eigh(Gh)
+            keep = lam > (j * eps) * jnp.maximum(lam[-1], 0.0)
+            inv = jnp.where(
+                keep, safe_div(1.0, jnp.sqrt(jnp.maximum(lam, 0.0))), 0.0
+            )
+            # rows transform Q = diag(inv) S^T diag(scale) Z, mirrored
+            # on AZ / BZ (linear consistency).  S^T, not S^H: with the
+            # row-Gram convention G[i,j] = z_i^H B z_j the orthonormal
+            # transform must satisfy T conj(G) T^H = I (the conjugation
+            # lands on the COEFFICIENTS of the left factor in
+            # <sum_k T[i,k] z_k, .>), and conj(Ghat) = conj(S) Lam S^T
+            # makes that T = Lam^{-1/2} S^T D -- identical to S^H in
+            # real arithmetic, which is why only complex inputs expose
+            # the difference.
+            T = (
+                inv[:, None].astype(dtype)
+                * S.T
+                * scale[None, :].astype(dtype)
+            )
+            Z = jnp.dot(T, Z)
+            AZ = jnp.dot(T, AZ)
             if generalized:
-                BZ = jax.scipy.linalg.solve_triangular(
-                    L.conj(), BZ, lower=True
-                )
+                BZ = jnp.dot(T, BZ)
         return Z, AZ, BZ
 
     def _project_against(Z, AZ, BZ, Xr, AXr, BXr):
@@ -315,7 +333,7 @@ def lobpcg(
     # ---- initial block: B-orthonormalize, then RR on X alone --------
     AX0 = A_blk(X)
     BX0 = B_blk(X) if generalized else dummy
-    X, AX0, BX0 = _b_cholqr2(X, AX0, BX0)
+    X, AX0, BX0 = _b_svqb2(X, AX0, BX0)
     theta0, C0 = _rayleigh_ritz(X, AX0, bx_of(X, BX0))
     Ck = C0[:, :k]
     X = jnp.dot(Ck.T, X)
@@ -392,7 +410,7 @@ def lobpcg(
             BU = (
                 jnp.concatenate([BW, BPp]) if generalized else dummy
             )
-            U, AU, BU = _b_cholqr2(U, AU, BU)
+            U, AU, BU = _b_svqb2(U, AU, BU)
 
             S = jnp.concatenate([X, U])
             AS = jnp.concatenate([AX, AU])
