@@ -53,6 +53,7 @@ from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .lobpcg import LobpcgResult, lobpcg
+from .svd import SvdsResult, svds
 from .newton import NewtonResult, newton_krylov
 from .funm import (
     expm_multiply,
@@ -87,6 +88,8 @@ __all__ = [
     "EigshResult",
     "lobpcg",
     "LobpcgResult",
+    "svds",
+    "SvdsResult",
     "newton_krylov",
     "NewtonResult",
     "funm_krylov",

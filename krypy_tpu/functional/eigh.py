@@ -309,7 +309,10 @@ def eigsh(
         raise ValueError(f"block_size must be >= 1, got {bs}")
     if bs > 1 and generalized:
         raise ValueError(
-            "block_size > 1 is not supported with generalized pencils"
+            "block_size > 1 is not supported with generalized pencils; "
+            "for clustered/degenerate generalized problems use "
+            "functional.lobpcg(A, k, B=...), whose block width covers "
+            "clusters natively (and needs no Binv)"
         )
 
     m = (
