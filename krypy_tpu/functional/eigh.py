@@ -286,6 +286,20 @@ def eigsh(
         # deterministic quasi-random start: dense in every eigenbasis
         # direction with overwhelming probability, no RNG in traced code
         v0 = jnp.cos(jnp.arange(N) * 0.7391) + 0.01
+        # the operator's dtype must win over the (real) default start:
+        # cast_matvec pins everything to the system dtype, so a real v0
+        # against a complex A would silently project the operator onto
+        # its REAL part and converge on the wrong problem (complex
+        # CALLABLES, whose dtype cannot be probed, need a complex v0=)
+        op_dt = None
+        if hasattr(A, "ndim"):
+            op_dt = jnp.asarray(A).dtype
+        elif hasattr(A, "dtype"):
+            op_dt = jnp.dtype(A.dtype)
+        if op_dt is not None and jnp.issubdtype(
+            op_dt, jnp.complexfloating
+        ):
+            v0 = v0.astype(op_dt)
 
     dtype = system_dtype(v0)
     if not jnp.issubdtype(dtype, jnp.floating) and not jnp.issubdtype(

@@ -200,6 +200,22 @@ def lobpcg(
             ],
             axis=1,
         )
+        # the operator's dtype must win over the (real) default start:
+        # cast_matvec pins everything to the system dtype, so a real
+        # X0 against a complex A would silently project the operator
+        # onto its REAL part and converge on the wrong problem.
+        # Matrices/arrays carry their dtype; complex CALLABLES (whose
+        # dtype cannot be probed without an application) need a complex
+        # X0= -- documented in the docstring.
+        op_dt = None
+        if hasattr(A, "ndim"):
+            op_dt = jnp.asarray(A).dtype
+        elif hasattr(A, "dtype"):
+            op_dt = jnp.dtype(A.dtype)
+        if op_dt is not None and jnp.issubdtype(
+            op_dt, jnp.complexfloating
+        ):
+            X0 = X0.astype(op_dt)
 
     dtype = system_dtype(X0)
     if not jnp.issubdtype(dtype, jnp.floating) and not jnp.issubdtype(
@@ -319,9 +335,13 @@ def lobpcg(
             BZ = BZ * alive[:, None]
         return Z, AZ, BZ
 
-    def _rayleigh_ritz(S, AS, BS):
-        """Hermitian RR on the (approximately) B-orthonormal basis rows
-        of S; dead (zero) rows sort last via the spurious mask."""
+    def _rayleigh_ritz(S, AS):
+        """Hermitian RR on the basis rows of S; dead (zero) rows sort
+        last via the spurious mask.  The B-Gram never appears: the
+        ortho-variant construction keeps S B-orthonormal (modulo dead
+        rows), so the mass matrix of the projected pencil is the
+        identity by construction -- that is the point of paying the
+        SVQB/projection GEMMs."""
         G = jnp.dot(S.conj(), AS.T)
         G = 0.5 * (G + G.conj().T)
         theta, C = jnp.linalg.eigh(G)
@@ -334,7 +354,7 @@ def lobpcg(
     AX0 = A_blk(X)
     BX0 = B_blk(X) if generalized else dummy
     X, AX0, BX0 = _b_svqb2(X, AX0, BX0)
-    theta0, C0 = _rayleigh_ritz(X, AX0, bx_of(X, BX0))
+    theta0, C0 = _rayleigh_ritz(X, AX0)
     Ck = C0[:, :k]
     X = jnp.dot(Ck.T, X)
     AX = jnp.dot(Ck.T, AX0)
@@ -415,7 +435,7 @@ def lobpcg(
             S = jnp.concatenate([X, U])
             AS = jnp.concatenate([AX, AU])
             BS = jnp.concatenate([BX, BU]) if generalized else dummy
-            th, C = _rayleigh_ritz(S, AS, bx_of(S, BS))
+            th, C = _rayleigh_ritz(S, AS)
             Cx = C[:, :k]  # (3k, k)
             Xn = jnp.dot(Cx.T, S)
             AXn = jnp.dot(Cx.T, AS)

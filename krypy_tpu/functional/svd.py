@@ -27,6 +27,7 @@ solvers, krypy/linsys.py); this module is TPU-native extra surface.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .common import CONVERGED, MAXITER, as_matvec, cast_matvec
@@ -106,6 +107,15 @@ def svds(
     """
     A_mv, Ah_mv = _setup(A, Ah)
 
+    if X0 is not None:
+        X0 = jnp.asarray(X0)
+        if X0.ndim != 2:
+            raise ValueError(f"X0 must be (n, k), got shape {X0.shape}")
+        # the block width IS the triplet count (the same convention the
+        # inner eigensolver applies); a stale k would desynchronize the
+        # U/Vh assembly below from the inner solve's k
+        k = int(X0.shape[1])
+
     if X0 is None and n is None:
         shape = getattr(A, "shape", None)
         if shape is None or len(shape) != 2:
@@ -158,16 +168,16 @@ def svds(
     s = jnp.sqrt(theta)
     V = r.U                                             # (n, k) columns
     dtype = V.dtype
-    A_c = cast_matvec(as_matvec(A_mv), dtype)
-    Ah_c = cast_matvec(as_matvec(Ah_mv), dtype)
-    AV = jnp.stack([A_c(V[:, i]) for i in range(int(k))], axis=1)
+    A_c = jax.vmap(cast_matvec(as_matvec(A_mv), dtype))
+    Ah_c = jax.vmap(cast_matvec(as_matvec(Ah_mv), dtype))
+    AV = A_c(V.T).T                        # one batched apply, not k
     # u_i = A v_i / sigma_i; an exactly-zero sigma (rank < k) yields a
     # zero left vector, reported honestly through its residual
     s_safe = jnp.where(s > 0, s, 1.0).astype(dtype)
     U = AV / s_safe[None, :] * (s > 0)[None, :].astype(V.real.dtype)
     # explicit certification: ||A^H u - sigma v|| / sigma_1 (the
     # ||A v - sigma u|| half vanishes by construction)
-    AhU = jnp.stack([Ah_c(U[:, i]) for i in range(int(k))], axis=1)
+    AhU = Ah_c(U.T).T
     res = jnp.linalg.norm(
         AhU - V * s[None, :].astype(dtype), axis=0
     )

@@ -48,6 +48,21 @@ def test_eigsh_dense_matches_numpy():
     assert numpy.allclose(numpy.asarray(r.theta), ew[:4], atol=1e-8)
 
 
+def test_eigsh_complex_matrix_default_start():
+    """A complex MATRIX with no v0 must pin the start vector's dtype:
+    a real default start would make cast_matvec project the operator
+    onto its real part and converge on the wrong problem (review
+    finding; same guard in lobpcg and svds)."""
+    rng = numpy.random.default_rng(9)
+    n = 70
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Am = (B + B.conj().T) / 2
+    ew = numpy.linalg.eigvalsh(Am)
+    r = F.eigsh(jnp.asarray(Am), k=3, which="sa", tol=1e-9)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), ew[:3], atol=1e-7)
+
+
 def test_eigsh_complex_hermitian():
     rng = numpy.random.default_rng(1)
     n = 100

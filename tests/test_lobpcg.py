@@ -74,6 +74,21 @@ def test_lobpcg_complex_hermitian():
     _check_pairs(Am, None, r, 3, rtol=1e-6)
 
 
+def test_lobpcg_complex_matrix_default_start():
+    """A complex MATRIX with no X0 must pin the start block's dtype:
+    a real default start would make cast_matvec project the operator
+    onto its real part and converge on the wrong problem (review
+    finding; same guard in eigsh and svds)."""
+    rng = numpy.random.default_rng(5)
+    n = 60
+    Br = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Am = (Br + Br.conj().T) / 2
+    ew = numpy.linalg.eigvalsh(Am)
+    r = F.lobpcg(jnp.asarray(Am), k=3, which="sa", tol=1e-9)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), ew[:3], atol=1e-7)
+
+
 def test_lobpcg_generalized_pencil():
     """A x = lambda B x with SPD B: oracle scipy.linalg.eigh(A, B).
     Note no Binv is needed, unlike eigsh(B=...)."""

@@ -97,6 +97,20 @@ def test_svds_rank_deficient_tail():
     assert numpy.asarray(r.pair_resnorms).max() <= 1e-6
 
 
+def test_svds_x0_overrides_k():
+    """A user-supplied X0's width IS the triplet count (review finding:
+    a stale k= desynchronized the triplet assembly from the inner
+    eigensolve)."""
+    rng = numpy.random.default_rng(5)
+    Am = rng.standard_normal((40, 30))
+    sv = numpy.linalg.svd(Am, compute_uv=False)
+    X0 = jnp.asarray(rng.standard_normal((30, 4)))
+    r = F.svds(jnp.asarray(Am), k=6, X0=X0, tol=1e-9, maxiter=300)
+    assert r.s.shape == (4,)
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.s), sv[:4], rtol=1e-8)
+
+
 def test_svds_validation():
     with pytest.raises(ValueError, match="Ah="):
         F.svds(lambda v: v, k=2, n=30)
