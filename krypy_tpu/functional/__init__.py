@@ -52,6 +52,12 @@ from .bicgstab import bicgstab
 from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
+from .filtered import (
+    WindowResult,
+    eigsh_window,
+    estimate_spectrum_bounds,
+    jackson_cheby_coeffs,
+)
 from .lobpcg import LobpcgResult, lobpcg
 from .svd import SvdsResult, svds
 from .newton import NewtonResult, newton_krylov
@@ -86,6 +92,10 @@ __all__ = [
     "lsmr",
     "eigsh",
     "EigshResult",
+    "eigsh_window",
+    "WindowResult",
+    "estimate_spectrum_bounds",
+    "jackson_cheby_coeffs",
     "lobpcg",
     "LobpcgResult",
     "svds",
