@@ -57,6 +57,8 @@ from .filtered import (
     eigsh_window,
     estimate_spectrum_bounds,
     jackson_cheby_coeffs,
+    kpm_dos,
+    window_count,
 )
 from .lobpcg import LobpcgResult, lobpcg
 from .svd import SvdsResult, svds
@@ -96,6 +98,8 @@ __all__ = [
     "WindowResult",
     "estimate_spectrum_bounds",
     "jackson_cheby_coeffs",
+    "kpm_dos",
+    "window_count",
     "lobpcg",
     "LobpcgResult",
     "svds",

@@ -57,6 +57,8 @@ __all__ = [
     "estimate_spectrum_bounds",
     "WindowResult",
     "jackson_cheby_coeffs",
+    "window_count",
+    "kpm_dos",
 ]
 
 
@@ -243,6 +245,175 @@ def estimate_spectrum_bounds(A, *, n=None, v0=None, m=24, safety=0.01):
     lmin, lmax = float(lmin), float(lmax)
     pad = float(safety) * max(lmax - lmin, abs(lmax), abs(lmin), 1e-30)
     return lmin - pad, lmax + pad
+
+
+def _cheby_moments(A, degree, bounds, Z):
+    r"""Per-probe Chebyshev moments :math:`\mu_j = z^H T_j(l(A)) z`
+    for the rows of ``Z``, shape ``(degree+1, n_probes)``: one batched
+    three-term recurrence, ``degree`` block matvecs, one dispatch."""
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    c = 0.5 * (lmax + lmin)
+    inv_e = 2.0 / (lmax - lmin)
+    dtype = Z.dtype
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    A_blk = jax.vmap(cast_matvec(as_matvec(A), dtype))
+
+    def lA(Y):
+        return (A_blk(Y) - c * Y) * inv_e
+
+    def qf(Y):
+        return jnp.real(jnp.sum(Z.conj() * Y, axis=1)).astype(real_dtype)
+
+    d = int(degree)
+    T1 = lA(Z)
+    mu = jnp.zeros((d + 1, Z.shape[0]), real_dtype)
+    mu = mu.at[0].set(qf(Z)).at[1].set(qf(T1))
+
+    def step(j, carry):
+        T0, T1, mu = carry
+        T2 = 2.0 * lA(T1) - T0
+        return T1, T2, mu.at[j].set(qf(T2))
+
+    _, _, mu = lax.fori_loop(2, d + 1, step, (Z, T1, mu))
+    return mu
+
+
+def _rademacher_rows(A, key, n_probes, N):
+    """Real Rademacher probe rows in the operator's (real) dtype."""
+    dt = _operator_dtype(A)
+    if dt is None:
+        dt = jnp.zeros(0).dtype
+    real_dt = jnp.zeros(0, dt).real.dtype
+    Z = jax.random.rademacher(key, (int(n_probes), N))
+    return Z.astype(real_dt)
+
+
+def window_count(
+    A, window, key, *, n=None, bounds=None, degree=None, n_probes=16
+):
+    r"""Stochastic estimate of the NUMBER of eigenvalues of Hermitian
+    ``A`` inside ``window = (lo, hi)`` (Hutchinson trace of the
+    Jackson-Chebyshev window filter; Di Napoli, Polizzi & Saad 2016).
+
+    :math:`E[z^H \rho(A) z] = \mathrm{tr}\,\rho(A) \approx
+    \#\{\lambda_i \in [lo, hi]\}` for Rademacher probes z and the same
+    filter :func:`eigsh_window` iterates with.  The intended use IS
+    :func:`eigsh_window` sizing: estimate the count, then pick
+    ``block >~ 1.3 * count + 4`` so the window cannot saturate.  Costs
+    ``degree`` batched matvecs in ONE dispatch -- cheaper than one
+    outer iteration of the solver it plans for.
+
+    Accuracy: eigenvalues within one filter transition width
+    (~``pi * span/degree``) of the window edges are counted
+    fractionally (the indicator is smoothed); the Hutchinson standard
+    error over probes is returned, so both error sources are visible.
+
+    :param key: ``jax.random`` PRNGKey for the Rademacher probes
+      (explicit, reproducible -- the :func:`slq_trace` convention).
+    :param bounds: spectrum bounds; estimated when omitted.
+    :param degree: filter degree; same default policy as
+      :func:`eigsh_window`.
+    :return: ``(count, stderr)`` Python floats.
+    """
+    lo, hi = float(window[0]), float(window[1])
+    A_mv = as_matvec(A)
+    N = _resolve_n(A, n)
+    if bounds is None:
+        bounds = estimate_spectrum_bounds(A, n=N)
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    span = lmax - lmin
+    width = min(hi, lmax) - max(lo, lmin)
+    if width <= 0:
+        raise ValueError(
+            f"window=({lo}, {hi}) lies entirely outside the spectrum "
+            f"bounds ({lmin}, {lmax})"
+        )
+    if degree is None:
+        degree = int(np.clip(np.ceil(4.0 * span / width), 16, 1000))
+    coeffs, _, _ = jackson_cheby_coeffs(lo, hi, lmin, lmax, degree)
+    Z = _rademacher_rows(A, key, n_probes, N)
+    mu = jax.jit(
+        lambda Z: jnp.dot(
+            jnp.asarray(coeffs, Z.dtype),
+            _cheby_moments(A_mv, degree, (lmin, lmax), Z),
+        )
+    )(Z)
+    per_probe = np.asarray(mu, float)
+    count = float(per_probe.mean())
+    stderr = (
+        float(per_probe.std(ddof=1) / np.sqrt(len(per_probe)))
+        if len(per_probe) > 1
+        else float("inf")
+    )
+    return count, stderr
+
+
+def kpm_dos(
+    A,
+    key,
+    *,
+    n=None,
+    bounds=None,
+    degree=180,
+    n_probes=16,
+    npoints=200,
+):
+    r"""Kernel polynomial method estimate of the spectral density
+    (density of states) of Hermitian ``A``:
+
+    .. math:: \rho(\lambda) \approx \frac{1}{e\pi\sqrt{1-x^2}}
+        \Big(g_0\mu_0 + 2\sum_{j\ge 1} g_j \mu_j T_j(x)\Big),
+        \quad x = l(\lambda),
+
+    with Jackson-damped Hutchinson moments
+    :math:`\mu_j \approx \mathrm{tr}\,T_j(l(A))` (Weisse, Wellein,
+    Alvermann & Fehske 2006).  Normalized so that
+    :math:`\int \rho\,d\lambda = N`: the curve is an eigenvalue-count
+    density, the survey instrument for slicing a spectrum into
+    :func:`eigsh_window` windows.
+
+    Device cost: ``degree`` batched ``(n_probes, N)`` matvecs in ONE
+    dispatch; the curve evaluation is host-side numpy.
+
+    :param degree: moment count = resolution: features narrower than
+      ~``span/degree`` are smeared by the Jackson kernel.
+    :return: ``(grid, density)`` numpy arrays of length ``npoints``.
+    """
+    A_mv = as_matvec(A)
+    N = _resolve_n(A, n)
+    if bounds is None:
+        bounds = estimate_spectrum_bounds(A, n=N)
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    d = int(degree)
+    Z = _rademacher_rows(A, key, n_probes, N)
+    mu = jax.jit(
+        lambda Z: jnp.mean(
+            _cheby_moments(A_mv, d, (lmin, lmax), Z), axis=1
+        )
+    )(Z)
+    mu = np.asarray(mu, float)
+
+    j = np.arange(d + 1)
+    alpha = np.pi / (d + 2)
+    g = (
+        (d + 2 - j) * np.sin(alpha) * np.cos(j * alpha)
+        + np.cos(alpha) * np.sin(j * alpha)
+    ) / ((d + 2) * np.sin(alpha))
+    gmu = g * mu
+    # open Chebyshev grid (never touches x = +-1 where the weight
+    # 1/sqrt(1-x^2) is singular)
+    x = np.cos(np.pi * (np.arange(npoints) + 0.5) / npoints)[::-1]
+    # series evaluation by recurrence on the grid
+    T0, T1 = np.ones_like(x), x
+    y = gmu[0] * T0 + 2.0 * gmu[1] * T1
+    for jj in range(2, d + 1):
+        T0, T1 = T1, 2 * x * T1 - T0
+        y += 2.0 * gmu[jj] * T1
+    c = 0.5 * (lmax + lmin)
+    e = 0.5 * (lmax - lmin)
+    grid = c + e * x
+    density = y / (np.pi * np.sqrt(1.0 - x**2)) / e
+    return grid, density
 
 
 def eigsh_window(

@@ -9,6 +9,7 @@ cross-check.
 import numpy
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from krypy_tpu import functional as F, ops, parallel
@@ -16,6 +17,8 @@ from krypy_tpu.functional.filtered import (
     eigsh_window,
     estimate_spectrum_bounds,
     jackson_cheby_coeffs,
+    kpm_dos,
+    window_count,
 )
 
 
@@ -208,6 +211,58 @@ def test_jackson_coeffs_filter_shape():
     assert y[numpy.abs(t) <= 0.15].min() > 0.5
     assert numpy.abs(y[numpy.abs(t) >= 0.4]).max() < 0.02
     assert y.min() > -0.01  # Jackson damping kills sign flips
+
+
+def test_window_count_dense_oracle():
+    """Filtered-trace count vs the exact count, with edge gaps wider
+    than the filter transition (edge eigenvalues are otherwise counted
+    fractionally -- documented)."""
+    Am, ew = _random_hermitian(400, seed=6)
+    lo = float((ew[149] + ew[150]) / 2)
+    hi = float((ew[219] + ew[220]) / 2)
+    true = 70
+    cnt, se = window_count(
+        jnp.asarray(Am), (lo, hi), jax.random.PRNGKey(0),
+        n_probes=24, degree=400,
+    )
+    # Hutchinson: relative error ~ sqrt(2 * count) / (count sqrt(t))
+    assert abs(cnt - true) <= max(4 * se, 0.12 * true), (cnt, se)
+
+
+def test_window_count_sizes_the_block():
+    """The advertised workflow: count first, then solve with a block
+    sized from the count -- no saturation."""
+    Am, ew = _random_hermitian(250, seed=8)
+    lo = float((ew[119] + ew[120]) / 2)
+    hi = float((ew[127] + ew[128]) / 2)  # 8 inside
+    cnt, se = window_count(
+        jnp.asarray(Am), (lo, hi), jax.random.PRNGKey(1), n_probes=24
+    )
+    block = int(numpy.ceil(1.3 * cnt)) + 4
+    r = eigsh_window(jnp.asarray(Am), (lo, hi), block=block, tol=1e-8)
+    assert int(r.status) == 0
+    assert not bool(r.saturated)
+    assert int(r.n_inside) == 8
+
+
+def test_kpm_dos_semicircle_normalization():
+    """DOS of a dense GOE-like matrix: integrates to N and matches the
+    Wigner semicircle shape at mid-spectrum."""
+    n = 600
+    rng = numpy.random.default_rng(12)
+    G = rng.standard_normal((n, n)) / numpy.sqrt(n)
+    Am = (G + G.T) / numpy.sqrt(2)  # GOE, semicircle radius R = 2
+    grid, dens = kpm_dos(
+        jnp.asarray(Am), jax.random.PRNGKey(2),
+        degree=200, n_probes=24, npoints=400,
+    )
+    total = numpy.trapezoid(dens, grid)
+    assert abs(total - n) <= 0.05 * n
+    # semicircle rho(0) = 2N/(pi R); Jackson smearing at finite degree
+    # flattens the top slightly (measured ~ -3%)
+    rho0 = 2.0 * n / (numpy.pi * 2.0)
+    mid = numpy.abs(grid) < 0.1
+    assert numpy.allclose(dens[mid].mean(), rho0, rtol=0.1)
 
 
 def test_window_validation():
