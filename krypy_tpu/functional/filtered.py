@@ -278,9 +278,12 @@ def _cheby_moments(A, degree, bounds, Z):
     return mu
 
 
-def _rademacher_rows(A, key, n_probes, N):
-    """Real Rademacher probe rows in the operator's (real) dtype."""
-    dt = _operator_dtype(A)
+def _rademacher_rows(A, key, n_probes, N, dtype=None):
+    """Real Rademacher probe rows in the operator's (real) dtype, or
+    in ``dtype`` when given (callable operators cannot be probed and
+    would otherwise default to float64 under x64 -- pass
+    ``dtype=jnp.float32`` for TPU work)."""
+    dt = _operator_dtype(A) if dtype is None else jnp.dtype(dtype)
     if dt is None:
         dt = jnp.zeros(0).dtype
     real_dt = jnp.zeros(0, dt).real.dtype
@@ -289,7 +292,8 @@ def _rademacher_rows(A, key, n_probes, N):
 
 
 def window_count(
-    A, window, key, *, n=None, bounds=None, degree=None, n_probes=16
+    A, window, key, *, n=None, bounds=None, degree=None, n_probes=16,
+    dtype=None,
 ):
     r"""Stochastic estimate of the NUMBER of eigenvalues of Hermitian
     ``A`` inside ``window = (lo, hi)`` (Hutchinson trace of the
@@ -313,6 +317,9 @@ def window_count(
     :param bounds: spectrum bounds; estimated when omitted.
     :param degree: filter degree; same default policy as
       :func:`eigsh_window`.
+    :param dtype: probe dtype; defaults to the operator's when it can
+      be probed, else the x64-default float -- pass ``jnp.float32``
+      explicitly for callable operators on TPU.
     :return: ``(count, stderr)`` Python floats.
     """
     lo, hi = float(window[0]), float(window[1])
@@ -331,7 +338,7 @@ def window_count(
     if degree is None:
         degree = int(np.clip(np.ceil(4.0 * span / width), 16, 1000))
     coeffs, _, _ = jackson_cheby_coeffs(lo, hi, lmin, lmax, degree)
-    Z = _rademacher_rows(A, key, n_probes, N)
+    Z = _rademacher_rows(A, key, n_probes, N, dtype)
     mu = jax.jit(
         lambda Z: jnp.dot(
             jnp.asarray(coeffs, Z.dtype),
@@ -357,6 +364,7 @@ def kpm_dos(
     degree=180,
     n_probes=16,
     npoints=200,
+    dtype=None,
 ):
     r"""Kernel polynomial method estimate of the spectral density
     (density of states) of Hermitian ``A``:
@@ -377,6 +385,7 @@ def kpm_dos(
 
     :param degree: moment count = resolution: features narrower than
       ~``span/degree`` are smeared by the Jackson kernel.
+    :param dtype: probe dtype (see :func:`window_count`).
     :return: ``(grid, density)`` numpy arrays of length ``npoints``.
     """
     A_mv = as_matvec(A)
@@ -385,7 +394,7 @@ def kpm_dos(
         bounds = estimate_spectrum_bounds(A, n=N)
     lmin, lmax = float(bounds[0]), float(bounds[1])
     d = int(degree)
-    Z = _rademacher_rows(A, key, n_probes, N)
+    Z = _rademacher_rows(A, key, n_probes, N, dtype)
     mu = jax.jit(
         lambda Z: jnp.mean(
             _cheby_moments(A_mv, d, (lmin, lmax), Z), axis=1
