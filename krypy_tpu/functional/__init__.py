@@ -52,6 +52,7 @@ from .bicgstab import bicgstab
 from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
+from .eigs import EigsResult, eigs
 from .filtered import (
     WindowResult,
     eigsh_window,
@@ -94,6 +95,8 @@ __all__ = [
     "lsmr",
     "eigsh",
     "EigshResult",
+    "eigs",
+    "EigsResult",
     "eigsh_window",
     "WindowResult",
     "estimate_spectrum_bounds",
