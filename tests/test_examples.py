@@ -41,3 +41,12 @@ def test_multichip_example(capsys):
     out = capsys.readouterr().out
     assert "8 devices" in out
     assert "status=0" in out
+
+
+def test_spectral_survey(capsys):
+    _run("examples/spectral_survey.py")
+    out = capsys.readouterr().out
+    assert "kpm_dos" in out
+    assert "window_count" in out
+    assert "eigsh_window" in out
+    assert "spectral survey example done" in out
