@@ -49,6 +49,7 @@ from .block import block_cg, block_gmres
 from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
+from .idr import idrs
 from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
@@ -90,6 +91,7 @@ __all__ = [
     "chebyshev",
     "fgmres",
     "bicgstab",
+    "idrs",
     "tfqmr",
     "lsqr",
     "lsmr",
