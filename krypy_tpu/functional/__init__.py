@@ -50,6 +50,7 @@ from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
 from .idr import idrs
+from .sketch import KronSketch, kron_sketch, sketch_apply, sketched_gmres
 from .tfqmr import tfqmr
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
@@ -92,6 +93,10 @@ __all__ = [
     "fgmres",
     "bicgstab",
     "idrs",
+    "KronSketch",
+    "kron_sketch",
+    "sketch_apply",
+    "sketched_gmres",
     "tfqmr",
     "lsqr",
     "lsmr",

@@ -1,0 +1,343 @@
+r"""Randomized sketching lane: sketched GMRES (sGMRES).
+
+sGMRES (Nakatsukasa & Tropp, "Fast and accurate randomized algorithms
+for linear systems and eigenvalue problems", SIMAX 2024) decouples the
+Krylov BASIS from the residual MINIMIZATION: build a cheap basis that is
+only *locally* orthogonalized (k-truncated Arnoldi: O(k N) HBM traffic
+per iteration instead of full GMRES's O(j N) sweep), push everything
+through a random subspace embedding ``S`` with ``d = O(m)`` rows, and
+minimize the *sketched* residual ``||S(r0) - S(A Z) y||`` -- a small
+``d x m`` least-squares problem.  If ``S`` embeds the (m+1)-dimensional
+residual subspace with distortion ``eps``, the returned iterate is
+quasi-optimal: ``||b - A x|| <= sqrt((1+eps)/(1-eps))`` times the true
+minimum over the same subspace.
+
+TPU-first design decisions:
+
+* The sketch is a KRONECKER-FACTORED Gaussian embedding
+  ``S = (S1 (x) S2) / sqrt(d)`` with ``S1: (d1, n1)``, ``S2: (d2, n2)``,
+  ``n1 n2 >= N``, ``d = d1 d2``: applying it is one reshape plus two
+  small GEMMs (pure MXU work, exactly one HBM sweep of the vector), and
+  it stores ``O(sqrt(d N))`` floats instead of a dense Gaussian's
+  ``O(d N)`` (a dense sketch at d=168, N=1M would re-read 672 MB per
+  iteration -- more than the entire ortho sweep it replaces).  The
+  classical SRHT is out (FFT-like transforms are pathologically slow on
+  this TPU runtime, docs/DESIGN.md section 8) and CountSketch-class
+  sparse sketches are out (scatters serialize, ~1.5 ms per ``.at[].set``).
+  Kronecker-Gaussian maps are proven oblivious subspace embeddings with
+  a modest oversampling penalty; ``sketch_dim`` defaults to
+  ``4 (maxiter+1)`` to absorb it, and the embedding quality is verified
+  empirically in tests/test_sketch.py.
+* The small sketched LS problem is solved by an INCREMENTAL Householder
+  QR carried inside the while_loop state (reflectors in a ``(m, d)``
+  buffer): per iteration it costs ``O(j d)`` flops, needs no
+  eigendecomposition inside the loop (TPU compiles of eigh-in-while_loop
+  take ~10 min, CLAUDE.md), and delivers the sketched residual norm for
+  the stopping test as one masked tail norm -- the same mechanism the
+  Givens chain provides in classic GMRES.
+* The basis buffer is row-major ``(maxiter+1, N)`` like every other core
+  in this package; the k-row orthogonalization window is one
+  ``lax.dynamic_slice`` (unwritten rows are zero, so the window never
+  needs masking).
+
+Honesty contract (identical to the sibling cores): the loop stops on the
+*sketched* residual, but the returned status is decided by the explicit
+TRUE residual of the assembled iterate; ``resnorms`` carries the
+per-iteration sketched estimates with the final entry replaced by the
+true relative residual.
+
+Reference baseline: krypy has no randomized lane (its GMRES fully
+orthogonalizes, krypy/linsys.py:877-1018); TPU-native surface.
+"""
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    CONVERGED,
+    MAXITER,
+    SolveResult,
+    apply,
+    as_matvec,
+    breakdown_threshold,
+    cast_matvec,
+    safe_div,
+    system_dtype,
+)
+
+__all__ = ["KronSketch", "kron_sketch", "sketch_apply", "sketched_gmres"]
+
+
+class KronSketch(NamedTuple):
+    """Kronecker-factored Gaussian sketch ``x -> (S1 (x) S2) x_pad / sqrt(d)``.
+
+    ``x`` is zero-padded to ``n1 * n2`` and reshaped to ``(n1, n2)``;
+    the embedding is ``S1 @ X @ S2.T`` flattened to ``d = d1 * d2``.
+    """
+
+    S1: jnp.ndarray  # (d1, n1)
+    S2: jnp.ndarray  # (d2, n2)
+    N: int
+
+    @property
+    def d(self):
+        return self.S1.shape[0] * self.S2.shape[0]
+
+
+def _split_even(n):
+    """n1 >= n2 with n1 * n2 >= n, both near sqrt(n)."""
+    n2 = max(1, int(math.isqrt(n)))
+    n1 = -(-n // n2)
+    return n1, n2
+
+
+def kron_sketch(N, d, *, seed=0, dtype=jnp.float32):
+    """Draw a :class:`KronSketch` embedding R^N -> R^(>=d).
+
+    The factor dimensions are the integer splits nearest sqrt: the
+    realized ``d1 * d2`` may slightly exceed the requested ``d``.
+    """
+    d1, d2 = _split_even(int(d))
+    n1, n2 = _split_even(int(N))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    scale = 1.0 / math.sqrt(d1 * d2)
+    # fold the global 1/sqrt(d) into S1 once
+    S1 = jax.random.normal(k1, (d1, n1), real_dtype) * scale
+    S2 = jax.random.normal(k2, (d2, n2), real_dtype)
+    return KronSketch(S1=S1, S2=S2, N=int(N))
+
+
+def sketch_apply(S, x):
+    """Apply the sketch to a vector (one HBM sweep + two small GEMMs)."""
+    n1, n2 = S.S1.shape[1], S.S2.shape[1]
+    xp = jnp.pad(x.reshape(-1), (0, n1 * n2 - S.N))
+    X = xp.reshape(n1, n2)
+    return (S.S1.astype(x.dtype) @ X @ S.S2.T.astype(x.dtype)).reshape(-1)
+
+
+class _SgmresState(NamedTuple):
+    j: jnp.ndarray          # columns of S(AZ) processed so far
+    B: jnp.ndarray          # (maxiter+1, N) truncated-Arnoldi basis rows
+    V: jnp.ndarray          # (maxiter, d) unit Householder reflectors
+    R: jnp.ndarray          # (maxiter, maxiter) upper triangular
+    t: jnp.ndarray          # (d,) reflector-transformed sketched rhs
+    cur_rel: jnp.ndarray    # sketched relative residual estimate
+    best_rel: jnp.ndarray
+    stall: jnp.ndarray
+    exhausted: jnp.ndarray  # basis could not be extended (invariance)
+    resnorms: jnp.ndarray
+
+
+def _house_vector(c, j, d):
+    """Unit Householder vector zeroing ``c`` strictly below position j.
+
+    Masked fixed-shape construction: entries < j are zero; complex-safe
+    (the pivot keeps its phase).  Returns (v, alpha) with
+    ``(I - 2 v v^H) c = [c[:j], alpha, 0...]`` and ``|alpha| = ||c[j:]||``.
+    """
+    idx = jnp.arange(d)
+    tail = jnp.where(idx >= j, c, 0)
+    na = jnp.linalg.norm(tail)
+    c_j = c[j]
+    absj = jnp.abs(c_j)
+    phase = jnp.where(absj > 0, c_j / jnp.where(absj > 0, absj, 1.0), 1.0)
+    alpha = -phase * na
+    v = tail - alpha * (idx == j)
+    nv = jnp.linalg.norm(v)
+    v = jnp.where(nv > 0, v / jnp.where(nv > 0, nv, 1.0), v)
+    return v, alpha
+
+
+def sketched_gmres(
+    A,
+    b,
+    *,
+    M=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=40,
+    k_ortho=2,
+    sketch_dim=None,
+    seed=0,
+    sketch=None,
+    stagnation_window=0,
+    sketch_safety=0.25,
+):
+    r"""Solve ``A x = b`` by sketched GMRES in one compiled while_loop.
+
+    Per iteration: ONE matvec (+ one preconditioner apply), a k-row
+    orthogonalization window (``O(k N)`` traffic, independent of the
+    iteration count), one sketch application (one sweep of the new
+    vector) and an ``O(j d)`` small-QR update.  Compare classic GMRES's
+    ``O(j N)`` full-basis sweep: at ``maxiter=40`` the sketched basis
+    construction moves ~10x less HBM traffic per iteration.
+
+    :param M: optional RIGHT preconditioner matvec; the minimized
+      residual is the true residual of the original system.
+    :param k_ortho: truncated-Arnoldi window (2-4 typical).  The basis
+      is NOT globally orthogonal -- quasi-optimality of the returned
+      iterate is inherited from the sketch, not the basis.
+    :param sketch_dim: embedding dimension ``d`` (default
+      ``4 (maxiter+1)``, must be ``> maxiter``).
+    :param sketch: pass a prebuilt :class:`KronSketch` to share one
+      embedding across a solve sequence.
+    :param sketch_safety: the loop stops when the *sketched* relative
+      residual falls below ``sketch_safety * tol``.  The margin absorbs
+      the MINIMIZATION BIAS of sketch-and-solve: the sketched minimizer
+      picks directions where the embedding underestimates, so the true
+      residual can exceed the sketched one by the subspace distortion
+      factor ``sqrt((1+eps)/(1-eps))`` (~2x at ``d = 4 m``), not just
+      the ~1/sqrt(d) fixed-vector concentration.  The returned status
+      is CONVERGED only if the explicit true residual meets ``tol``.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult`;
+      ``resnorms[i]`` is the sketched estimate after ``i`` iterations,
+      with the final entry replaced by the true relative residual.
+    """
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    maxiter = int(maxiter)
+    k_ortho = max(1, int(k_ortho))
+
+    A_mv = as_matvec(A)
+    M_mv = as_matvec(M)
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    A_mv, M_mv = (cast_matvec(f, dtype) for f in (A_mv, M_mv))
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    if sketch is None:
+        sketch_dim = 4 * (maxiter + 1) if sketch_dim is None else int(sketch_dim)
+        sketch = kron_sketch(N, sketch_dim, seed=seed, dtype=real_dtype)
+    d = sketch.d
+    if d <= maxiter:
+        raise ValueError(
+            f"sketch_dim (realized {d}) must exceed maxiter={maxiter}: the "
+            "sketched LS problem needs more rows than columns"
+        )
+
+    x0v = (
+        jnp.zeros(N, dtype)
+        if x0 is None
+        else jnp.asarray(x0).reshape(-1).astype(dtype)
+    )
+
+    bnorm = jnp.linalg.norm(bv)
+    r0 = bv - A_mv(x0v)
+    r0norm = jnp.linalg.norm(r0)
+    rel0 = safe_div(r0norm, bnorm)
+    sr0 = sketch_apply(sketch, r0)
+    sbnorm = jnp.linalg.norm(sketch_apply(sketch, bv))
+
+    tiny = breakdown_threshold(dtype)
+    idx_d = jnp.arange(d)
+
+    B0 = jnp.zeros((maxiter + 1, N), dtype)
+    B0 = B0.at[0].set(jnp.where(r0norm > 0, r0 / jnp.where(r0norm > 0, r0norm, 1.0), r0))
+
+    def body(state):
+        j = state.j
+        # --- extend: w = A M b_j, sketch it BEFORE local orthogonalization
+        z = lax.dynamic_slice(state.B, (j, 0), (1, N))[0]
+        w = A_mv(apply(M_mv, z))
+        sw = sketch_apply(sketch, w).astype(dtype)
+
+        # --- incremental Householder QR of the sketched column
+        def reflect(i, c):
+            vi = state.V[i]
+            return c - vi * (2.0 * jnp.vdot(vi, c))
+
+        c = lax.fori_loop(0, j, reflect, sw)
+        v, alpha = _house_vector(c, j, d)
+        # sketched column (numerically) dependent on the previous ones:
+        # the basis stopped producing new directions -- stop extending
+        # (the final assembly drops the trailing degenerate column)
+        dependent = jnp.abs(alpha) <= tiny * jnp.linalg.norm(sw)
+        # column j of R: entries above the diagonal come from c, the
+        # diagonal is alpha, below-diagonal mass is annihilated
+        rcol = jnp.where(idx_d < j, c, 0).at[j].set(alpha)[: maxiter]
+        R = state.R.at[:, j].set(rcol)
+        V = state.V.at[j].set(v)
+        t = state.t - v * (2.0 * jnp.vdot(v, state.t))
+        # LS residual with columns 0..j = tail of the transformed rhs
+        srel = safe_div(
+            jnp.linalg.norm(jnp.where(idx_d > j, t, 0)), sbnorm
+        ).astype(real_dtype)
+
+        # --- truncated-Arnoldi local orthogonalization (k-row window;
+        # rows above j are still zero, so no masking is needed)
+        start = jnp.maximum(j - (k_ortho - 1), 0)
+        W = lax.dynamic_slice(state.B, (start, 0), (k_ortho, N))
+        h = W.conj() @ w
+        u = w - jnp.tensordot(h, W, 1)
+        nu = jnp.linalg.norm(u)
+        wnorm = jnp.linalg.norm(w)
+        exhausted = nu <= tiny * wnorm
+        row = jnp.where(exhausted, 0.0, u / jnp.where(nu > 0, nu, 1.0))
+        B = lax.dynamic_update_slice(state.B, row[None, :], (j + 1, 0))
+
+        improved = srel < 0.99 * state.best_rel
+        stall = jnp.where(improved, 0, state.stall + 1)
+        best = jnp.minimum(srel, state.best_rel)
+        resnorms = state.resnorms.at[j + 1].set(srel)
+        return _SgmresState(
+            j + 1, B, V, R, t, srel, best, stall,
+            exhausted | dependent | ~jnp.isfinite(srel), resnorms,
+        )
+
+    def cond(state):
+        go = (
+            (state.cur_rel > sketch_safety * tol)
+            & (state.j < maxiter)
+            & ~state.exhausted
+        )
+        if stagnation_window > 0:
+            go = go & (state.stall < stagnation_window)
+        return go
+
+    init = _SgmresState(
+        jnp.asarray(0),
+        B0,
+        jnp.zeros((maxiter, d), dtype),
+        jnp.zeros((maxiter, maxiter), dtype),
+        sr0.astype(dtype),
+        rel0.astype(real_dtype),
+        rel0.astype(real_dtype),
+        jnp.asarray(0),
+        jnp.asarray(False),
+        jnp.full(maxiter + 1, jnp.nan, real_dtype).at[0].set(rel0),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    # --- assemble: solve the masked triangular system, one O(mN) sweep
+    jf = final.j
+    col = jnp.arange(maxiter)
+    # drop a trailing degenerate column (loop exits at the FIRST
+    # dependent sketched column, so at most the last one is bad)
+    diag = jnp.diagonal(final.R)
+    ok_diag = jnp.abs(diag) > tiny * jnp.max(
+        jnp.concatenate([jnp.abs(diag), jnp.ones(1, real_dtype)])
+    )
+    active = (col < jf) & ok_diag
+    Rm = jnp.where(active[None, :] & active[:, None], final.R, 0)
+    Rm = Rm + jnp.diag(jnp.where(active, 0.0, 1.0).astype(dtype))
+    tm = jnp.where(active, final.t[:maxiter], 0)
+    y = jax.scipy.linalg.solve_triangular(Rm, tm, lower=False)
+    y = jnp.where(active, y, 0)
+    x = x0v + apply(M_mv, jnp.tensordot(y, final.B[:maxiter], 1))
+
+    true_rel = safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+    resnorms = final.resnorms.at[jf].set(true_rel)
+    status = jnp.where(true_rel <= tol, CONVERGED, MAXITER)
+    return SolveResult(
+        x=x if flat else x[:, None],
+        resnorms=resnorms,
+        niter=jf,
+        status=status,
+    )

@@ -1,0 +1,171 @@
+"""Sketched GMRES (randomized lane).
+
+Oracles: explicit true residuals against dense/stencil operators (real,
+complex, preconditioned, warm-started), exact termination in a
+24-dimensional space, quasi-optimality against full GMRES on the same
+Krylov subspace, and direct embedding-quality checks of the
+Kronecker-factored Gaussian sketch."""
+
+import numpy
+import pytest
+import jax.numpy as jnp
+
+from krypy_tpu import functional as F, ops
+
+
+def _dense_nonsym(n, seed=0, spread=(1, 20), skew=0.3):
+    rng = numpy.random.RandomState(seed)
+    A = (numpy.diag(numpy.linspace(*spread, n))
+         + skew * numpy.triu(rng.randn(n, n), 1) / numpy.sqrt(n))
+    return A, rng
+
+
+def test_kron_sketch_is_an_embedding():
+    """Norms of arbitrary vectors are preserved to the ~1/sqrt(d)
+    concentration expected of a Gaussian-class embedding."""
+    N, d = 4096, 256
+    S = F.kron_sketch(N, d, seed=7)
+    assert S.d >= d
+    rng = numpy.random.RandomState(0)
+    ratios = []
+    for i in range(20):
+        x = jnp.asarray(rng.randn(N), jnp.float32)
+        ratios.append(
+            float(jnp.linalg.norm(F.sketch_apply(S, x))
+                  / jnp.linalg.norm(x))
+        )
+    ratios = numpy.array(ratios)
+    # each realization within 50%, the ensemble mean much tighter
+    assert numpy.all(numpy.abs(ratios - 1) < 0.5)
+    assert abs(ratios.mean() - 1) < 0.1
+
+
+def test_kron_sketch_approximate_orthogonality():
+    """Sketched inner products of orthogonal vectors stay small
+    relative to the vector norms."""
+    N, d = 2048, 400
+    S = F.kron_sketch(N, d, seed=3)
+    x = jnp.zeros(N).at[:N // 2].set(1.0)
+    y = jnp.zeros(N).at[N // 2:].set(1.0)
+    sx, sy = F.sketch_apply(S, x), F.sketch_apply(S, y)
+    cos = float(jnp.abs(jnp.vdot(sx, sy))
+                / (jnp.linalg.norm(sx) * jnp.linalg.norm(sy)))
+    assert cos < 0.25
+
+
+def test_sketched_gmres_dense_nonsymmetric():
+    A, rng = _dense_nonsym(200)
+    b = jnp.asarray(rng.randn(200))
+    r = F.sketched_gmres(jnp.asarray(A), b, tol=1e-8, maxiter=150)
+    assert int(r.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ r.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-8
+    # resnorms: sketched estimates, final entry is the TRUE residual
+    assert numpy.isfinite(numpy.asarray(r.resnorms)[: int(r.niter) + 1]).all()
+
+
+def test_sketched_gmres_quasi_optimal_vs_gmres():
+    """Same Krylov subspace, sketched minimization: the true residual
+    after m steps is within a small factor of full GMRES's."""
+    A, rng = _dense_nonsym(160, seed=5)
+    b = jnp.asarray(rng.randn(160))
+    m = 30
+    rs = F.sketched_gmres(jnp.asarray(A), b, tol=1e-14, maxiter=m,
+                          k_ortho=4, sketch_dim=8 * (m + 1))
+    rg = F.gmres(jnp.asarray(A), b, tol=1e-14, maxiter=m)
+    rel_s = float(jnp.linalg.norm(b - jnp.asarray(A) @ rs.x)
+                  / jnp.linalg.norm(b))
+    rel_g = float(jnp.linalg.norm(b - jnp.asarray(A) @ rg.x.reshape(-1))
+                  / jnp.linalg.norm(b))
+    assert rel_s <= 3 * rel_g + 1e-14
+
+
+def test_sketched_gmres_complex():
+    rng = numpy.random.RandomState(1)
+    n = 120
+    A = (numpy.diag(numpy.linspace(1, 10, n)).astype(complex)
+         + 0.2 * (rng.randn(n, n) + 1j * rng.randn(n, n)) / numpy.sqrt(n))
+    b = jnp.asarray(rng.randn(n) + 1j * rng.randn(n))
+    r = F.sketched_gmres(jnp.asarray(A), b, tol=1e-8, maxiter=100)
+    assert int(r.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ r.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-8
+
+
+def test_sketched_gmres_preconditioned_convdiff():
+    cd = ops.convection_diffusion_2d(32, 32)
+    Mj = ops.jacobi_preconditioner(cd)
+    b = jnp.ones(32 * 32, jnp.float64)
+    r = F.sketched_gmres(cd, b, M=Mj, tol=1e-9, maxiter=300, k_ortho=4)
+    assert int(r.status) == 0
+    rel = float(jnp.linalg.norm(b - cd(r.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-9
+
+
+def test_sketched_gmres_exact_termination():
+    """In a 24-dimensional space the basis exhausts and the assembled
+    iterate is the exact solution (trailing degenerate column dropped)."""
+    A, rng = _dense_nonsym(24, seed=2, spread=(1, 5), skew=0.1)
+    b = jnp.asarray(rng.randn(24))
+    r = F.sketched_gmres(jnp.asarray(A), b, tol=1e-12, maxiter=40,
+                         k_ortho=3)
+    assert int(r.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ r.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-12
+
+
+def test_sketched_gmres_x0_and_zero_rhs():
+    A, rng = _dense_nonsym(80, seed=4, spread=(1, 8), skew=0.2)
+    b = jnp.asarray(rng.randn(80))
+    x0 = jnp.asarray(rng.randn(80))
+    r = F.sketched_gmres(jnp.asarray(A), b, x0=x0, tol=1e-10, maxiter=60)
+    assert int(r.status) == 0
+    rel = float(
+        jnp.linalg.norm(b - jnp.asarray(A) @ r.x) / jnp.linalg.norm(b)
+    )
+    assert rel <= 1e-10
+
+    r0 = F.sketched_gmres(jnp.asarray(A), jnp.zeros(80), tol=1e-10,
+                          maxiter=10)
+    assert int(r0.status) == 0
+    assert int(r0.niter) == 0
+    assert float(jnp.linalg.norm(r0.x)) == 0.0
+
+
+def test_sketched_gmres_shared_sketch():
+    """A prebuilt sketch is reusable across a solve sequence."""
+    A, rng = _dense_nonsym(100, seed=6, spread=(1, 10), skew=0.2)
+    S = F.kron_sketch(100, 4 * 61, seed=0)
+    for k in range(2):
+        b = jnp.asarray(rng.randn(100))
+        r = F.sketched_gmres(jnp.asarray(A), b, tol=1e-9, maxiter=60,
+                             sketch=S)
+        assert int(r.status) == 0
+        rel = float(jnp.linalg.norm(b - jnp.asarray(A) @ r.x)
+                    / jnp.linalg.norm(b))
+        assert rel <= 1e-9
+
+
+def test_sketched_gmres_rejects_narrow_sketch():
+    A, rng = _dense_nonsym(50, seed=0)
+    b = jnp.asarray(rng.randn(50))
+    with pytest.raises(ValueError):
+        F.sketched_gmres(jnp.asarray(A), b, maxiter=40, sketch_dim=10)
+
+
+def test_sketched_gmres_maxiter_honest():
+    """An unreachable tolerance reports MAXITER with the best iterate,
+    never false convergence."""
+    A, rng = _dense_nonsym(150, seed=9, spread=(1, 3000), skew=0.5)
+    A32 = jnp.asarray(numpy.asarray(A, dtype=numpy.float32))
+    b = jnp.asarray(rng.randn(150), jnp.float32)
+    r = F.sketched_gmres(A32, b, tol=1e-14, maxiter=20)
+    assert int(r.status) == 1
+    rel = float(jnp.linalg.norm(b - A32 @ r.x) / jnp.linalg.norm(b))
+    assert rel > 1e-14
