@@ -52,6 +52,7 @@ from .bicgstab import bicgstab
 from .idr import idrs
 from .sketch import KronSketch, kron_sketch, sketch_apply, sketched_gmres
 from .tfqmr import tfqmr
+from .qmr import qmr, transpose_matvec
 from .lsq import lsmr, lsqr
 from .eigh import EigshResult, eigsh
 from .eigs import EigsResult, eigs
@@ -98,6 +99,8 @@ __all__ = [
     "sketch_apply",
     "sketched_gmres",
     "tfqmr",
+    "qmr",
+    "transpose_matvec",
     "lsqr",
     "lsmr",
     "eigsh",

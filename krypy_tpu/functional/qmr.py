@@ -1,0 +1,287 @@
+r"""QMR: quasi-minimal residual solver on the nonsymmetric Lanczos
+biorthogonalization.
+
+Freund & Nachtigal's QMR (1991) runs the two-sided Lanczos process --
+one matvec with ``A`` and one with ``A^T`` per iteration, short
+recurrences, seven live vectors -- and QUASI-minimizes the residual over
+the Krylov space through the implicit tridiagonal least-squares problem,
+giving the smooth convergence BiCG lacks at the same cost, without
+GMRES's O(k N) growing sweep (the nonsymmetric memory-scaling lever of
+SURVEY.md section 5.7, complementing BiCGStab/IDR(s)/TFQMR which avoid
+the transpose at the price of squared/filtered residual polynomials).
+
+TPU-first: the transpose operator is derived AUTOMATICALLY with
+``jax.linear_transpose`` -- in a functional framework the traced matvec
+IS the operator, so its (bilinear) transpose is compiler-derived, not
+user-supplied; the classic reason QMR is avoided in matrix-free codes
+("no A^T available") does not exist here.  We implement the
+bilinear-form variant (unconjugated ``w^T v`` products, ``A^T`` not
+``A^H``), which is exactly what ``linear_transpose`` provides and is the
+original coupled-two-term formulation; it reduces to the classical
+real-arithmetic QMR for real data and remains valid for complex
+operators.  Everything runs in one ``lax.while_loop``: 2 matvecs, 2
+preconditioner applies, 5 fused inner products per iteration.
+
+Right preconditioning is handled by composition: the recurrence runs on
+``A_hat = A o M`` (whose transpose ``M^T A^T`` falls out of the same
+``linear_transpose``), the loop accumulates the preconditioned-space
+iterate, and ONE final ``M`` apply maps it back -- so the tracked
+residual is the TRUE residual of the original system.
+
+Honesty contract as the sibling cores: explicit-residual confirmation on
+the convergence/maxiter exits, Lanczos breakdowns (rho, xi, delta,
+epsilon, gamma) detected on-device and reported as BREAKDOWN with the
+last iterate, stagnation guard for reduced-precision floors.
+
+Reference baseline: krypy has no two-sided-Lanczos surface (its
+nonsymmetric answer is GMRES, krypy/linsys.py:877-1018); TPU-native.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .common import (
+    BREAKDOWN,
+    CONVERGED,
+    MAXITER,
+    SolveResult,
+    apply,
+    as_matvec,
+    cast_matvec,
+    safe_div,
+    system_dtype,
+)
+
+__all__ = ["qmr", "transpose_matvec"]
+
+
+def transpose_matvec(mv, N, dtype):
+    """Bilinear transpose ``x -> A^T x`` of a traced linear matvec.
+
+    Uses ``jax.linear_transpose``: the matvec must be linear and
+    jax-traceable (every operator in :mod:`krypy_tpu.ops` is).  For the
+    conjugate transpose compose with ``jnp.conj`` on both sides.
+    """
+    t = jax.linear_transpose(mv, jnp.zeros(N, dtype))
+
+    def At(x):
+        return t(x)[0]
+
+    return At
+
+
+class _QmrState(NamedTuple):
+    k: jnp.ndarray
+    u: jnp.ndarray        # preconditioned-space iterate (x = x0 + M u)
+    r: jnp.ndarray        # true residual of the original system
+    vt: jnp.ndarray
+    wt: jnp.ndarray
+    p: jnp.ndarray
+    q: jnp.ndarray
+    d: jnp.ndarray
+    s: jnp.ndarray
+    rho: jnp.ndarray
+    xi: jnp.ndarray
+    eps: jnp.ndarray
+    gamma: jnp.ndarray
+    eta: jnp.ndarray
+    theta: jnp.ndarray
+    cur_rel: jnp.ndarray
+    best_rel: jnp.ndarray
+    stall: jnp.ndarray
+    broken: jnp.ndarray
+    resnorms: jnp.ndarray
+
+
+def qmr(
+    A,
+    b,
+    *,
+    M=None,
+    AT=None,
+    MT=None,
+    x0=None,
+    tol=1e-5,
+    maxiter=None,
+    stagnation_window=0,
+    explicit_residual=False,
+):
+    """Solve nonsymmetric ``A x = b`` with right-preconditioned QMR in
+    one compiled while_loop.
+
+    :param M: optional right-preconditioner matvec (the recurrence runs
+      on ``A o M``; the tracked residual is the TRUE residual).
+    :param AT: optional explicit transpose matvec ``x -> A^T x``
+      (bilinear transpose, no conjugation).  Default: derived from
+      ``A`` with :func:`transpose_matvec` -- pass it only when the
+      matvec is not jax-traceable.
+    :param MT: optional explicit transpose of ``M`` (same contract).
+    :param stagnation_window: if > 0, stop after this many iterations
+      without improving the best residual.
+    :return: :class:`~krypy_tpu.functional.common.SolveResult`.
+    """
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    maxiter = N if maxiter is None else int(maxiter)
+
+    A_mv = as_matvec(A)
+    M_mv = as_matvec(M)
+    dtype = system_dtype(bv, x0)
+    bv = bv.astype(dtype)
+    A_mv, M_mv = (cast_matvec(f, dtype) for f in (A_mv, M_mv))
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    def Ahat(x):
+        return A_mv(apply(M_mv, x))
+
+    if AT is None and MT is None:
+        Ahat_t = transpose_matvec(Ahat, N, dtype)
+    else:
+        AT_mv = (
+            cast_matvec(as_matvec(AT), dtype)
+            if AT is not None
+            else transpose_matvec(A_mv, N, dtype)
+        )
+        if M_mv is None:
+            MT_mv = None
+        elif MT is not None:
+            MT_mv = cast_matvec(as_matvec(MT), dtype)
+        else:
+            MT_mv = transpose_matvec(M_mv, N, dtype)
+
+        def Ahat_t(x):
+            return apply(MT_mv, AT_mv(x))
+
+    x0v = (
+        jnp.zeros(N, dtype)
+        if x0 is None
+        else jnp.asarray(x0).reshape(-1).astype(dtype)
+    )
+
+    bnorm = jnp.linalg.norm(bv)
+    r0 = bv - A_mv(x0v)
+    rel0 = safe_div(jnp.linalg.norm(r0), bnorm)
+
+    eps_tiny = jnp.asarray(jnp.finfo(real_dtype).tiny * 1e4, real_dtype)
+    zero = jnp.zeros(N, dtype)
+
+    def body(state):
+        k = state.k
+        v = state.vt / state.rho
+        w = state.wt / state.xi
+        delta = jnp.sum(w * v)  # bilinear, unconjugated
+
+        first = k == 0
+        p = v - jnp.where(
+            first, 0.0, safe_div(state.xi * delta, state.eps)
+        ) * state.p
+        q = w - jnp.where(
+            first, 0.0, safe_div(state.rho * delta, state.eps)
+        ) * state.q
+
+        pt = Ahat(p)
+        eps_k = jnp.sum(q * pt)
+        beta = safe_div(eps_k, delta)
+        vt = pt - beta * v
+        rho_new = jnp.linalg.norm(vt).astype(dtype)
+        wt = Ahat_t(q) - beta * w
+        xi_new = jnp.linalg.norm(wt).astype(dtype)
+
+        theta = safe_div(
+            rho_new, state.gamma * jnp.abs(beta)
+        ).real.astype(real_dtype)
+        gamma = 1.0 / jnp.sqrt(1.0 + theta * theta)
+        eta = -safe_div(
+            state.eta * state.rho * gamma * gamma,
+            beta * state.gamma * state.gamma,
+        )
+
+        shrink = (state.theta * gamma) ** 2
+        d = eta * p + jnp.where(first, 0.0, shrink) * state.d
+        s = eta * pt + jnp.where(first, 0.0, shrink) * state.s
+        u = state.u + d
+        r = state.r - s
+
+        rel_upd = safe_div(jnp.linalg.norm(r), bnorm)
+        need_explicit = (
+            explicit_residual | (rel_upd <= tol) | (k + 1 == maxiter)
+        )
+
+        def with_explicit(_):
+            x = x0v + apply(M_mv, u)
+            return safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+
+        rel = lax.cond(need_explicit, with_explicit,
+                       lambda _: rel_upd, None)
+
+        broken = (
+            (jnp.abs(delta) <= eps_tiny)
+            | (jnp.abs(eps_k) <= eps_tiny)
+            | (jnp.abs(rho_new) <= eps_tiny)
+            | (jnp.abs(xi_new) <= eps_tiny)
+            | (gamma <= eps_tiny)
+            | ~jnp.isfinite(rel)
+        )
+        improved = rel < 0.99 * state.best_rel
+        stall = jnp.where(improved, 0, state.stall + 1)
+        best = jnp.minimum(rel, state.best_rel)
+        resnorms = state.resnorms.at[k + 1].set(rel)
+        return _QmrState(
+            k + 1, u, r, vt, wt, p, q, d, s,
+            rho_new, xi_new, eps_k, gamma, eta, theta,
+            rel, best, stall, broken, resnorms,
+        )
+
+    def cond(state):
+        go = (
+            (state.cur_rel > tol)
+            & (state.k < maxiter)
+            & ~state.broken
+        )
+        if stagnation_window > 0:
+            go = go & (state.stall < stagnation_window)
+        return go
+
+    rho0 = jnp.linalg.norm(r0).astype(dtype)
+    init = _QmrState(
+        jnp.asarray(0),
+        zero,
+        r0,
+        r0,
+        r0,
+        zero,
+        zero,
+        zero,
+        zero,
+        rho0,
+        rho0,
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(1.0, real_dtype),
+        jnp.asarray(-1.0, dtype),
+        jnp.asarray(0.0, real_dtype),
+        rel0,
+        rel0,
+        jnp.asarray(0),
+        # zero rhs (rho == 0) must not divide; loop is skipped anyway
+        jnp.asarray(False) | (rho0 == 0),
+        jnp.full(maxiter + 1, jnp.nan, real_dtype).at[0].set(rel0),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        final.cur_rel <= tol,
+        CONVERGED,
+        jnp.where(final.broken & (final.k > 0), BREAKDOWN, MAXITER),
+    )
+    x = x0v + apply(M_mv, final.u)
+    return SolveResult(
+        x=x if flat else x[:, None],
+        resnorms=final.resnorms,
+        niter=final.k,
+        status=status,
+    )
