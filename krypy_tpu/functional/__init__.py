@@ -50,7 +50,14 @@ from .chebyshev import chebyshev, spectral_bounds
 from .fgmres import fgmres
 from .bicgstab import bicgstab
 from .idr import idrs
-from .sketch import KronSketch, kron_sketch, sketch_apply, sketched_gmres
+from .sketch import (
+    KronSketch,
+    kron_sketch,
+    restarted_sketched_gmres,
+    sketch_apply,
+    sketched_gmres,
+)
+from .randomized import RsvdResult, nystrom_preconditioner, rsvd
 from .tfqmr import tfqmr
 from .qmr import qmr, transpose_matvec
 from .lsq import lsmr, lsqr
@@ -98,6 +105,10 @@ __all__ = [
     "kron_sketch",
     "sketch_apply",
     "sketched_gmres",
+    "restarted_sketched_gmres",
+    "RsvdResult",
+    "rsvd",
+    "nystrom_preconditioner",
     "tfqmr",
     "qmr",
     "transpose_matvec",

@@ -152,6 +152,28 @@ def test_sketched_gmres_shared_sketch():
         assert rel <= 1e-9
 
 
+def test_restarted_sketched_gmres_convdiff():
+    """The restarted driver solves a system whose length exceeds any
+    stable single sketched cycle; a second solve on the same operator
+    reuses the compiled cycle and the same embedding."""
+    cd = ops.convection_diffusion_2d(64, 64)
+    Mj = ops.jacobi_preconditioner(cd)
+    b = jnp.ones(64 * 64, jnp.float64)
+    r = F.restarted_sketched_gmres(
+        cd, b, M=Mj, tol=1e-8, maxiter=40, max_restarts=20, k_ortho=4
+    )
+    assert int(r.status) == 0
+    rel = float(jnp.linalg.norm(b - cd(r.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-8
+    assert int(r.niter) > 40  # genuinely needed restarts
+
+    r2 = F.restarted_sketched_gmres(
+        cd, 2.0 * b, M=Mj, tol=1e-8, maxiter=40, max_restarts=20,
+        k_ortho=4,
+    )
+    assert int(r2.status) == 0
+
+
 def test_sketched_gmres_rejects_narrow_sketch():
     A, rng = _dense_nonsym(50, seed=0)
     b = jnp.asarray(rng.randn(50))
