@@ -24,10 +24,15 @@ TPU-first design decisions:
   classical SRHT is out (FFT-like transforms are pathologically slow on
   this TPU runtime, docs/DESIGN.md section 8) and CountSketch-class
   sparse sketches are out (scatters serialize, ~1.5 ms per ``.at[].set``).
-  Kronecker-Gaussian maps are proven oblivious subspace embeddings with
-  a modest oversampling penalty; ``sketch_dim`` defaults to
-  ``4 (maxiter+1)`` to absorb it, and the embedding quality is verified
-  empirically in tests/test_sketch.py.
+  Kronecker-Gaussian maps carry an oversampling penalty over dense
+  Gaussian embeddings AND a structured failure mode: grid-smooth
+  vectors are near-rank-1 as reshaped matrices and the raw Kronecker
+  map preserves rank, collapsing the embedding on exactly the
+  subspaces a PDE solve produces -- so the sketch applies an iid
+  Rademacher pre-mask (see :class:`KronSketch`), and ``sketch_dim``
+  defaults to ``4 (maxiter+1)``.  Embedding quality is verified
+  empirically in tests/test_sketch.py, including the orthogonal
+  smooth-mode pair that breaks the unmasked map.
 * The small sketched LS problem is solved by an INCREMENTAL Householder
   QR carried inside the while_loop state (reflectors in a ``(m, d)``
   buffer): per iteration it costs ``O(j d)`` flops, needs no
@@ -79,14 +84,25 @@ __all__ = [
 
 
 class KronSketch(NamedTuple):
-    """Kronecker-factored Gaussian sketch ``x -> (S1 (x) S2) x_pad / sqrt(d)``.
+    """Kronecker-factored Gaussian sketch
+    ``x -> (S1 (x) S2) (signs * x)_pad / sqrt(d)``.
 
-    ``x`` is zero-padded to ``n1 * n2`` and reshaped to ``(n1, n2)``;
-    the embedding is ``S1 @ X @ S2.T`` flattened to ``d = d1 * d2``.
+    ``x`` is sign-masked, zero-padded to ``n1 * n2`` and reshaped to
+    ``(n1, n2)``; the embedding is ``S1 @ X @ S2.T`` flattened to
+    ``d = d1 * d2``.
+
+    The Rademacher pre-mask is LOAD-BEARING: a vector that is smooth on
+    an ``(n1, n2)`` grid is near-rank-1 as a matrix, and the raw
+    Kronecker map sends rank-1 matrices to rank-1 matrices -- the
+    embedding collapses to an effective ``d1 + d2`` dimensions on such
+    subspaces (measured: two ORTHOGONAL Laplacian eigenmodes at 255^2
+    sketched to cosine -0.35; with the mask -0.004).  iid signs destroy
+    the rank structure at the cost of one fused elementwise multiply.
     """
 
-    S1: jnp.ndarray  # (d1, n1)
-    S2: jnp.ndarray  # (d2, n2)
+    S1: jnp.ndarray     # (d1, n1)
+    S2: jnp.ndarray     # (d2, n2)
+    signs: jnp.ndarray  # (N,) Rademacher pre-mask
     N: int
 
     @property
@@ -109,19 +125,21 @@ def kron_sketch(N, d, *, seed=0, dtype=jnp.float32):
     """
     d1, d2 = _split_even(int(d))
     n1, n2 = _split_even(int(N))
-    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     real_dtype = jnp.zeros(0, dtype).real.dtype
     scale = 1.0 / math.sqrt(d1 * d2)
     # fold the global 1/sqrt(d) into S1 once
     S1 = jax.random.normal(k1, (d1, n1), real_dtype) * scale
     S2 = jax.random.normal(k2, (d2, n2), real_dtype)
-    return KronSketch(S1=S1, S2=S2, N=int(N))
+    signs = jax.random.rademacher(k3, (int(N),), real_dtype)
+    return KronSketch(S1=S1, S2=S2, signs=signs, N=int(N))
 
 
 def sketch_apply(S, x):
     """Apply the sketch to a vector (one HBM sweep + two small GEMMs)."""
     n1, n2 = S.S1.shape[1], S.S2.shape[1]
-    xp = jnp.pad(x.reshape(-1), (0, n1 * n2 - S.N))
+    xv = x.reshape(-1) * S.signs.astype(x.dtype)
+    xp = jnp.pad(xv, (0, n1 * n2 - S.N))
     X = xp.reshape(n1, n2)
     return (S.S1.astype(x.dtype) @ X @ S.S2.T.astype(x.dtype)).reshape(-1)
 
@@ -129,6 +147,7 @@ def sketch_apply(S, x):
 class _SgmresState(NamedTuple):
     j: jnp.ndarray          # columns of S(AZ) processed so far
     B: jnp.ndarray          # (maxiter+1, N) truncated-Arnoldi basis rows
+    SW: jnp.ndarray         # (maxiter, d) sketched columns S(A M b_j)
     V: jnp.ndarray          # (maxiter, d) unit Householder reflectors
     R: jnp.ndarray          # (maxiter, maxiter) upper triangular
     t: jnp.ndarray          # (d,) reflector-transformed sketched rhs
@@ -292,8 +311,9 @@ def sketched_gmres(
         stall = jnp.where(improved, 0, state.stall + 1)
         best = jnp.minimum(srel, state.best_rel)
         resnorms = state.resnorms.at[j + 1].set(srel)
+        SW = state.SW.at[j].set(sw)
         return _SgmresState(
-            j + 1, B, V, R, t, srel, best, stall,
+            j + 1, B, SW, V, R, t, srel, best, stall,
             exhausted | dependent | ~jnp.isfinite(srel), resnorms,
         )
 
@@ -311,6 +331,7 @@ def sketched_gmres(
         jnp.asarray(0),
         B0,
         jnp.zeros((maxiter, d), dtype),
+        jnp.zeros((maxiter, d), dtype),
         jnp.zeros((maxiter, maxiter), dtype),
         sr0.astype(dtype),
         rel0.astype(real_dtype),
@@ -321,24 +342,44 @@ def sketched_gmres(
     )
     final = lax.while_loop(cond, body, init)
 
-    # --- assemble: solve the masked triangular system, one O(mN) sweep
+    # --- assemble by a WHITENED (truncated-SVD) sketched LS solve.
+    # The in-loop Householder QR is only the cheap stopping estimate; a
+    # raw triangular solve through a near-dependent truncated-Arnoldi
+    # basis amplifies y catastrophically at reduced precision (measured:
+    # f32 Jacobi-convdiff restarts diverged to rel 1.3).  The truncated
+    # SVD of the small (m, d) sketched matrix regularizes exactly the
+    # directions the basis lost; it runs ONCE, outside the while_loop.
     jf = final.j
     col = jnp.arange(maxiter)
-    # drop a trailing degenerate column (loop exits at the FIRST
-    # dependent sketched column, so at most the last one is bad)
-    diag = jnp.diagonal(final.R)
-    ok_diag = jnp.abs(diag) > tiny * jnp.max(
-        jnp.concatenate([jnp.abs(diag), jnp.ones(1, real_dtype)])
-    )
-    active = (col < jf) & ok_diag
-    Rm = jnp.where(active[None, :] & active[:, None], final.R, 0)
-    Rm = Rm + jnp.diag(jnp.where(active, 0.0, 1.0).astype(dtype))
-    tm = jnp.where(active, final.t[:maxiter], 0)
-    y = jax.scipy.linalg.solve_triangular(Rm, tm, lower=False)
-    y = jnp.where(active, y, 0)
-    x = x0v + apply(M_mv, jnp.tensordot(y, final.B[:maxiter], 1))
+    active = col < jf
+    SWm = jnp.where(active[:, None], final.SW, 0)  # (m, d)
+    U_s, sig, Vh_s = jnp.linalg.svd(SWm.T, full_matrices=False)
+    sig_max = jnp.maximum(sig[0], jnp.finfo(real_dtype).tiny)
+    eps = jnp.finfo(real_dtype).eps
+    proj = U_s.conj().T @ sr0.astype(dtype)
 
-    true_rel = safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+    # three truncation levels: near-full rank reproduces the exact LS
+    # solution (what a QR solve gives, best when the basis is healthy),
+    # the harder cuts regularize a degenerate basis at reduced
+    # precision.  The winner is chosen by the EXPLICIT true residual --
+    # three end-of-solve matvecs, no per-iteration cost.
+    def assemble(rcond):
+        keep = sig > rcond * sig_max
+        inv_sig = jnp.where(keep, 1.0 / jnp.where(keep, sig, 1.0), 0.0)
+        y = Vh_s.conj().T @ (inv_sig * proj)
+        y = jnp.where(active, y, 0)
+        x = x0v + apply(M_mv, jnp.tensordot(y, final.B[:maxiter], 1))
+        return x, safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+
+    # the x0 fallback guards against reduced-precision overruns past
+    # the attainable floor: never return an iterate worse than x0
+    x, true_rel = x0v, rel0
+    for rc in (maxiter * float(eps), float(eps) ** 0.5, float(eps) ** 0.25):
+        xc, relc = assemble(rc)
+        better = relc < true_rel
+        x = jnp.where(better, xc, x)
+        true_rel = jnp.where(better, relc, true_rel)
+
     resnorms = final.resnorms.at[jf].set(true_rel)
     status = jnp.where(true_rel <= tol, CONVERGED, MAXITER)
     return SolveResult(
@@ -420,6 +461,7 @@ def restarted_sketched_gmres(
     resnorms = []
     result = None
     total = 0
+    prev_rel = float("inf")
     for _ in range(int(max_restarts) + 1):
         result = cycle(bv, x)
         niter = int(result.niter)
@@ -427,8 +469,17 @@ def restarted_sketched_gmres(
         chunk = list(_np.asarray(result.resnorms)[: niter + 1])
         resnorms = resnorms[:-1] + chunk if resnorms else chunk
         x = result.x
-        if int(result.status) == CONVERGED or niter == 0:
+        cycle_rel = float(chunk[-1])
+        # stop at the attainable floor: the cycle's explicit residual
+        # no longer improves (the cycle itself guards against returning
+        # a worse iterate, so equality means "stuck", not "diverging")
+        if (
+            int(result.status) == CONVERGED
+            or niter == 0
+            or cycle_rel >= 0.999 * prev_rel
+        ):
             break
+        prev_rel = cycle_rel
 
     return result._replace(
         x=x if b.ndim == 1 else x[:, None],

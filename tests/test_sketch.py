@@ -53,6 +53,30 @@ def test_kron_sketch_approximate_orthogonality():
     assert cos < 0.25
 
 
+def test_kron_sketch_smooth_grid_modes():
+    """Regression: grid-smooth vectors are near-rank-1 as reshaped
+    matrices; without the Rademacher pre-mask the Kronecker map kept
+    their rank and two ORTHOGONAL Laplacian eigenmodes sketched to
+    cosine -0.35 (enough to diverge a preconditioned f32 solve at
+    255^2).  With the mask they stay numerically orthogonal."""
+    n = 255
+    N = n * n
+    x = numpy.linspace(0, 1, n)
+    xx, yy = numpy.meshgrid(x, x)
+    m1 = jnp.asarray((numpy.sin(numpy.pi * xx)
+                      * numpy.sin(numpy.pi * yy)).ravel())
+    m2 = jnp.asarray((numpy.sin(2 * numpy.pi * xx)
+                      * numpy.sin(numpy.pi * yy)).ravel())
+    S = F.kron_sketch(N, 164, seed=0, dtype=jnp.float64)
+    s1, s2 = F.sketch_apply(S, m1), F.sketch_apply(S, m2)
+    cos = float(jnp.abs(jnp.vdot(s1, s2))
+                / (jnp.linalg.norm(s1) * jnp.linalg.norm(s2)))
+    assert cos < 0.15
+    for s, m in ((s1, m1), (s2, m2)):
+        ratio = float(jnp.linalg.norm(s) / jnp.linalg.norm(m))
+        assert abs(ratio - 1) < 0.35
+
+
 def test_sketched_gmres_dense_nonsymmetric():
     A, rng = _dense_nonsym(200)
     b = jnp.asarray(rng.randn(200))
