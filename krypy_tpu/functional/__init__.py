@@ -55,6 +55,7 @@ from .sketch import (
     kron_sketch,
     restarted_sketched_gmres,
     sketch_apply,
+    sketched_eigs,
     sketched_gmres,
 )
 from .randomized import RsvdResult, nystrom_preconditioner, rsvd
@@ -106,6 +107,7 @@ __all__ = [
     "sketch_apply",
     "sketched_gmres",
     "restarted_sketched_gmres",
+    "sketched_eigs",
     "RsvdResult",
     "rsvd",
     "nystrom_preconditioner",
