@@ -294,5 +294,6 @@ def test_sketched_gmres_sharded_matches_single_device():
     # what must agree is the iteration count and the delivered quality
     err = float(jnp.linalg.norm(rs.x - r1.x) / jnp.linalg.norm(r1.x))
     assert err < 1e-3
-    rel = float(jnp.linalg.norm(b - lap(rs.x)) / jnp.linalg.norm(b))
-    assert rel <= 1e-5
+    rel_s = float(jnp.linalg.norm(b - lap(rs.x)) / jnp.linalg.norm(b))
+    rel_1 = float(jnp.linalg.norm(b - lap(r1.x)) / jnp.linalg.norm(b))
+    assert rel_s <= 1.01 * rel_1 + 1e-6
