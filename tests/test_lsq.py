@@ -180,3 +180,35 @@ def test_lsq_rectangular_shaped_callable_without_x0():
                    maxiter=300)
         err = numpy.linalg.norm(numpy.asarray(r.x) - xref)
         assert err <= 1e-7 * numpy.linalg.norm(xref), solver.__name__
+
+
+@pytest.mark.parametrize("solver", [F.lsqr, F.lsmr])
+def test_lsq_singular_symmetric_pseudoinverse(solver):
+    """Singular SYMMETRIC systems (the MINRES-QLP use case): with
+    x0=0, lsqr/lsmr return the pseudoinverse solution pinv(A) b for
+    both consistent and INCONSISTENT right-hand sides -- plain MINRES
+    returns *a* least-squares solution but not the minimum-length one
+    when b has a null-space component."""
+    rng = numpy.random.default_rng(7)
+    n, rank = 80, 50
+    Q = numpy.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = numpy.r_[numpy.linspace(5, 1, rank), numpy.zeros(n - rank)]
+    A = (Q * lam) @ Q.T
+    A = 0.5 * (A + A.T)
+    xref_pinv = numpy.linalg.pinv(A, hermitian=True)
+
+    # consistent: b in range(A)
+    b_cons = A @ rng.standard_normal(n)
+    r = solver(jnp.asarray(A), jnp.asarray(b_cons), tol=1e-13,
+               maxiter=600)
+    xr = xref_pinv @ b_cons
+    err = numpy.linalg.norm(numpy.asarray(r.x) - xr)
+    assert err <= 1e-6 * numpy.linalg.norm(xr)
+
+    # inconsistent: b with a null-space component
+    b_inc = b_cons + Q[:, rank + 1] * numpy.linalg.norm(b_cons)
+    r = solver(jnp.asarray(A), jnp.asarray(b_inc), tol=1e-13,
+               maxiter=600)
+    xr = xref_pinv @ b_inc
+    err = numpy.linalg.norm(numpy.asarray(r.x) - xr)
+    assert err <= 1e-6 * numpy.linalg.norm(xr)
