@@ -58,7 +58,7 @@ from .sketch import (
     sketched_eigs,
     sketched_gmres,
 )
-from .randomized import RsvdResult, nystrom_preconditioner, rsvd
+from .randomized import RsvdResult, hutchpp, nystrom_preconditioner, rsvd
 from .tfqmr import tfqmr
 from .qmr import qmr, transpose_matvec
 from .lsq import lsmr, lsqr
@@ -111,6 +111,7 @@ __all__ = [
     "RsvdResult",
     "rsvd",
     "nystrom_preconditioner",
+    "hutchpp",
     "tfqmr",
     "qmr",
     "transpose_matvec",
