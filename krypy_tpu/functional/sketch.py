@@ -30,9 +30,14 @@ TPU-first design decisions:
   map preserves rank, collapsing the embedding on exactly the
   subspaces a PDE solve produces -- so the sketch applies an iid
   Rademacher pre-mask (see :class:`KronSketch`), and ``sketch_dim``
-  defaults to ``4 (maxiter+1)``.  Embedding quality is verified
-  empirically in tests/test_sketch.py, including the orthogonal
-  smooth-mode pair that breaks the unmasked map.
+  defaults to ``8 (maxiter+1)``: measured subspace distortion on a
+  41-dim Krylov space of the 511^2 Poisson operator left a barely-
+  converging cycle with NO true progress at d=4m (sketched 0.73 vs
+  true 1.0, classic GMRES 0.887) and honest progress at d=8m (0.95) --
+  and d barely affects per-iteration cost, which the O(N) sweep
+  dominates.  Embedding quality is verified empirically in
+  tests/test_sketch.py, including the orthogonal smooth-mode pair that
+  breaks the unmasked map.
 * The small sketched LS problem is solved by an INCREMENTAL Householder
   QR carried inside the while_loop state (reflectors in a ``(m, d)``
   buffer): per iteration it costs ``O(j d)`` flops, needs no
@@ -209,7 +214,7 @@ def sketched_gmres(
       is NOT globally orthogonal -- quasi-optimality of the returned
       iterate is inherited from the sketch, not the basis.
     :param sketch_dim: embedding dimension ``d`` (default
-      ``4 (maxiter+1)``, must be ``> maxiter``).
+      ``8 (maxiter+1)``, must be ``> maxiter``).
     :param sketch: pass a prebuilt :class:`KronSketch` to share one
       embedding across a solve sequence.
     :param sketch_safety: the loop stops when the *sketched* relative
@@ -239,7 +244,7 @@ def sketched_gmres(
     real_dtype = jnp.zeros(0, dtype).real.dtype
 
     if sketch is None:
-        sketch_dim = 4 * (maxiter + 1) if sketch_dim is None else int(sketch_dim)
+        sketch_dim = 8 * (maxiter + 1) if sketch_dim is None else int(sketch_dim)
         sketch = kron_sketch(N, sketch_dim, seed=seed, dtype=real_dtype)
     d = sketch.d
     if d <= maxiter:
@@ -343,40 +348,64 @@ def sketched_gmres(
     )
     final = lax.while_loop(cond, body, init)
 
-    # --- assemble by a WHITENED (truncated-SVD) sketched LS solve.
-    # The in-loop Householder QR is only the cheap stopping estimate; a
-    # raw triangular solve through a near-dependent truncated-Arnoldi
-    # basis amplifies y catastrophically at reduced precision (measured:
-    # f32 Jacobi-convdiff restarts diverged to rel 1.3).  The truncated
-    # SVD of the small (m, d) sketched matrix regularizes exactly the
-    # directions the basis lost; it runs ONCE, outside the while_loop.
+    # --- assemble by the best of three sketched-LS solves.  A raw
+    # triangular solve through a near-dependent truncated-Arnoldi basis
+    # amplifies y catastrophically at reduced precision (measured: f32
+    # Jacobi-convdiff restarts diverged to rel 1.3), while a uniformly
+    # truncated solve discards the fine corrections a healthy basis
+    # carries (f64 convdiff stalled at 6.6e-6 under sqrt(eps)
+    # truncation).  So: candidate 1 is the EXACT LS solution from the
+    # in-loop Householder QR; candidates 2-3 are spectrally truncated
+    # solves from the (m, m) Gram eigendecomposition (eigh, not SVD --
+    # jnp.linalg.svd inside this jitted program SIGABRTs the TPU AOT
+    # compiler; eigh is the battle-tested path used by lobpcg/eigh).
+    # The winner is chosen by the EXPLICIT true residual: three
+    # end-of-solve matvecs, no per-iteration cost.
     jf = final.j
     col = jnp.arange(maxiter)
     active = col < jf
     SWm = jnp.where(active[:, None], final.SW, 0)  # (m, d)
-    U_s, sig, Vh_s = jnp.linalg.svd(SWm.T, full_matrices=False)
-    sig_max = jnp.maximum(sig[0], jnp.finfo(real_dtype).tiny)
     eps = jnp.finfo(real_dtype).eps
-    proj = U_s.conj().T @ sr0.astype(dtype)
 
-    # three truncation levels: near-full rank reproduces the exact LS
-    # solution (what a QR solve gives, best when the basis is healthy),
-    # the harder cuts regularize a degenerate basis at reduced
-    # precision.  The winner is chosen by the EXPLICIT true residual --
-    # three end-of-solve matvecs, no per-iteration cost.
-    def assemble(rcond):
-        keep = sig > rcond * sig_max
-        inv_sig = jnp.where(keep, 1.0 / jnp.where(keep, sig, 1.0), 0.0)
-        y = Vh_s.conj().T @ (inv_sig * proj)
+    def residual_of(x):
+        return safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+
+    def to_x(y):
         y = jnp.where(active, y, 0)
-        x = x0v + apply(M_mv, jnp.tensordot(y, final.B[:maxiter], 1))
-        return x, safe_div(jnp.linalg.norm(bv - A_mv(x)), bnorm)
+        return x0v + apply(M_mv, jnp.tensordot(y, final.B[:maxiter], 1))
+
+    # candidate 1: exact LS via the loop's QR (drop a trailing
+    # degenerate column: the loop exits at the FIRST dependent one)
+    diag = jnp.diagonal(final.R)
+    ok_diag = jnp.abs(diag) > tiny * jnp.max(
+        jnp.concatenate([jnp.abs(diag), jnp.ones(1, real_dtype)])
+    )
+    act_qr = active & ok_diag
+    Rm = jnp.where(act_qr[None, :] & act_qr[:, None], final.R, 0)
+    Rm = Rm + jnp.diag(jnp.where(act_qr, 0.0, 1.0).astype(dtype))
+    tm = jnp.where(act_qr, final.t[:maxiter], 0)
+    y_qr = jax.scipy.linalg.solve_triangular(Rm, tm, lower=False)
+    y_qr = jnp.where(act_qr, y_qr, 0)
+
+    # candidates 2-3: spectrally truncated normal-equations solves
+    G = (SWm @ SWm.conj().T).conj()       # (m, m) = C^H C, C = SW^T
+    g = SWm.conj() @ sr0.astype(dtype)    # (m,)  = C^H sr0
+    w, Vg = jnp.linalg.eigh(G)            # ascending, w ~ sigma^2
+    wmax = jnp.maximum(w[-1], jnp.finfo(real_dtype).tiny)
+    c = Vg.conj().T @ g
+
+    def truncated(rcond):
+        keep = w > (rcond * rcond) * wmax
+        inv_w = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+        return Vg @ (inv_w * c)
 
     # the x0 fallback guards against reduced-precision overruns past
     # the attainable floor: never return an iterate worse than x0
     x, true_rel = x0v, rel0
-    for rc in (maxiter * float(eps), float(eps) ** 0.5, float(eps) ** 0.25):
-        xc, relc = assemble(rc)
+    for y in (y_qr, truncated(float(eps) ** 0.5),
+              truncated(float(eps) ** 0.25)):
+        xc = to_x(y)
+        relc = residual_of(xc)
         better = relc < true_rel
         x = jnp.where(better, xc, x)
         true_rel = jnp.where(better, relc, true_rel)
@@ -428,7 +457,7 @@ def restarted_sketched_gmres(
     x = kwargs.pop("x0", None)
     if sketch is None:
         sd = kwargs.pop("sketch_dim", None)
-        sd = 4 * (int(maxiter) + 1) if sd is None else int(sd)
+        sd = 8 * (int(maxiter) + 1) if sd is None else int(sd)
         real_dtype = jnp.zeros(0, system_dtype(bv, None)).real.dtype
         sketch = kron_sketch(bv.shape[0], sd, seed=seed, dtype=real_dtype)
 
@@ -567,7 +596,7 @@ def sketched_eigs(
     k_ortho = max(1, int(k_ortho))
 
     if sketch is None:
-        sketch_dim = 4 * (m + 1) if sketch_dim is None else int(sketch_dim)
+        sketch_dim = 8 * (m + 1) if sketch_dim is None else int(sketch_dim)
         sketch = kron_sketch(N, sketch_dim, seed=seed, dtype=real_dtype)
     d = sketch.d
     if d <= m:
