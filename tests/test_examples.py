@@ -50,3 +50,11 @@ def test_spectral_survey(capsys):
     assert "window_count" in out
     assert "eigsh_window" in out
     assert "spectral survey example done" in out
+
+
+def test_randomized_lane_example(capsys):
+    _run("examples/randomized_lane.py")
+    out = capsys.readouterr().out
+    assert "converged=True" in out
+    assert "hutch++" in out
+    assert "sketched_eigs" in out
