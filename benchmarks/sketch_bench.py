@@ -46,7 +46,7 @@ def main():
     lap = ops.poisson_2d(nx)
     b = jnp.ones(N, jnp.float32)
 
-    sketch = F.kron_sketch(N, 4 * 41, seed=0)
+    sketch = F.kron_sketch(N, 8 * 41, seed=0)
 
     results = {}
     for name, make in (
