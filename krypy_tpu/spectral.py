@@ -264,7 +264,10 @@ class Interval:
         if right is None:
             right = left
         if left > right:
-            raise ArgumentError("left > right not allowed.")
+            raise ArgumentError(
+                f"interval endpoints must satisfy left <= right "
+                f"(got [{left}, {right}])"
+            )
         self.left = left
         self.right = right
 
@@ -335,18 +338,18 @@ class Intervals:
 
     def min(self):
         if len(self) == 0:
-            raise ArgumentError("empty set has no minimum.")
+            raise ArgumentError("min() of an empty interval set")
         return min(iv.left for iv in self.intervals)
 
     def max(self):
         if len(self) == 0:
-            raise ArgumentError("empty set has no maximum.")
+            raise ArgumentError("max() of an empty interval set")
         return max(iv.right for iv in self.intervals)
 
     def min_pos(self):
         """Minimal positive value, or None."""
         if len(self) == 0:
-            raise ArgumentError("empty set has no minimum positive value.")
+            raise ArgumentError("min_pos() of an empty interval set")
         if self.contains(0):
             return None
         positive = [iv for iv in self.intervals if iv.left > 0]
@@ -357,7 +360,7 @@ class Intervals:
     def max_neg(self):
         """Maximal negative value, or None."""
         if len(self) == 0:
-            raise ArgumentError("empty set has no maximum negative value.")
+            raise ArgumentError("max_neg() of an empty interval set")
         if self.contains(0):
             return None
         negative = [iv for iv in self.intervals if iv.right < 0]
@@ -367,7 +370,7 @@ class Intervals:
 
     def min_abs(self):
         if len(self) == 0:
-            raise ArgumentError("empty set has no minimum absolute value.")
+            raise ArgumentError("min_abs() of an empty interval set")
         if self.contains(0):
             return 0
         return min(
@@ -378,7 +381,7 @@ class Intervals:
 
     def max_abs(self):
         if len(self) == 0:
-            raise ArgumentError("empty set has no maximum absolute value.")
+            raise ArgumentError("max_abs() of an empty interval set")
         return max(abs(self.max()), abs(self.min()))
 
 
