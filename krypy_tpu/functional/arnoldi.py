@@ -115,6 +115,22 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
             )
         return _arnoldi_house(A, v, m)
 
+    if ortho == "cgs2_1r":
+        if M is not None:
+            raise ValueError(
+                "ortho='cgs2_1r' does not support the dual-basis form "
+                "required by M; use ortho='cgs2'"
+            )
+        if ip is not None and not (
+            hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+        ):
+            raise ValueError(
+                "ortho='cgs2_1r' supports the Euclidean or operator-weighted "
+                "inner product only (the one-reduce fusion needs the raw "
+                "B-application, not a scalar callable)"
+            )
+        return _arnoldi_1r(A, v, m, ip)
+
     A_mv = as_matvec(A)
     M_mv = as_matvec(M)
     pair, rows = make_inner(ip)
@@ -223,6 +239,130 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
         H=final.H,
         P=final.P if with_M else None,
         niter=final.k,
+        invariant=final.invariant,
+    )
+
+
+def _arnoldi_1r(A, v, m, ip):
+    r"""One-reduce lagged CGS-2 Arnoldi (DCGS-2).
+
+    Low-synchronization reformulation of CGS2 (Świrydowicz, Langou,
+    Ananthan, Yamazaki & Thomas, "Low synchronization Gram-Schmidt and
+    generalized minimal residual algorithms", NLAA 2021; delayed variant
+    of Bielich et al. 2022): each iteration performs exactly ONE global
+    reduction -- a single fused ``(m+2, N) x (N, 2)`` contraction
+    computing, simultaneously,
+
+    * the REORTHOGONALIZATION coefficients ``r = V^H u`` of the previous
+      candidate ``u`` (its second Gram-Schmidt pass, delayed one step),
+    * its norm via the Pythagorean identity
+      :math:`\sigma^2 = \|u\|^2 - \|r\|^2` (``\|u\|^2`` is the row of
+      the contraction against ``u`` itself -- no separate norm reduce),
+    * the FIRST projection pass ``c = V^H w`` of the new direction
+      ``w = A u``.
+
+    Because ``A`` is applied to the *uncorrected* ``u`` (``u = V r +
+    \sigma v_k``), the exact Hessenberg column picks up the correction
+    ``g = H (r/\sigma)`` -- replicated small-matrix work, no extra
+    N-dim sweeps: the N-dim update subtracts the RAW projections
+    ``chat`` while the recorded column is ``chat - g``; the identity
+    ``A v_k = w/\sigma - V H (r/\sigma)`` keeps the relation exact in
+    exact arithmetic.  Each basis vector still receives two full
+    Gram-Schmidt passes against the same basis, so the scheme is in the
+    CGS2/dmgs stability class (verified against the Drkošová battery in
+    tests/test_functional_arnoldi.py).  Known trade-offs, from the
+    literature: the Pythagorean norm loses accuracy exactly at
+    near-invariance (where the clamp + breakdown threshold take over),
+    and the build performs ONE extra matvec (m+1 applications for m
+    columns -- the final candidate's reorthogonalization needs the
+    fused product of step m+1).
+
+    Collective-count contract: one all-reduce per iteration, pinned on
+    compiled HLO in tests/test_collectives.py.
+    """
+    A_mv = as_matvec(A)
+    Bmv = None if ip is None else as_matvec(ip)
+    N = v.shape[0]
+    dtype = system_dtype(v)
+    v = v.astype(dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    brk = breakdown_threshold(dtype)
+    pair, _ = make_inner(ip)
+
+    def prep(x):
+        return x if Bmv is None else Bmv(x).astype(dtype)
+
+    vnorm = norm_from_pair(pair, v)
+    v0 = v * safe_div(1.0, vnorm)
+    # row m+1 holds the trailing once-projected candidate; columns m of H
+    # hold its first-pass coefficients -- both sliced off the result
+    V0 = jnp.zeros((m + 2, N), dtype).at[0].set(v0)
+    H0 = jnp.zeros((m + 2, m + 1), dtype)
+
+    # peeled step 0: first projection pass of A v0 (one reduce; rows > 0
+    # of V are zero, so no mask is needed)
+    w0 = A_mv(V0[0]).astype(dtype)
+    chat0 = jnp.dot(V0.conj(), prep(w0))
+    H0 = H0.at[:, 0].set(chat0)
+    V0 = V0.at[1].set(w0 - jnp.dot(chat0, V0))
+
+    def cond(state):
+        return (state.k < m + 1) & jnp.logical_not(state.invariant)
+
+    def body(state):
+        k = state.k
+        u = state.V[k]
+        w = A_mv(u).astype(dtype)
+
+        # THE one fused reduction of the iteration
+        Z = jnp.dot(state.V.conj(), jnp.stack([prep(u), prep(w)], axis=1))
+        lt = jnp.arange(m + 2) < k
+        r = jnp.where(lt, Z[:, 0], 0.0)
+        s = jnp.real(Z[k, 0])
+        c = jnp.where(lt, Z[:, 1], 0.0)
+        t = Z[k, 1]
+
+        sig2 = jnp.maximum(s - jnp.sum(jnp.abs(r) ** 2), 0.0)
+        sigma = jnp.sqrt(sig2).astype(real_dtype)
+
+        # complete Hessenberg column k-1: reortho corrections + subdiag
+        completed = jnp.where(
+            jnp.arange(m + 2) == k,
+            sigma.astype(dtype),
+            state.H[:, k - 1] + r,
+        )
+        hsq = state.hsq + jnp.sum(jnp.abs(completed) ** 2)
+        invariant = sigma <= brk * jnp.sqrt(hsq)
+        H = state.H.at[:, k - 1].set(completed)
+
+        inv_s = jnp.where(invariant, 0.0, safe_div(1.0, sigma))
+        vk = (u - jnp.dot(r, state.V)) * inv_s
+        V = state.V.at[k].set(vk)
+
+        # first-pass column k with the lag correction g = H (r/sigma)
+        rt = r * inv_s
+        g = jnp.dot(H, rt[: m + 1])
+        tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
+        chat = jnp.where(jnp.arange(m + 2) == k, tk, c * inv_s)
+        V = V.at[k + 1].set(w * inv_s - jnp.dot(chat, V))
+        H = H.at[:, k].set(chat - g)
+
+        return _State(k + 1, V, jnp.zeros(0, dtype), H, hsq, invariant)
+
+    init = _State(
+        jnp.asarray(1),
+        V0,
+        jnp.zeros(0, dtype),
+        H0,
+        jnp.asarray(0.0, real_dtype),
+        vnorm == 0,
+    )
+    final = lax.while_loop(cond, body, init)
+    return ArnoldiResult(
+        V=final.V[: m + 1],
+        H=final.H[: m + 1, :m],
+        P=None,
+        niter=final.k - 1,
         invariant=final.invariant,
     )
 

@@ -175,6 +175,50 @@ def test_arnoldi_lanczos(matrix, v, maxiter, M, ip_B):
     assert_arnoldi(matrix, v, V, H, P, maxiter, "lanczos", M, ip_B, An=An)
 
 
+@pytest.mark.parametrize(
+    "matrix", [matrix_spd(), matrix_symm_indef(), matrix_nonsymm()]
+)
+@pytest.mark.parametrize("v", [numpy.ones((10, 1)), numpy.eye(10, 1)])
+@pytest.mark.parametrize("maxiter", [1, 5, 9, 10])
+@pytest.mark.parametrize("ip_B", [None, _B])
+def test_arnoldi_one_reduce(matrix, v, maxiter, ip_B):
+    """The one-reduce DCGS-2 scheme passes the Drkošová battery at the
+    two-pass (dmgs/cgs2) tolerance class -- same oracle, same bounds."""
+    from krypy_tpu import functional as F
+
+    An = numpy.linalg.norm(matrix, 2)
+    res = F.arnoldi(
+        jnp.asarray(matrix),
+        jnp.asarray(v).reshape(-1),
+        maxiter=maxiter,
+        ortho="cgs2_1r",
+        ip=None if ip_B is None else jnp.asarray(ip_B),
+    )
+    n = int(res.niter)
+    inv = bool(res.invariant)
+    cols = n if inv else n + 1
+    V = jnp.asarray(numpy.asarray(res.V)[:cols].T)
+    H = numpy.asarray(res.H)[:cols, :n]
+    assert_arnoldi(
+        matrix, v, V, H, None, maxiter, "dmgs", None, ip_B, An=An
+    )
+
+
+def test_arnoldi_one_reduce_rejects_M_and_scalar_ip():
+    from krypy_tpu import functional as F
+
+    with pytest.raises(ValueError):
+        F.arnoldi(
+            jnp.eye(4), jnp.ones(4), maxiter=2, ortho="cgs2_1r",
+            M=lambda x: x,
+        )
+    with pytest.raises(ValueError):
+        F.arnoldi(
+            jnp.eye(4), jnp.ones(4), maxiter=2, ortho="cgs2_1r",
+            ip=lambda x, y: jnp.vdot(x, y),
+        )
+
+
 def test_arnoldi_operator_input():
     """Matrix-free operator input produces the same relation."""
     matrix = matrix_nonsymm()

@@ -10,7 +10,7 @@ from krypy_tpu import functional as F
 import helpers
 
 
-@pytest.mark.parametrize("ortho", ["cgs", "cgs2", "mgs", "dmgs"])
+@pytest.mark.parametrize("ortho", ["cgs", "cgs2", "mgs", "dmgs", "cgs2_1r"])
 @pytest.mark.parametrize(
     "matrix", [helpers.matrix_spd(), helpers.matrix_nonsymm()]
 )
