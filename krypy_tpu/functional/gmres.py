@@ -25,10 +25,22 @@ Orthogonalization schemes (``ortho=``):
   kernel (3 basis sweeps total instead of 4, prefix-sized reads) -- the
   fastest single-chip scheme at moderate maxiter (732 us/iter at m=40 /
   1M dof f32, slope-timed); Euclidean ip, no ``M``, f32.
+* ``'cgs2_1r'``: one-reduce lagged CGS-2 (DCGS-2, Świrydowicz et al.
+  NLAA 2021 / Bielich et al. 2022): the second Gram-Schmidt pass of the
+  previous candidate, its norm (Pythagorean identity) and the first
+  pass of the new direction ride ONE fused ``(m+2, N) x (N, 2)``
+  contraction, so a sharded iteration costs exactly ONE ICI all-reduce
+  (vs 5 for ``cgs2``: 2x2 projection passes + the norm) -- pinned on
+  compiled HLO in tests/test_collectives.py.  Same two-pass (dmgs-class)
+  stability as ``cgs2``; the Hessenberg column and the Givens/residual
+  recurrences lag one iteration behind the basis, so a solve performs
+  one extra matvec.  Euclidean or operator-weighted ``ip``; no ``M``
+  dual basis; no ``basis_dtype``.
 * ``'auto'``: resolve to the fastest eligible scheme at trace time --
+  ``'cgs2_1r'`` when tracing under a multi-device mesh context (the
+  mesh is latency-bound on sync points, DESIGN section 8),
   ``'cgs2_fused'`` for plain f32 Euclidean solves on a TPU backend,
-  ``'cgs2'`` otherwise.  Single-chip heuristic: on a multi-chip mesh
-  pass an explicit batched scheme (the fused kernel is per-device).
+  ``'cgs2'`` otherwise.
 * ``'mgs'``/``'dmgs'``: sequential (doubly) modified Gram-Schmidt via an
   inner ``fori_loop`` -- the reference's schemes (krypy/utils.py:1012-1029)
   for fidelity; latency-bound on accelerators.
@@ -150,23 +162,59 @@ def gmres(
     Mr_mv = as_matvec(Mr)
     pair, rows = make_inner(ip)
     if ortho == "auto":
-        # fastest eligible scheme: the fused Pallas CGS2 kernel wins on
-        # TPU (732 vs 1319 us/iter at m=40 / 1M dof f32, slope-timed,
-        # benchmarks/ortho_bench.py) but supports only the Euclidean ip,
-        # no M dual basis, and f32 on a real TPU backend (Mosaic has no
-        # f64); everywhere else batched CGS2 is the right default.
+        # fastest eligible scheme: on a multi-device mesh the solve is
+        # latency-bound on sync points, so the one-reduce scheme wins
+        # regardless of backend; single-chip, the fused Pallas CGS2
+        # kernel wins on TPU (732 vs 1319 us/iter at m=40 / 1M dof f32,
+        # slope-timed, benchmarks/ortho_bench.py) but supports only the
+        # Euclidean ip, no M dual basis, and f32 on a real TPU backend
+        # (Mosaic has no f64); everywhere else batched CGS2 is the
+        # right default.
+        from ..parallel import active_mesh_size
+
         _sys_dt = jnp.dtype(system_dtype(bv, x0))
-        ortho = (
-            "cgs2_fused"
-            if (
-                ip is None
-                and M is None
-                and basis_dtype is None
-                and jax.default_backend() == "tpu"
-                and _sys_dt == jnp.dtype(jnp.float32)
-            )
-            else "cgs2"
+        _scalar_ip = ip is not None and not (
+            hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
         )
+        if (
+            active_mesh_size() > 1
+            and M is None
+            and basis_dtype is None
+            and not _scalar_ip
+        ):
+            ortho = "cgs2_1r"
+        elif (
+            ip is None
+            and M is None
+            and basis_dtype is None
+            and jax.default_backend() == "tpu"
+            and _sys_dt == jnp.dtype(jnp.float32)
+        ):
+            ortho = "cgs2_fused"
+        else:
+            ortho = "cgs2"
+    one_reduce = ortho == "cgs2_1r"
+    if one_reduce:
+        if M is not None:
+            raise ValueError(
+                "ortho='cgs2_1r' does not support the dual-basis form "
+                "required by M; use ortho='cgs2'"
+            )
+        if ip is not None and not (
+            hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+        ):
+            raise ValueError(
+                "ortho='cgs2_1r' supports the Euclidean or "
+                "operator-weighted inner product only (the one-reduce "
+                "fusion needs the raw B-application, not a scalar "
+                "callable)"
+            )
+        if basis_dtype is not None:
+            raise ValueError(
+                "ortho='cgs2_1r' stores the unnormalized trailing "
+                "candidate in the basis buffer; basis_dtype quantization "
+                "would corrupt its Pythagorean norm -- use ortho='cgs2'"
+            )
     passes = {
         "cgs": 1,
         "cgs2": 2,
@@ -177,6 +225,7 @@ def gmres(
         "cgs_pallas": 1,
         "cgs2_pallas": 2,
         "cgs2_fused": 2,
+        "cgs2_1r": 2,  # two GS passes per basis vector, fused+lagged
     }[ortho]
     sequential = ortho in ("mgs", "dmgs")
     paneled = ortho in ("bmgs", "bmgs2")
@@ -275,11 +324,14 @@ def gmres(
 
     # initial basis vectors (stored at the basis dtype)
     v0 = jnp.where(MMlr0_norm > 0, 1.0, 0.0) * safe_div(1.0, MMlr0_norm)
-    V0 = jnp.zeros((m + 1, N), bdt).at[0].set((MMlr0 * v0).astype(bdt))
-    if with_M:
-        P0 = jnp.zeros((m + 1, N), bdt).at[0].set((Mlr0 * v0).astype(bdt))
-    else:
-        P0 = jnp.zeros((0, 0), bdt)
+    if not one_reduce:
+        V0 = jnp.zeros((m + 1, N), bdt).at[0].set((MMlr0 * v0).astype(bdt))
+        if with_M:
+            P0 = jnp.zeros((m + 1, N), bdt).at[0].set(
+                (Mlr0 * v0).astype(bdt)
+            )
+        else:
+            P0 = jnp.zeros((0, 0), bdt)
 
     if mixed_basis:
         # read the basis at the narrow storage width, accumulate wide
@@ -316,6 +368,189 @@ def gmres(
         if correct_xk is not None:
             xk = correct_xk(xk)
         return xk
+
+    if one_reduce:
+        # One-reduce lagged CGS-2 GMRES (see module docstring).  The
+        # basis buffer carries ONE extra row -- row k holds the
+        # once-projected UNNORMALIZED trailing candidate -- and the
+        # Hessenberg buffer one extra column (its first-pass
+        # coefficients); both are sliced off the results.  The Givens
+        # QR, residual estimate and convergence check run on the column
+        # COMPLETED this iteration (index k-1), i.e. one step behind
+        # the basis; hence one extra matvec + reduce per solve.
+        Bmv = None if ip is None else cast_matvec(as_matvec(ip), dtype)
+
+        def prep(x):
+            return x if Bmv is None else Bmv(x)
+
+        V0r = jnp.zeros((m + 2, N), dtype).at[0].set(MMlr0 * v0)
+        H0r = jnp.zeros((m + 2, m + 1), dtype)
+        C0r = jnp.zeros((m + 1, capture_width), dtype)
+
+        # peeled step: first projection pass of the first direction (one
+        # fused reduce; rows > 0 of the buffer are zero, no mask needed)
+        w0, cap0 = iteration_op(V0r[0])
+        chat0 = jnp.dot(V0r.conj(), prep(w0))
+        H0r = H0r.at[:, 0].set(chat0)
+        V0r = V0r.at[1].set(w0 - jnp.dot(chat0, V0r))
+        if capture_width > 0:
+            C0r = C0r.at[0].set(cap0)
+
+        def cond_1r(state):
+            return (
+                (state.cur_rel > tol)
+                & (state.k < m + 1)
+                & jnp.logical_not(state.invariant)
+            )
+
+        def body_1r(state):
+            k = state.k
+            u = state.V[k]
+            w, cap = iteration_op(u)
+
+            # THE one fused reduction of the iteration: second GS pass
+            # of u, its norm (Pythagorean identity on the same row), and
+            # the first GS pass of w = op(u)
+            Z = jnp.dot(
+                state.V.conj(), jnp.stack([prep(u), prep(w)], axis=1)
+            )
+            lt = jnp.arange(m + 2) < k
+            r = jnp.where(lt, Z[:, 0], 0.0)
+            s = jnp.real(Z[k, 0])
+            c = jnp.where(lt, Z[:, 1], 0.0)
+            t = Z[k, 1]
+
+            sig2 = jnp.maximum(s - jnp.sum(jnp.abs(r) ** 2), 0.0)
+            sigma = jnp.sqrt(sig2).astype(real_dtype)
+
+            # complete Hessenberg column k-1: reortho corrections + the
+            # subdiagonal entry
+            completed = jnp.where(
+                jnp.arange(m + 2) == k,
+                sigma.astype(dtype),
+                state.H[:, k - 1] + r,
+            )
+            hsq = state.hsq + jnp.sum(jnp.abs(completed) ** 2)
+            invariant = sigma <= brk * jnp.sqrt(hsq)
+            H = state.H.at[:, k - 1].set(completed)
+
+            inv_s = jnp.where(invariant, 0.0, safe_div(1.0, sigma))
+            vk = (u - jnp.dot(r, state.V)) * inv_s
+            V = state.V.at[k].set(vk)
+
+            # first-pass column k with the lag correction g = H (r/sigma)
+            # (A is applied to the uncorrected u, so the exact column is
+            # chat - g; replicated small-matrix work only)
+            rt = r * inv_s
+            g = jnp.dot(H, rt[: m + 1])
+            tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
+            chat = jnp.where(jnp.arange(m + 2) == k, tk, c * inv_s)
+            V = V.at[k + 1].set(w * inv_s - jnp.dot(chat, V))
+            H = H.at[:, k].set(chat - g)
+
+            if capture_width > 0:
+                # the capture is linear in the iterate: op(u) =
+                # sum_j r_j op(v_j) + sigma op(v_k), so
+                # <U, op v_k> = (cap - r^T C)/sigma
+                C = state.C.at[k].set(
+                    (cap - jnp.dot(r[: m + 1], state.C)) * inv_s
+                )
+            else:
+                C = state.C
+
+            # Givens QR / residual recurrences on the COMPLETED column
+            j = k - 1
+            col = jnp.dot(state.Q, completed[: m + 1])
+            c_new, s_new, r_new = givens_traced(col[j], col[j + 1])
+            col = col.at[j].set(r_new).at[j + 1].set(0.0)
+            qj = state.Q[j]
+            qj1 = state.Q[j + 1]
+            Q = (
+                state.Q.at[j].set(c_new * qj + s_new * qj1)
+                .at[j + 1].set(-jnp.conj(s_new) * qj + c_new * qj1)
+            )
+            R = state.R.at[:, j].set(col)
+
+            yj = state.y[j]
+            y = state.y.at[j].set(c_new * yj)
+            y = y.at[j + 1].set(-jnp.conj(s_new) * yj)
+
+            rel_upd = safe_div(jnp.abs(y[j + 1]), MMlb_norm)
+            need_explicit = (
+                explicit_residual | (rel_upd <= tol) | (k == m) | invariant
+            )
+
+            def with_explicit(_):
+                rkn = residual_norm(xk_from(V, R, y, k))
+                return safe_div(rkn, MMlb_norm)
+
+            rel = lax.cond(need_explicit, with_explicit,
+                           lambda _: rel_upd, None)
+            warn = state.warn_explicit | (
+                (not explicit_residual) & (rel_upd <= tol) & (rel > tol)
+            )
+
+            if progress:
+                jax.debug.print(
+                    "gmres iter {k}: rel={r:.3e}", k=k, r=rel
+                )
+            resnorms = state.resnorms.at[k].set(rel)
+            if track_err:
+                errnorms = state.errnorms.at[k].set(
+                    errnorm(xk_from(V, R, y, k))
+                )
+            else:
+                errnorms = state.errnorms
+
+            return _GmresState(
+                k + 1, V, state.P, H, R, Q, y, C, hsq, rel, invariant,
+                resnorms, errnorms, warn,
+            )
+
+        init_1r = _GmresState(
+            jnp.asarray(1),
+            V0r,
+            jnp.zeros((0, 0), dtype),
+            H0r,
+            jnp.zeros((m + 1, m), dtype),
+            jnp.eye(m + 1, dtype=dtype),
+            jnp.zeros(m + 1, dtype).at[0].set(MMlr0_norm.astype(dtype)),
+            C0r,
+            jnp.asarray(0.0, real_dtype),
+            rel0,
+            MMlr0_norm == 0,
+            resnorms0,
+            errnorms0,
+            jnp.asarray(False),
+        )
+        final = lax.while_loop(cond_1r, body_1r, init_1r)
+        niter = final.k - 1
+        x = xk_from(final.V, final.R, final.y, niter)
+        status = jnp.where(
+            final.cur_rel <= tol,
+            CONVERGED,
+            jnp.where(final.invariant, BREAKDOWN, MAXITER),
+        )
+        result = SolveResult(
+            x=x if flat else x[:, None],
+            resnorms=final.resnorms,
+            niter=niter,
+            status=status,
+            errnorms=final.errnorms if track_err else None,
+        )
+        if return_internal:
+            internals = {
+                "V": final.V[: m + 1],
+                "P": None,
+                "H": final.H[: m + 1, :m],
+                "R": final.R,
+                "y": final.y,
+                "C": final.C[:m],
+                "MMlr0_norm": MMlr0_norm,
+                "MMlb_norm": MMlb_norm,
+            }
+            return result, internals
+        return result
 
     # panel height for the blocked-MGS path: sublane-aligned, clipped to
     # the basis height so the dynamic row slice is always in range

@@ -36,7 +36,41 @@ __all__ = [
     "shard_vector",
     "replicate",
     "sharded_solve",
+    "active_mesh_size",
 ]
+
+
+def active_mesh_size():
+    """Number of devices of the mesh context the caller traces under, or
+    0 when no mesh is active.
+
+    Used by trace-time heuristics (``ortho='auto'``) to pick
+    latency-optimal schemes on multi-chip meshes.  Probes both the
+    modern sharding context and the legacy ``with Mesh(...):`` resource
+    environment; returns 0 if neither reports a mesh (conservative:
+    heuristics then assume single-chip).
+    """
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        m = get_abstract_mesh()
+        if m is not None and not m.empty:
+            return int(m.size)
+    except Exception:
+        pass
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        if not m.empty:
+            return int(m.devices.size)
+    except Exception:
+        pass
+    return 0
 
 
 def init_distributed(

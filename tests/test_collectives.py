@@ -57,6 +57,40 @@ def test_ca_gmres_fewer_collectives_per_iteration(mesh_and_problem):
     assert n_ca / s < n_classic, (n_ca, s, n_classic)
 
 
+def test_gmres_one_reduce_single_collective_per_iteration(mesh_and_problem):
+    """ortho='cgs2_1r' communicates exactly ONCE per iteration: the fused
+    (m+2, N) x (N, 2) contraction carrying the reorthogonalization pass,
+    the Pythagorean norm and the new projection pass lowers to one
+    partial-dot + one ICI all-reduce.  cgs2 pays 3 (2 projection passes
+    + norm); the explicit-residual verification lives in a lax.cond
+    branch outside the steady-state body.  ortho='auto' must resolve to
+    the one-reduce scheme under a mesh context."""
+    mesh, lap, b = mesh_and_problem
+    with mesh:
+        classic = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32, ortho="cgs2")
+        )
+        onered = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32,
+                              ortho="cgs2_1r")
+        )
+        auto = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32, ortho="auto")
+        )
+    n_classic = _max_body_allreduces(classic, b, mesh)
+    assert n_classic >= 3, n_classic
+    assert _max_body_allreduces(onered, b, mesh) == 1
+    assert _max_body_allreduces(auto, b, mesh) == 1
+    with mesh:
+        r_onered = onered(b)
+        r_auto = auto(b)
+        r_classic = classic(b)
+    # auto == explicit one-reduce bitwise; both agree with cgs2 to fp
+    assert float(jnp.linalg.norm(r_auto.x - r_onered.x)) == 0.0
+    assert int(r_onered.niter) == int(r_classic.niter)
+    assert float(jnp.linalg.norm(r_onered.x - r_classic.x)) <= 1e-4
+
+
 def test_ca_cg_fewer_collectives_per_iteration(mesh_and_problem):
     mesh, lap, b = mesh_and_problem
     Mj = ops.jacobi_preconditioner(lap)

@@ -42,7 +42,8 @@ def test_golden_functional(fn, golden):
 
 
 @pytest.mark.parametrize(
-    "ortho", ["cgs", "cgs2", "mgs", "dmgs", "bmgs2", "cgs2_pallas"]
+    "ortho", ["cgs", "cgs2", "mgs", "dmgs", "bmgs2", "cgs2_pallas",
+              "cgs2_1r"]
 )
 def test_gmres_ortho_modes(ortho):
     A, b = _readme_system()
@@ -50,6 +51,58 @@ def test_gmres_ortho_modes(ortho):
     x = numpy.asarray(res.x)
     rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
     assert rel <= 1e-8
+
+
+@pytest.mark.parametrize("variant", ["plain", "complex", "weighted",
+                                     "split_precond", "deflated"])
+def test_gmres_one_reduce_matches_cgs2(variant):
+    """The lagged one-reduce scheme delivers the same iterates as cgs2
+    (same count, fp-level solution agreement) across operator classes
+    and through the deflation hooks."""
+    rng = numpy.random.default_rng(3)
+    N = 60
+    A = rng.standard_normal((N, N)) + N * numpy.eye(N)
+    b = rng.standard_normal(N)
+    kw = dict(tol=1e-10, maxiter=50)
+    if variant == "complex":
+        A = A + 1j * rng.standard_normal((N, N))
+        b = b + 1j * rng.standard_normal(N)
+    elif variant == "weighted":
+        B = rng.standard_normal((N, N))
+        kw["ip"] = jnp.asarray(B @ B.T + N * numpy.eye(N))
+    elif variant == "split_precond":
+        kw["Ml"] = lambda x: x / jnp.linspace(1, 2, N)
+        kw["Mr"] = lambda x: x / jnp.linspace(1, 3, N)
+
+    if variant == "deflated":
+        U = jnp.asarray(rng.standard_normal((N, 3)))
+        solve = lambda o: F.deflated_gmres(
+            jnp.asarray(A), jnp.asarray(b), U, ortho=o, **kw
+        )
+    else:
+        solve = lambda o: F.gmres(
+            jnp.asarray(A), jnp.asarray(b), ortho=o, **kw
+        )
+    ref = solve("cgs2")
+    res = solve("cgs2_1r")
+    assert int(res.niter) == int(ref.niter)
+    assert int(res.status) == F.CONVERGED
+    assert numpy.allclose(
+        numpy.asarray(res.x), numpy.asarray(ref.x), rtol=1e-8, atol=1e-11
+    )
+
+
+def test_gmres_one_reduce_eligibility():
+    A, b = _readme_system()
+    with pytest.raises(ValueError):
+        F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
+                M=lambda x: x)
+    with pytest.raises(ValueError):
+        F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
+                ip=lambda x, y: jnp.vdot(x, y))
+    with pytest.raises(ValueError):
+        F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
+                basis_dtype=jnp.bfloat16)
 
 
 @pytest.mark.parametrize("maxiter", [5, 37, 100])
