@@ -34,6 +34,33 @@ __all__ = ["Arnoldi", "arnoldi", "arnoldi_res", "arnoldi_projected"]
 _ORTHO_MODES = ("mgs", "dmgs", "lanczos", "house", "cgs", "cgs2")
 
 
+def _append_stack(cache, cols, N, dtype):
+    """Incrementally maintained column-stack of ``cols`` (a list of
+    ``(N, 1)`` device columns).
+
+    Only the columns beyond the cached prefix are stacked and
+    concatenated, so a view access after one append issues ONE device
+    concatenate instead of restacking all k columns, and a repeat access
+    with no new columns is free.  Columns are append-only, so prefix
+    reuse is always valid.  (The previous per-access full restack made
+    ``explicit_residual=True`` solves O(k^2 N) in basis *rebuild* cost
+    alone.)
+    """
+    n = len(cols)
+    if n == 0:
+        return jnp.zeros((N, 0), dtype=dtype)
+    have = 0 if cache is None else cache.shape[1]
+    if have == n:
+        return cache
+    pending = cols[have:]
+    new = (
+        pending[0].reshape(N, 1)
+        if len(pending) == 1
+        else jnp.column_stack(pending)
+    )
+    return new if have == 0 else jnp.concatenate([cache, new], axis=1)
+
+
 class Arnoldi:
     r"""Incrementally build V and H with :math:`A V_n = V_{n+1}\underline{H}_n`.
 
@@ -73,6 +100,9 @@ class Arnoldi:
         # device-side basis columns (N, 1) each; host-side Hessenberg
         self._V = []
         self._P = [] if self.M is not None else None
+        # cached column-stacks of the above (prefix reuse; append-only)
+        self._Vstack = None
+        self._Pstack = None
         self._H = np.zeros(
             (self.maxiter + 1, self.maxiter), dtype=self.dtype
         )
@@ -117,19 +147,24 @@ class Arnoldi:
     # -- views ----------------------------------------------------------
     @property
     def V(self):
-        """Device matrix of the basis vectors computed so far, ``(N, k+1)``."""
-        if not self._V:
-            return jnp.zeros((self._N, 0), dtype=self.dtype)
-        return jnp.column_stack(self._V)
+        """Device matrix of the basis vectors computed so far, ``(N, k+1)``.
+
+        O(1) for repeat access; one incremental concatenate after an
+        append (never a full k-column restack)."""
+        self._Vstack = _append_stack(
+            self._Vstack, self._V, self._N, self.dtype
+        )
+        return self._Vstack
 
     @property
     def P(self):
         """Device matrix of the preconditioned dual basis (``V = M P``)."""
         if self._P is None:
             return None
-        if not self._P:
-            return jnp.zeros((self._N, 0), dtype=self.dtype)
-        return jnp.column_stack(self._P)
+        self._Pstack = _append_stack(
+            self._Pstack, self._P, self._N, self.dtype
+        )
+        return self._Pstack
 
     @property
     def H(self):
@@ -221,9 +256,11 @@ class Arnoldi:
         for _ in range(self.reorthos + 1):
             if self.ortho in ("cgs", "cgs2"):
                 # classical (batched) Gram-Schmidt: one fused block inner
-                # product and one block update -- two GEMMs on TPU
-                Vk = jnp.column_stack(self._V[start: k + 1])
-                Bk = jnp.column_stack(basis[start: k + 1])
+                # product and one block update -- two GEMMs on TPU.
+                # start == 0 here (lanczos never takes this branch), so
+                # the cached stacks serve both reortho passes directly.
+                Vk = self.V
+                Bk = self.P if self.M is not None else Vk
                 coeffs = inner(Vk, Av, ip_B=self.ip_B)
                 Av = Av - jnp.dot(Bk, coeffs)
                 self._H[start: k + 1, k] += np.asarray(coeffs)[:, 0]

@@ -83,6 +83,12 @@ def norm(x, y=None, ip_B=None):
     """
     x = jnp.asarray(x)
     if y is None and (ip_B is None or isinstance(ip_B, IdentityLinearOperator)):
+        if x.ndim == 2 and x.shape[1] == 1:
+            # single column: the spectral norm IS the vector 2-norm --
+            # and jnp.linalg.norm(x, 2) on an (N, 1) matrix lowers to a
+            # full SVD (O(N^2) workspace: 4 TB at N=1e6).  Reduce
+            # directly.
+            return jnp.linalg.norm(x.reshape(-1))
         return jnp.linalg.norm(x, 2)
     if y is None:
         y = x
