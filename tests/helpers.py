@@ -100,3 +100,51 @@ def get_operators(A):
 
 def get_vecs(v):
     return [v, numpy.reshape(v, (v.shape[0],))]
+
+
+def loop_body_allreduces(jitted, *args, mesh, include_branches=False):
+    """All-reduce count of the compiled while-LOOP BODY: the
+    steady-state per-iteration sync-point cost of a solver on a mesh.
+
+    Robust to XLA's VARIADIC all-reduces -- ``(f32[m], f32[])
+    all-reduce(%a, %b)`` fuses several reductions into ONE sync point
+    and must count as one instruction (a plain ``= \\S+ all-reduce``
+    regex misses the tuple result type entirely).
+
+    Only ``body=`` computations of while loops are counted, so ENTRY
+    setup/teardown reductions and ``lax.cond`` branch computations
+    (e.g. rare explicit-residual verifications) do not pollute the
+    steady-state number.  For solvers whose per-iteration work itself
+    lives inside a ``lax.cond`` (lobpcg's active-iteration branch),
+    pass ``include_branches=True``: branch computations reachable from
+    a loop body are then eligible too, and the max single-computation
+    count is returned.
+    """
+    import re as _re
+
+    with mesh:
+        txt = jitted.lower(*args).compile().as_text()
+    comps = {}
+    for comp in _re.split(r"\n\n", txt):
+        m = _re.match(r"%([^\s(]+)", comp)
+        if m:
+            comps[m.group(1)] = comp
+    eligible = set(_re.findall(r"body=%([^,)\s]+)", txt))
+    if include_branches:
+        frontier = list(eligible)
+        while frontier:
+            comp = comps.get(frontier.pop(), "")
+            for grp in _re.findall(r"branch_computations=\{([^}]*)\}", comp):
+                for name in _re.findall(r"%([^,)\s]+)", grp):
+                    if name not in eligible:
+                        eligible.add(name)
+                        frontier.append(name)
+    best = 0
+    for name in eligible:
+        n = len(
+            _re.findall(
+                r"= \S.* all-reduce\(|all-reduce-start", comps.get(name, "")
+            )
+        )
+        best = max(best, n)
+    return best

@@ -7,25 +7,20 @@ so per-Krylov-iteration all-reduce count is the latency model of the
 solver (SURVEY.md section 5.8).
 """
 
-import re
-
 import jax
 import jax.numpy as jnp
 import pytest
 
 from krypy_tpu import functional as F, ops, parallel
 
+from helpers import loop_body_allreduces
+
 
 def _max_body_allreduces(jitted, arg, mesh):
-    """All-reduce instructions in the busiest computation of the
-    compiled module -- the solver's while-loop body."""
-    with mesh:
-        txt = jitted.lower(arg).compile().as_text()
-    best = 0
-    for comp in re.split(r"\n\n", txt):
-        n = len(re.findall(r"= \S+ all-reduce\(|all-reduce-start", comp))
-        best = max(best, n)
-    return best
+    """Steady-state per-iteration sync points: all-reduces of the
+    compiled while-loop body (variadic tuple all-reduces count as ONE
+    sync point; ENTRY and lax.cond branches excluded)."""
+    return loop_body_allreduces(jitted, arg, mesh=mesh)
 
 
 @pytest.fixture(scope="module")
