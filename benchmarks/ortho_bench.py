@@ -61,17 +61,95 @@ def sweep_bytes(ortho, m, N, itemsize=4):
     return total
 
 
+def kernels_leg(N, rows, reps=4):
+    """Slope-time the sharded-CGS2 kernel COMPOSITION (project_prefix ->
+    apply_project -> update_prefix, 3 pallas_calls = what each shard
+    runs under ``cgs2_fused_sharded``, minus the psums) against the
+    2-call single-device ``cgs2_fused``.  Both move the same 3 prefix
+    sweeps of HBM; the delta is the extra kernel-launch overhead the
+    sharded composition pays per iteration.  Multi-chip ICI cannot be
+    measured on one chip; this pins the compute side of the model."""
+    from krypy_tpu.kernels.orthogonalize import (
+        apply_project,
+        cgs2_fused,
+        project_prefix,
+        update_prefix,
+    )
+
+    V = jnp.sin(
+        jnp.arange(rows * N, dtype=jnp.float32).reshape(rows, N) * 1e-5
+    )
+    mask = jnp.ones(rows, jnp.float32)
+    _sync(V)
+
+    def fused_chain(w0, K):
+        def body(w, _):
+            w2, c = cgs2_fused(V, w, mask, rows=rows)
+            # fusion barrier: keep XLA from collapsing reps
+            return jnp.roll(w2, 1) + c[0] * 0, None
+
+        w, _ = jax.lax.scan(body, w0, None, length=K)
+        return jnp.sum(w)
+
+    def composed_chain(w0, K):
+        def body(w, _):
+            c1 = project_prefix(V, w, mask, rows=rows)
+            w1, c2 = apply_project(V, w, c1, mask, rows=rows)
+            w2 = update_prefix(V, w1, c2, rows=rows)
+            return jnp.roll(w2, 1) + (c1[0] + c2[0]) * 0, None
+
+        w, _ = jax.lax.scan(body, w0, None, length=K)
+        return jnp.sum(w)
+
+    out = {}
+    for name, chain in (("fused_2call", fused_chain),
+                        ("composed_3call", composed_chain)):
+        jitted = {K: jax.jit(lambda w, K=K, c=chain: c(w, K))
+                  for K in (2, 2 + reps)}
+        times = {}
+        for K, f in jitted.items():
+            w0 = jnp.cos(jnp.arange(N, dtype=jnp.float32) * 1e-4)
+            float(f(w0))  # compile
+            best = float("inf")
+            for rep in range(3):
+                w0 = jnp.cos(
+                    jnp.arange(N, dtype=jnp.float32) * (1e-4 + 1e-6 * rep)
+                )
+                _sync(w0)
+                t0 = time.perf_counter()
+                float(f(w0))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        per = (times[2 + reps] - times[2]) / reps
+        out[name] = round(per * 1e6, 1)
+        print(json.dumps({"kernel": name, "rows": rows, "N": N,
+                          "us_per_rep": out[name]}), flush=True)
+    print(json.dumps({
+        "metric": f"sharded_cgs2_composition_rows{rows}_N{N}",
+        **out,
+        "extra_us_per_iter": round(
+            out["composed_3call"] - out["fused_2call"], 1
+        ),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024 * 1024)
     ap.add_argument("--m", type=int, default=40)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--kernels", action="store_true",
+                    help="run the sharded-composition kernel leg only")
     # default roofline = the MEASURED achievable streaming bandwidth of
     # this chip+runtime (benchmarks/stream_bench.py: ~690 GB/s triad at
     # 64 MB+ working sets), not the 819 GB/s datasheet figure
     ap.add_argument("--roofline-gbs", type=float, default=690.0)
     args = ap.parse_args()
     N, m = args.size, args.m
+
+    if args.kernels:
+        kernels_leg(N, args.m, reps=args.reps)
+        return
 
     from krypy_tpu import functional as F
 

@@ -21,10 +21,18 @@ Orthogonalization schemes (``ortho=``):
 * ``'cgs2_pallas'``/``'cgs_pallas'``: cgs2/cgs with the fused Pallas
   projection kernel (:mod:`krypy_tpu.kernels.orthogonalize`); Euclidean
   inner product only.
-* ``'cgs2_fused'``: both CGS2 passes in ONE bucketed-prefix Pallas
-  kernel (3 basis sweeps total instead of 4, prefix-sized reads) -- the
-  fastest single-chip scheme at moderate maxiter (732 us/iter at m=40 /
-  1M dof f32, slope-timed); Euclidean ip, no ``M``, f32.
+* ``'cgs2_fused'``: both CGS2 passes in 3 basis sweeps instead of 4
+  (prefix-sized reads) -- the fastest single-chip scheme at moderate
+  maxiter (732 us/iter at m=40 / 1M dof f32, slope-timed).  Under an
+  ACTIVE MESH the same scheme runs per shard via ``shard_map``
+  (:func:`~krypy_tpu.kernels.orthogonalize.cgs2_fused_sharded`): 3
+  local HBM sweeps + 2 coefficient psums + the norm = 3 sync
+  points/iter, one basis sweep of traffic less than ``cgs2`` (pinned in
+  tests/test_collectives.py).  Euclidean ip, no ``M`` (with distinct
+  project/update bases the fusion saves no traffic: project reads V,
+  update reads P -- four slab-reads either way), real dtypes on real
+  TPU (Mosaic has no complex lowering); ineligible mesh cases fall back
+  to the batched-jnp buckets under GSPMD.
 * ``'cgs2_1r'``: one-reduce lagged CGS-2 (DCGS-2, Świrydowicz et al.
   NLAA 2021 / Bielich et al. 2022): the second Gram-Schmidt pass of the
   previous candidate, its norm (Pythagorean identity) and the first
@@ -36,11 +44,13 @@ Orthogonalization schemes (``ortho=``):
   recurrences lag one iteration behind the basis, so a solve performs
   one extra matvec.  Euclidean or operator-weighted ``ip``; no ``M``
   dual basis; no ``basis_dtype``.
-* ``'auto'``: resolve to the fastest eligible scheme at trace time --
-  ``'cgs2_1r'`` when tracing under a multi-device mesh context (the
-  mesh is latency-bound on sync points, DESIGN section 8),
-  ``'cgs2_fused'`` for plain f32 Euclidean solves on a TPU backend,
-  ``'cgs2'`` otherwise.
+* ``'auto'``: resolve to the fastest eligible scheme at trace time.
+  Under a multi-device mesh context, a sweep-vs-sync price model
+  (DESIGN section 8) compares the local basis sweep the sharded fused
+  kernel saves against its two extra all-reduces: bandwidth-bound
+  shards get ``'cgs2_fused'`` (sharded), latency-bound shards get
+  ``'cgs2_1r'``.  Single-chip: ``'cgs2_fused'`` for plain f32
+  Euclidean solves on a TPU backend, ``'cgs2'`` otherwise.
 * ``'mgs'``/``'dmgs'``: sequential (doubly) modified Gram-Schmidt via an
   inner ``fori_loop`` -- the reference's schemes (krypy/utils.py:1012-1029)
   for fidelity; latency-bound on accelerators.
@@ -73,6 +83,25 @@ from .common import (
     safe_div,
     system_dtype,
 )
+
+
+# --- mesh ortho-policy model (DESIGN section 8) ------------------------
+# Achievable HBM stream rate used to price a basis sweep, and the cost
+# of one ICI/DCN sync point.  ortho='auto' under a mesh compares "one
+# local basis sweep saved per iteration" (the sharded fused kernel's
+# win) against "two extra all-reduces per iteration" (its cost vs the
+# one-reduce scheme).  Tests monkeypatch these to force either regime.
+_MESH_HBM_BYTES_PER_S = 690e9
+_MESH_SYNC_S = 15e-6
+_FUSED_SHARDED_EXTRA_SYNCS = 2  # 3 sync points vs cgs2_1r's 1
+
+
+def _fused_sharded_ok(N, n_dev):
+    """Static eligibility of the sharded fused Pallas path: an even
+    column split over the mesh and a lane-friendly local tile."""
+    from ..kernels.orthogonalize import _divide_block
+
+    return N % n_dev == 0 and _divide_block(N // n_dev, 4096) is not None
 
 
 class _GmresState(NamedTuple):
@@ -170,19 +199,37 @@ def gmres(
         # Euclidean ip, no M dual basis, and f32 on a real TPU backend
         # (Mosaic has no f64); everywhere else batched CGS2 is the
         # right default.
-        from ..parallel import active_mesh_size
+        from ..parallel import active_mesh, active_mesh_size
 
         _sys_dt = jnp.dtype(system_dtype(bv, x0))
         _scalar_ip = ip is not None and not (
             hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
         )
+        _mesh_n = active_mesh_size()
         if (
-            active_mesh_size() > 1
+            _mesh_n > 1
             and M is None
             and basis_dtype is None
             and not _scalar_ip
         ):
-            ortho = "cgs2_1r"
+            # two mesh regimes (DESIGN section 8): latency-bound shards
+            # want the ONE-sync-point scheme; bandwidth-bound shards
+            # want the 3-sweep sharded fused kernel (2 extra syncs, one
+            # basis sweep of HBM traffic saved per iteration).  Pick by
+            # comparing the saved local sweep time against the extra
+            # round trips.
+            _saved_s = (
+                (m + 1) * (N // _mesh_n) * _sys_dt.itemsize
+            ) / _MESH_HBM_BYTES_PER_S
+            if (
+                ip is None
+                and not jnp.issubdtype(_sys_dt, jnp.complexfloating)
+                and _fused_sharded_ok(N, _mesh_n)
+                and _saved_s > _FUSED_SHARDED_EXTRA_SYNCS * _MESH_SYNC_S
+            ):
+                ortho = "cgs2_fused"
+            else:
+                ortho = "cgs2_1r"
         elif (
             ip is None
             and M is None
@@ -231,6 +278,30 @@ def gmres(
     paneled = ortho in ("bmgs", "bmgs2")
     pallas = ortho in ("cgs_pallas", "cgs2_pallas")
     fused = ortho == "cgs2_fused"
+    # Under an active mesh the fused scheme runs per shard via
+    # shard_map (3 local sweeps + 2 psums); a single-device pallas_call
+    # on a GSPMD-sharded basis would force replication.  When the mesh
+    # is active but the sharded kernel is ineligible (uneven split,
+    # complex dtype -- Mosaic has no complex lowering), the batched-jnp
+    # bucket fallback keeps the solve GSPMD-clean.
+    fused_mesh = None
+    fused_force_jnp = False
+    if fused:
+        from ..parallel import active_mesh
+
+        _fm = active_mesh()
+        if _fm is not None:
+            _dt = jnp.dtype(system_dtype(bv, x0))
+            if (
+                ip is None
+                and M is None
+                and basis_dtype is None
+                and not jnp.issubdtype(_dt, jnp.complexfloating)
+                and _fused_sharded_ok(N, int(_fm.devices.size))
+            ):
+                fused_mesh = _fm
+            else:
+                fused_force_jnp = True
     if (pallas or fused) and ip is not None:
         raise ValueError(
             "the Pallas orthogonalization path supports the Euclidean "
@@ -636,11 +707,28 @@ def gmres(
                 )
                 h = h + coeffs
         elif fused:
-            from ..kernels.orthogonalize import _divide_block, cgs2_fused
+            from ..kernels.orthogonalize import (
+                _divide_block,
+                cgs2_fused,
+                cgs2_fused_sharded,
+            )
 
             interp = jax.default_backend() != "tpu"
             fmask = mask.astype(w.real.dtype)
-            if _divide_block(N, 4096) is None:
+            if fused_mesh is not None:
+                # per-shard fused kernels + psum'd coefficients: 3 local
+                # HBM sweeps, 2 all-reduces (pinned in
+                # tests/test_collectives.py)
+                def make_branch(hgt):
+                    def branch(operands):
+                        w_b, h_b = operands
+                        w_b, c = cgs2_fused_sharded(
+                            V, w_b, fmask, mesh=fused_mesh, rows=hgt,
+                            interpret=interp,
+                        )
+                        return w_b, h_b + c
+                    return branch
+            elif fused_force_jnp or _divide_block(N, 4096) is None:
                 # no lane-friendly tiling: bucketed jnp fallback
                 def make_branch(hgt):
                     def branch(operands):

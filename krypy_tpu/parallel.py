@@ -37,7 +37,32 @@ __all__ = [
     "replicate",
     "sharded_solve",
     "active_mesh_size",
+    "active_mesh",
 ]
+
+
+def active_mesh():
+    """The CONCRETE :class:`~jax.sharding.Mesh` of the context the
+    caller traces under, or ``None``.
+
+    Unlike :func:`active_mesh_size` this must return a physical mesh
+    (``jax.shard_map`` needs device placement, not just a size), so only
+    the ``with Mesh(...):`` resource environment qualifies; an abstract
+    sharding context without devices returns ``None``.
+    """
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        if not m.empty and m.devices.size > 1:
+            return m
+    except Exception:
+        pass
+    return None
 
 
 def active_mesh_size():

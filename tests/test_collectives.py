@@ -159,3 +159,68 @@ def test_chebyshev_one_collective_per_check_block(mesh_and_problem):
         )
     n = _max_body_allreduces(cheb, b, mesh)
     assert n == 1, n
+
+
+def test_gmres_fused_sharded_parity_and_sync_points(mesh_and_problem):
+    """ortho='cgs2_fused' under an active mesh runs the per-shard Pallas
+    kernels via shard_map: 3 LOCAL basis sweeps + exactly 2 all-reduces
+    (the two coefficient psums, in the bucket-switch branch) + the norm
+    reduce in the loop body = 3 sync points/iter, one basis sweep of HBM
+    traffic per iteration less than cgs2.  Solution parity vs cgs2."""
+    mesh, lap, b = mesh_and_problem
+    with mesh:
+        fused = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32,
+                              ortho="cgs2_fused")
+        )
+        classic = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32, ortho="cgs2")
+        )
+    # loop body: the norm reduce only (the psums live in the branch)
+    assert loop_body_allreduces(fused, b, mesh=mesh) == 1
+    # the per-iteration switch branch: the two coefficient psums
+    assert (
+        loop_body_allreduces(fused, b, mesh=mesh, include_branches=True)
+        == 2
+    )
+    with mesh:
+        r_fused = fused(b)
+        r_classic = classic(b)
+    assert int(r_fused.niter) == int(r_classic.niter)
+    assert float(jnp.linalg.norm(r_fused.x - r_classic.x)) <= 1e-4 * float(
+        jnp.linalg.norm(r_classic.x)
+    ) + 1e-6
+
+
+def test_gmres_auto_mesh_regime_policy(mesh_and_problem, monkeypatch):
+    """ortho='auto' under a mesh picks by the sweep-vs-sync price model:
+    zero sync cost (bandwidth-bound shards) resolves to the sharded
+    fused kernel, expensive syncs (latency-bound) to the one-reduce
+    scheme -- each bitwise equal to the explicit choice."""
+    import sys
+
+    gmod = sys.modules["krypy_tpu.functional.gmres"]
+    mesh, lap, b = mesh_and_problem
+    with mesh:
+        r_fused = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32,
+                              ortho="cgs2_fused")
+        )(b)
+        r_1r = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32,
+                              ortho="cgs2_1r")
+        )(b)
+
+    monkeypatch.setattr(gmod, "_MESH_SYNC_S", 0.0)
+    with mesh:
+        r_bw = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32, ortho="auto")
+        )(b)
+    assert float(jnp.linalg.norm(r_bw.x - r_fused.x)) == 0.0
+
+    monkeypatch.setattr(gmod, "_MESH_SYNC_S", 1.0)
+    with mesh:
+        r_lat = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-8, maxiter=32, ortho="auto")
+        )(b)
+    assert float(jnp.linalg.norm(r_lat.x - r_1r.x)) == 0.0

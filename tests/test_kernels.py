@@ -206,3 +206,92 @@ def test_stencil5_block_height_stays_8_aligned(nx, ny):
     pal = ops.poisson_2d(nx, ny, impl="pallas")(x)
     rel = float(jnp.max(jnp.abs(pal - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-5
+
+
+@pytest.mark.parametrize("m, N, rows, k", [(9, 256, 8, 5), (17, 1024, 16, 11)])
+def test_prefix_sweep_kernels(m, N, rows, k):
+    """project_prefix / apply_project / update_prefix compose to exact
+    CGS2 (vs the plain jnp formulation, f64 interpret mode)."""
+    from krypy_tpu.kernels.orthogonalize import (
+        apply_project,
+        project_prefix,
+        update_prefix,
+    )
+
+    rng = numpy.random.RandomState(2)
+    V = rng.randn(m, N)
+    w = rng.randn(N)
+    mask = (numpy.arange(m) <= k).astype(float)
+    mk = mask[:rows]
+
+    c1_ref = (V[:rows] @ w) * mk
+    w1_ref = w - c1_ref @ V[:rows]
+    c2_ref = (V[:rows] @ w1_ref) * mk
+    w2_ref = w1_ref - c2_ref @ V[:rows]
+
+    c1 = project_prefix(
+        jnp.asarray(V), jnp.asarray(w), jnp.asarray(mask), rows=rows,
+        interpret=True,
+    )
+    numpy.testing.assert_allclose(numpy.asarray(c1[:rows]), c1_ref,
+                                  atol=1e-10)
+    assert numpy.all(numpy.asarray(c1[rows:]) == 0.0)
+
+    w1, c2 = apply_project(
+        jnp.asarray(V), jnp.asarray(w), c1, jnp.asarray(mask), rows=rows,
+        interpret=True,
+    )
+    numpy.testing.assert_allclose(numpy.asarray(w1), w1_ref, atol=1e-10)
+    numpy.testing.assert_allclose(numpy.asarray(c2[:rows]), c2_ref,
+                                  atol=1e-10)
+
+    w2 = update_prefix(jnp.asarray(V), w1, c2, rows=rows, interpret=True)
+    numpy.testing.assert_allclose(numpy.asarray(w2), w2_ref, atol=1e-10)
+
+
+def test_cgs2_fused_sharded_matches_single_device():
+    """The shard_map composition (3 local sweeps + 2 psums) reproduces
+    the single-device fused kernel on an 8-device mesh."""
+    import jax
+
+    from krypy_tpu import parallel
+    from krypy_tpu.kernels.orthogonalize import cgs2_fused, cgs2_fused_sharded
+
+    rng = numpy.random.RandomState(3)
+    m, N, rows = 9, 1024, 8
+    V = jnp.asarray(rng.randn(m, N))
+    w = jnp.asarray(rng.randn(N))
+    mask = (jnp.arange(m) < 6).astype(V.dtype)
+
+    w_ref, c_ref = cgs2_fused(V, w, mask, rows=rows, interpret=True)
+
+    mesh = parallel.make_mesh(8)
+    Vs = jax.device_put(
+        V,
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "n")
+        ),
+    )
+    ws = parallel.shard_vector(w, mesh)
+    with mesh:
+        w_sh, c_sh = jax.jit(
+            lambda V_, w_, m_: cgs2_fused_sharded(
+                V_, w_, m_, mesh=mesh, rows=rows, interpret=True
+            )
+        )(Vs, ws, mask)
+    numpy.testing.assert_allclose(
+        numpy.asarray(w_sh), numpy.asarray(w_ref), atol=1e-10
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(c_sh), numpy.asarray(c_ref), atol=1e-10
+    )
+
+
+def test_cgs2_fused_sharded_rejects_indivisible_n():
+    from krypy_tpu import parallel
+    from krypy_tpu.kernels.orthogonalize import cgs2_fused_sharded
+
+    mesh = parallel.make_mesh(8)
+    V = jnp.zeros((4, 1023))
+    with pytest.raises(ValueError, match="divide over the mesh"):
+        cgs2_fused_sharded(V, jnp.zeros(1023), jnp.ones(4), mesh=mesh)
