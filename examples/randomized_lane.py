@@ -22,7 +22,9 @@ def sketched_solves():
     )
     rel = float(jnp.linalg.norm(b - cd(r.x)) / jnp.linalg.norm(b))
     print(f"sketched GMRES: {int(r.niter)} iters across restarts, "
-          f"true rel {rel:.2e}, converged={int(r.status) == 0}")
+          f"true rel {rel:.2e}, converged={int(r.status) == 0}, "
+          f"embedding certificate {float(r.distortion):.2f} "
+          f"(near 1 = trustworthy sketch) at d={int(r.sketch_d)}")
 
 
 def nystrom_cg():

@@ -52,6 +52,7 @@ from .bicgstab import bicgstab
 from .idr import idrs
 from .sketch import (
     KronSketch,
+    SketchedSolveResult,
     kron_sketch,
     restarted_sketched_gmres,
     sketch_apply,
@@ -103,6 +104,7 @@ __all__ = [
     "bicgstab",
     "idrs",
     "KronSketch",
+    "SketchedSolveResult",
     "kron_sketch",
     "sketch_apply",
     "sketched_gmres",

@@ -81,12 +81,49 @@ from .common import (
 
 __all__ = [
     "KronSketch",
+    "SketchedSolveResult",
     "kron_sketch",
     "sketch_apply",
     "sketched_gmres",
     "restarted_sketched_gmres",
     "sketched_eigs",
 ]
+
+
+class SketchedSolveResult(NamedTuple):
+    """Result pytree of a sketched solve: the shared
+    :class:`~krypy_tpu.functional.common.SolveResult` surface plus the
+    runtime EMBEDDING-QUALITY CERTIFICATE.
+
+    ``distortion`` is the posterior sketched-vs-true residual ratio
+    ``true_rel / sketched_rel`` at exit, computed from the explicit
+    true residual the honesty contract already pays for -- no extra
+    cost.  On a healthy embedding it sits near 1; values well above 1
+    mean the sketch UNDER-estimated the residual by that factor on the
+    subspace this operator actually produced (the quasi-optimality
+    guarantee degraded from sqrt((1+eps)/(1-eps)) ~ 1 toward the
+    observed ratio), and the iterate converged in sketch-space without
+    true progress.  :func:`restarted_sketched_gmres` escalates
+    ``sketch_dim`` (or falls back to classic GMRES) when it exceeds
+    ``distortion_limit``.
+    """
+
+    #: approximate solution, shape ``(N,)``
+    x: jnp.ndarray
+    #: sketched per-iteration estimates; final entry = true residual
+    resnorms: jnp.ndarray
+    #: number of iterations performed
+    niter: jnp.ndarray
+    #: CONVERGED / MAXITER
+    status: jnp.ndarray
+    #: posterior embedding certificate (see class docstring)
+    distortion: jnp.ndarray = jnp.asarray(1.0)
+    #: realized embedding dimension d of the sketch used
+    sketch_d: int = 0
+
+    @property
+    def converged(self):
+        return self.status == CONVERGED
 
 
 class KronSketch(NamedTuple):
@@ -412,11 +449,20 @@ def sketched_gmres(
 
     resnorms = final.resnorms.at[jf].set(true_rel)
     status = jnp.where(true_rel <= tol, CONVERGED, MAXITER)
-    return SolveResult(
+    # posterior embedding certificate: the explicit true residual is
+    # already in hand, so the sketched-vs-true ratio is free.  Guard
+    # the zero-iteration and exactly-converged corners to 1.
+    sk_rel = jnp.maximum(final.cur_rel, jnp.asarray(tiny, real_dtype))
+    distortion = jnp.where(
+        jf > 0, true_rel / sk_rel, jnp.ones((), real_dtype)
+    )
+    return SketchedSolveResult(
         x=x if flat else x[:, None],
         resnorms=resnorms,
         niter=jf,
         status=status,
+        distortion=distortion.astype(real_dtype),
+        sketch_d=d,
     )
 
 
@@ -433,6 +479,9 @@ def restarted_sketched_gmres(
     tol=1e-5,
     seed=0,
     sketch=None,
+    distortion_limit=4.0,
+    max_escalations=2,
+    classic_fallback=True,
     **kwargs,
 ):
     """Restarted sketched GMRES: cycles of :func:`sketched_gmres` with
@@ -447,39 +496,56 @@ def restarted_sketched_gmres(
     residual (each cycle ends with an explicit-residual assembly, so
     restarts never chase sketch noise).
 
+    EMBEDDING QUALITY is policed at each restart seam, not just
+    observed: when a cycle's posterior ``distortion`` certificate (see
+    :class:`SketchedSolveResult`) exceeds ``distortion_limit`` and the
+    cycle failed to converge, the sketch is rebuilt with DOUBLE the
+    embedding dimension and a fresh seed (up to ``max_escalations``
+    times); if the certificate still fails after the last escalation
+    and ``classic_fallback`` is true, the remaining iteration budget
+    runs as classic restarted GMRES -- a silently bad embedding costs
+    at most one cycle, never the solve.  Pass
+    ``distortion_limit=float('inf')`` for the round-3 behavior.
+
     The compiled cycle takes ``(b, x0)`` as traced arguments and is
     cached across calls -- a solve sequence on one operator compiles
-    once.  ``resnorms`` carries the per-iteration sketched estimates of
-    all cycles stitched at the explicit cycle boundaries.
+    once (per escalation level).  ``resnorms`` carries the
+    per-iteration sketched estimates of all cycles stitched at the
+    explicit cycle boundaries.
     """
     b = jnp.asarray(b)
     bv = b.reshape(-1)
     x = kwargs.pop("x0", None)
+    real_dtype = jnp.zeros(0, system_dtype(bv, None)).real.dtype
     if sketch is None:
         sd = kwargs.pop("sketch_dim", None)
         sd = 8 * (int(maxiter) + 1) if sd is None else int(sd)
-        real_dtype = jnp.zeros(0, system_dtype(bv, None)).real.dtype
         sketch = kron_sketch(bv.shape[0], sd, seed=seed, dtype=real_dtype)
 
     key_items = tuple(
         (k, v if isinstance(v, (bool, int, float, str, type(None))) else id(v))
         for k, v in sorted(kwargs.items())
     )
-    key = (id(A), id(sketch), float(tol), int(maxiter), key_items)
-    cycle = _SKETCH_RESTART_CACHE.get(key)
-    if cycle is None:
 
-        @jax.jit
-        def cycle(bb, xx):
-            return sketched_gmres(
-                A, bb, x0=xx, tol=tol, maxiter=maxiter, sketch=sketch,
-                **kwargs,
-            )
+    def make_cycle(sk):
+        key = (id(A), id(sk), float(tol), int(maxiter), key_items)
+        cycle = _SKETCH_RESTART_CACHE.get(key)
+        if cycle is None:
 
-        cycle._keepalive = (A, sketch, kwargs)
-        if len(_SKETCH_RESTART_CACHE) >= _SKETCH_RESTART_CACHE_MAX:
-            _SKETCH_RESTART_CACHE.pop(next(iter(_SKETCH_RESTART_CACHE)))
-        _SKETCH_RESTART_CACHE[key] = cycle
+            @jax.jit
+            def cycle(bb, xx):
+                return sketched_gmres(
+                    A, bb, x0=xx, tol=tol, maxiter=maxiter, sketch=sk,
+                    **kwargs,
+                )
+
+            cycle._keepalive = (A, sk, kwargs)
+            if len(_SKETCH_RESTART_CACHE) >= _SKETCH_RESTART_CACHE_MAX:
+                _SKETCH_RESTART_CACHE.pop(next(iter(_SKETCH_RESTART_CACHE)))
+            _SKETCH_RESTART_CACHE[key] = cycle
+        return cycle
+
+    cycle = make_cycle(sketch)
 
     import numpy as _np
 
@@ -492,7 +558,10 @@ def restarted_sketched_gmres(
     result = None
     total = 0
     prev_rel = float("inf")
-    for _ in range(int(max_restarts) + 1):
+    escalations = 0
+    cycles_left = int(max_restarts) + 1
+    while cycles_left > 0:
+        cycles_left -= 1
         result = cycle(bv, x)
         niter = int(result.niter)
         total += niter
@@ -500,14 +569,43 @@ def restarted_sketched_gmres(
         resnorms = resnorms[:-1] + chunk if resnorms else chunk
         x = result.x
         cycle_rel = float(chunk[-1])
+        if int(result.status) == CONVERGED or niter == 0:
+            break
+        distorted = float(result.distortion) > float(distortion_limit)
+        if distorted and escalations < int(max_escalations):
+            # bad embedding: double d, fresh seed, and spend one of the
+            # remaining cycles re-trying (don't trip the stall exit on
+            # a residual the certificate says was never trustworthy)
+            escalations += 1
+            sketch = kron_sketch(
+                bv.shape[0], 2 * sketch.d, seed=seed + 7919 * escalations,
+                dtype=real_dtype,
+            )
+            cycle = make_cycle(sketch)
+            prev_rel = cycle_rel if cycle_rel < prev_rel else prev_rel
+            continue
+        if distorted and classic_fallback:
+            # certificate still failing at the escalation cap: the
+            # operator's subspaces defeat this embedding family -- give
+            # the remaining budget to classic restarted GMRES
+            from .gmres import gmres as _classic_gmres
+
+            budget = max(1, cycles_left + 1) * int(maxiter)
+            cres = _classic_gmres(
+                A, bv, x0=x, tol=tol, maxiter=budget,
+                M=kwargs.get("M"),
+            )
+            cn = int(cres.niter)
+            total += cn
+            chunk = list(_np.asarray(cres.resnorms)[: cn + 1])
+            resnorms = resnorms[:-1] + chunk
+            x = cres.x
+            result = result._replace(status=cres.status)
+            break
         # stop at the attainable floor: the cycle's explicit residual
         # no longer improves (the cycle itself guards against returning
         # a worse iterate, so equality means "stuck", not "diverging")
-        if (
-            int(result.status) == CONVERGED
-            or niter == 0
-            or cycle_rel >= 0.999 * prev_rel
-        ):
+        if cycle_rel >= 0.999 * prev_rel:
             break
         prev_rel = cycle_rel
 

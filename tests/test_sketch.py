@@ -298,3 +298,60 @@ def test_sketched_gmres_sharded_matches_single_device():
     rel_s = float(jnp.linalg.norm(b - lap(rs.x)) / jnp.linalg.norm(b))
     rel_1 = float(jnp.linalg.norm(b - lap(r1.x)) / jnp.linalg.norm(b))
     assert rel_s <= 1.1 * rel_1 + 1e-6
+
+
+def test_sketch_certificate_healthy_embedding():
+    """The posterior distortion certificate sits near 1 when d is
+    ample, and the realized embedding dimension is reported."""
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    r = F.sketched_gmres(lap, b, tol=1e-6, maxiter=30)
+    assert int(r.sketch_d) >= 8 * 30
+    assert 0.2 < float(r.distortion) < 2.0
+
+
+def test_sketch_certificate_flags_starved_embedding():
+    """A starved embedding (d barely above maxiter) on the grid-smooth
+    Poisson subspace converges in sketch-space without true progress;
+    the certificate must expose it (measured ~4.4 at d=35/m=30)."""
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    r = F.sketched_gmres(lap, b, tol=1e-6, maxiter=30, sketch_dim=32)
+    assert float(r.distortion) > 3.0
+    assert not bool(r.converged)
+
+
+def test_restarted_escalates_on_distortion():
+    """restarted_sketched_gmres doubles the embedding when the
+    certificate exceeds distortion_limit: from a starved d the solve
+    must escalate and deliver real progress, while the frozen
+    (round-3, distortion_limit=inf) run stalls without any."""
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    frozen = F.restarted_sketched_gmres(
+        lap, b, tol=1e-6, maxiter=30, max_restarts=6, sketch_dim=32,
+        distortion_limit=float("inf"),
+    )
+    esc = F.restarted_sketched_gmres(
+        lap, b, tol=1e-6, maxiter=30, max_restarts=6, sketch_dim=32,
+    )
+    assert int(esc.sketch_d) > int(frozen.sketch_d)
+    assert float(esc.resnorms[-1]) < 0.1 * float(frozen.resnorms[-1])
+
+
+def test_restarted_classic_fallback():
+    """With escalation disabled, a failing certificate hands the
+    remaining budget to classic restarted GMRES -- a bad embedding
+    costs one cycle, never the solve."""
+    nx = 63
+    lap = ops.poisson_2d(nx)
+    b = jnp.ones(nx * nx, jnp.float32)
+    r = F.restarted_sketched_gmres(
+        lap, b, tol=1e-3, maxiter=30, max_restarts=8, sketch_dim=32,
+        max_escalations=0,
+    )
+    assert bool(r.converged)
+    assert float(r.resnorms[-1]) <= 1e-3
