@@ -79,6 +79,7 @@ from .newton import NewtonResult, newton_krylov
 from .funm import (
     expm_multiply,
     funm_krylov,
+    funm_krylov_arnoldi,
     inv_sqrt_multiply,
     slq_logdet,
     slq_trace,
@@ -136,6 +137,7 @@ __all__ = [
     "newton_krylov",
     "NewtonResult",
     "funm_krylov",
+    "funm_krylov_arnoldi",
     "expm_multiply",
     "inv_sqrt_multiply",
     "slq_trace",

@@ -29,8 +29,8 @@ from .common import (
 )
 from .eigh import lanczos_cgs2_sweep, spurious_ritz_mask
 
-__all__ = ["funm_krylov", "expm_multiply", "inv_sqrt_multiply",
-           "slq_trace", "slq_logdet"]
+__all__ = ["funm_krylov", "funm_krylov_arnoldi", "expm_multiply",
+           "inv_sqrt_multiply", "slq_trace", "slq_logdet"]
 
 
 class FunmResult(NamedTuple):
@@ -125,11 +125,124 @@ def funm_krylov(A, b, f, *, maxdim=30):
     )
 
 
-def expm_multiply(A, b, t=1.0, *, maxdim=30):
-    r"""``exp(t A) b`` for Hermitian ``A`` (Lanczos; see
-    :func:`funm_krylov`).  ``t`` may be negative (diffusion semigroups:
-    ``expm_multiply(lap, b, -dt)``)."""
+def funm_krylov_arnoldi(A, b, f=None, *, maxdim=30, matfunc=None):
+    r"""Approximate ``f(A) b`` for a GENERAL (non-Hermitian) operator by
+    the Arnoldi method: :math:`f(A) b \approx \beta V_m f(H_m) e_1`.
+
+    Split of labor (the lane's standing convention, docs/DESIGN.md
+    section 7, shared with :func:`~krypy_tpu.functional.eigs.eigs`):
+    the m-step Arnoldi sweep -- all N-sized work, the same batched
+    full-CGS2 contraction kernel every eigensolver uses, sharded over a
+    mesh for free -- runs ON DEVICE in one compiled dispatch; the
+    evaluation of ``f`` on the tiny (m, m) Hessenberg runs on the HOST
+    via Schur-Parlett (``scipy.linalg.funm``) -- DIAGONALIZATION of a
+    non-normal H is unstable (the eigenvector basis can be arbitrarily
+    ill-conditioned), and TPU has no Schur lowering; the final assembly
+    ``V_m^T (beta f(H) e_1)`` is a device GEMV.
+
+    Early invariance is handled EXACTLY: the sweep deflates a
+    round-off-sized residual to a zero row, and the evaluation
+    truncates to the live leading block -- if the Krylov space closes
+    at dimension j, the result is f on that invariant subspace, and
+    ``f`` is never evaluated on the dead zero block (which would NaN
+    for f singular at 0).
+
+    :param A: square operator (matvec / matrix / LinearOperator).
+    :param b: vector ``(N,)``.
+    :param f: scalar function, vectorized over a numpy array of
+      (possibly complex) eigenvalues -- evaluated on the host, so any
+      numpy-compatible callable works (``jnp.exp`` included).
+    :param matfunc: alternative MATRIX function ``T -> f(T)`` on the
+      small host block (e.g. ``scipy.linalg.expm``), overriding ``f``;
+      prefer it when a structured algorithm exists -- Pade expm is
+      more robust than generic Schur-Parlett.
+    :param maxdim: Krylov dimension m (static; the ``corrections``
+      tail is the same a-posteriori signal as :func:`funm_krylov`).
+    :return: :class:`FunmResult` (``m`` is the LIVE dimension used).
+    """
+    import numpy as np
+    import scipy.linalg as sla
+
+    if (f is None) == (matfunc is None):
+        raise ValueError("pass exactly one of f= or matfunc=")
+    if matfunc is None:
+        def matfunc(T):
+            return sla.funm(T, lambda w: np.asarray(f(w)))
+
+    b = jnp.asarray(b)
+    flat = b.ndim == 1
+    bv = b.reshape(-1)
+    N = bv.shape[0]
+    m = min(int(maxdim), N)
+
+    A_mv = as_matvec(A)
+    dtype = system_dtype(bv)
+    bv = bv.astype(dtype)
+    A_mv = cast_matvec(A_mv, dtype)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    beta = jnp.linalg.norm(bv)
+    V0 = jnp.zeros((m + 1, N), dtype).at[0].set(
+        bv * safe_div(1.0, beta)
+    )
+    H0 = jnp.zeros((m + 1, m + 1), dtype)
+
+    import jax
+
+    sweep = jax.jit(
+        lambda V, H: lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype,
+                                        real_dtype)
+    )
+    V, H = sweep(V0, H0)
+
+    Hh = np.asarray(H)
+    # live leading block: the sweep writes an EXACT zero subdiagonal on
+    # deflation (invariant subspace found)
+    sub = np.abs(np.diag(Hh, -1))[:m]
+    dead = np.nonzero(sub == 0.0)[0]
+    j_live = int(dead[0]) + 1 if dead.size else m
+
+    betah = float(beta)
+
+    def fe1(j):
+        col = np.asarray(matfunc(Hh[:j, :j]))[:, 0] * betah
+        if not np.iscomplexobj(np.zeros(0, np.dtype(dtype))):
+            # real system dtype: a real-analytic f of a real H is real;
+            # Schur-Parlett may return a +0j-typed result
+            col = col.real
+        return col
+
+    em = fe1(j_live)
+    x = jnp.dot(jnp.asarray(em, dtype), V[:j_live])
+
+    corrections = np.full(m + 1, np.nan, np.dtype(real_dtype))
+    for j in range(max(2, j_live - 4), j_live):
+        diff = em - np.concatenate(
+            [fe1(j), np.zeros(j_live - j, em.dtype)]
+        )
+        corrections[j] = np.linalg.norm(diff)
+
+    return FunmResult(
+        x=x if flat else x[:, None],
+        corrections=jnp.asarray(corrections),
+        m=j_live,
+    )
+
+
+def expm_multiply(A, b, t=1.0, *, maxdim=30, hermitian=True):
+    r"""``exp(t A) b`` (Lanczos for Hermitian ``A``, see
+    :func:`funm_krylov`; ``hermitian=False`` switches to the Arnoldi
+    path with host Pade expm on the Hessenberg, see
+    :func:`funm_krylov_arnoldi` -- the workhorse for exponential
+    integrators on convection-diffusion-class operators).  ``t`` may be
+    negative (diffusion semigroups: ``expm_multiply(lap, b, -dt)``)."""
     t = float(t)
+    if not hermitian:
+        import scipy.linalg as sla
+
+        return funm_krylov_arnoldi(
+            A, b, matfunc=lambda T: sla.expm(t * T), maxdim=maxdim
+        )
     return funm_krylov(A, b, lambda w: jnp.exp(t * w), maxdim=maxdim)
 
 

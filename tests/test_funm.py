@@ -190,3 +190,83 @@ def test_slq_trace_inverse_and_reproducibility():
     assert float(e1) == float(e2)  # same key -> bitwise identical
     exact = numpy.sum(1.0 / d)
     assert abs(float(e1) - exact) <= 1e-4 * exact
+
+
+def _nonsym(n=120, seed=5):
+    rng = numpy.random.default_rng(seed)
+    A = rng.standard_normal((n, n)) / numpy.sqrt(n) - 0.5 * numpy.eye(n)
+    return A, rng.standard_normal(n)
+
+
+def test_expm_multiply_arnoldi_matches_scipy():
+    """Non-Hermitian expm against the dense Pade oracle."""
+    A, b = _nonsym()
+    oracle = scipy.linalg.expm(A) @ b
+    r = F.expm_multiply(
+        jnp.asarray(A), jnp.asarray(b), hermitian=False, maxdim=60
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(r.x), oracle,
+        rtol=1e-10, atol=1e-12 * numpy.linalg.norm(oracle),
+    )
+    # converged a-posteriori signal: decayed correction tail
+    tail = numpy.asarray(r.corrections)
+    assert numpy.nanmax(tail) < 1e-10
+
+
+def test_funm_arnoldi_polynomial_exactness():
+    """f polynomial of degree < m is reproduced EXACTLY by the Krylov
+    approximation -- the defining algebraic property, oracle-free."""
+    A, b = _nonsym()
+    r = F.funm_krylov_arnoldi(
+        jnp.asarray(A), jnp.asarray(b), lambda w: w**3 + 2 * w, maxdim=10
+    )
+    direct = A @ A @ A @ b + 2 * (A @ b)
+    numpy.testing.assert_allclose(
+        numpy.asarray(r.x), direct, rtol=1e-12,
+        atol=1e-12 * numpy.linalg.norm(direct),
+    )
+
+
+def test_funm_arnoldi_invariant_subspace_truncation():
+    """A Krylov space that closes early (b in a small invariant
+    subspace) truncates to the live block: the result is exact and f is
+    never evaluated on the dead zero block (f(0) = inf here)."""
+    d = numpy.r_[2.0, 3.0, numpy.linspace(4, 5, 38)]
+    A = numpy.diag(d)
+    A[0, 1] = 1.0  # couple components 0-1: a 2-dim invariant subspace
+    b = numpy.zeros(40)
+    b[0] = 1.0
+    b[1] = 0.5
+    r = F.funm_krylov_arnoldi(
+        jnp.asarray(A), jnp.asarray(b), lambda w: 1.0 / w, maxdim=12
+    )
+    assert r.m == 2
+    oracle = numpy.linalg.solve(A, b)
+    numpy.testing.assert_allclose(numpy.asarray(r.x), oracle, atol=1e-12)
+
+
+def test_funm_arnoldi_validates_f_xor_matfunc():
+    A, b = _nonsym(20)
+    try:
+        F.funm_krylov_arnoldi(jnp.asarray(A), jnp.asarray(b))
+    except ValueError as e:
+        assert "exactly one" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError")
+
+
+def test_expm_arnoldi_sharded_matches_single_device():
+    """The Arnoldi sweep shards over the mesh (host expm unchanged):
+    convection-diffusion semigroup, sharded vs plain to fp."""
+    cd = ops.convection_diffusion_2d(24, wind=(1.0, 0.5), eps=1.0)
+    b = jnp.ones(24 * 24, jnp.float64)
+    plain = F.expm_multiply(cd, b, t=-0.01, hermitian=False, maxdim=40)
+    mesh = parallel.make_mesh(8)
+    with mesh:
+        bs = parallel.shard_vector(b, mesh)
+        sharded = F.expm_multiply(cd, bs, t=-0.01, hermitian=False,
+                                  maxdim=40)
+    assert float(
+        jnp.linalg.norm(sharded.x - plain.x) / jnp.linalg.norm(plain.x)
+    ) < 1e-12
