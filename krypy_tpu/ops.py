@@ -31,6 +31,7 @@ __all__ = [
     "nls_residual_2d",
     "readme_diag",
     "sparse_from_scipy",
+    "block_jacobi_preconditioner",
 ]
 
 
@@ -779,7 +780,11 @@ def nls_jacobian_sequence(n, n_sys=5, kappa=1.0, seed=0):
 
 
 def sparse_from_scipy(A):
-    """Convert a scipy sparse matrix into a BCOO-backed matvec."""
+    """Convert a scipy sparse matrix into a BCOO-backed matvec.
+
+    The returned matvec exposes ``.bcoo`` (the device matrix), ``.diag``
+    (so :func:`jacobi_preconditioner` and the Chebyshev/Gershgorin
+    estimators work unchanged) and ``.shape``."""
     from jax.experimental import sparse as jsparse
 
     coo = A.tocoo()
@@ -797,4 +802,86 @@ def sparse_from_scipy(A):
         return mat @ x
 
     matvec.shape = coo.shape
+    matvec.bcoo = mat
+    matvec.diag = jnp.asarray(
+        A.diagonal(), jnp.asarray(coo.data).dtype
+    )
+    return matvec
+
+
+def block_jacobi_preconditioner(A, block_size=32, *, shift=0.0):
+    r"""Block-Jacobi preconditioner for UNSTRUCTURED operators:
+    :math:`M = \mathrm{blockdiag}(A)^{-1}` with dense ``block_size``
+    diagonal blocks.
+
+    The strong members of the gallery (multigrid, DST, SSOR) assume the
+    2-D stencil family; off the grid, point Jacobi is often all that is
+    left.  Block-Jacobi captures the LOCAL coupling a graph-ordered
+    operator concentrates near its diagonal, at a TPU-native cost: the
+    application is ONE batched ``(nb, bs, bs) x (nb, bs)`` matmul
+    (``einsum('bij,bj->bi')``) -- pure MXU work, zero collectives on a
+    mesh (blocks are local to the N-axis shards whenever the local
+    shard size divides ``block_size``), and memory ``N * bs`` floats
+    for the factored blocks.
+
+    Blocks are extracted from the EXPLICIT sparsity (a scipy sparse
+    matrix, a matvec carrying ``.bcoo`` from :func:`sparse_from_scipy`,
+    or a dense array) -- matvec-only probing cannot separate a block
+    diagonal without graph coloring, so it is deliberately not offered.
+    Inverses are computed host-side once (LU of SPD/diagonally-dominant
+    blocks; ``shift`` adds ``shift * I`` per block for indefinite
+    operators whose blocks may be singular).
+
+    :param block_size: dense block edge (last block may be smaller;
+      internally zero-padded with unit diagonal).
+    :return: matvec with ``.blocks`` (the factored ``(nb, bs, bs)``
+      inverse tensor), ``.block_size`` and ``.shape``.
+    """
+    import numpy as np
+
+    bs = int(block_size)
+    if hasattr(A, "bcoo"):
+        mat = A.bcoo
+        N = mat.shape[0]
+        idx = np.asarray(mat.indices)
+        rows, cols = idx[:, 0], idx[:, 1]
+        data = np.asarray(mat.data)
+    elif hasattr(A, "tocoo"):
+        coo = A.tocoo()
+        N = coo.shape[0]
+        rows, cols, data = coo.row, coo.col, coo.data
+    else:
+        Ad = np.asarray(A)
+        N = Ad.shape[0]
+        rows, cols = np.nonzero(Ad)
+        data = Ad[rows, cols]
+
+    nb = -(-N // bs)
+    blocks = np.zeros((nb, bs, bs), dtype=data.dtype)
+    same = rows // bs == cols // bs
+    r, c, v = rows[same], cols[same], data[same]
+    np.add.at(blocks, (r // bs, r % bs, c % bs), v)
+    if shift:
+        blocks += float(shift) * np.eye(bs, dtype=data.dtype)
+    # unit diagonal on the zero padding of the trailing block (and any
+    # empty rows), so the inverse exists and acts as identity there
+    tail = np.arange(nb * bs) >= N
+    empty = np.abs(blocks).sum(axis=2).reshape(-1) == 0
+    fix = (tail | empty).reshape(nb, bs)
+    bidx, lidx = np.nonzero(fix)
+    blocks[bidx, lidx, lidx] = 1.0
+    inv = jnp.asarray(np.linalg.inv(blocks))
+
+    pad = nb * bs - N
+
+    def matvec(x):
+        xr = (
+            jnp.pad(x, (0, pad)) if pad else x
+        ).reshape(nb, bs)
+        y = jnp.einsum("bij,bj->bi", inv, xr).reshape(-1)
+        return y[:N] if pad else y
+
+    matvec.blocks = inv
+    matvec.block_size = bs
+    matvec.shape = (N, N)
     return matvec

@@ -178,3 +178,94 @@ def test_multigrid_cg_on_mesh_matches_single_device():
     numpy.testing.assert_allclose(
         numpy.asarray(res.x), numpy.asarray(ref.x), rtol=1e-4, atol=1e-6
     )
+
+
+def _graph_laplacian(N=2000, band=40, deg=8, seed=11):
+    """Irregular (non-grid) SPD graph Laplacian with local-ish coupling
+    -- the unstructured-operator regime the grid gallery can't serve."""
+    import scipy.sparse as sp
+
+    rng = numpy.random.default_rng(seed)
+    rows = numpy.repeat(numpy.arange(N), deg)
+    cols = (rows + rng.integers(1, band, size=rows.size)) % N
+    W = sp.coo_matrix(
+        (rng.uniform(0.5, 2.0, rows.size), (rows, cols)), shape=(N, N)
+    )
+    W = W + W.T
+    L = sp.diags(numpy.asarray(W.sum(axis=1)).ravel()) - W
+    return (L + 1e-2 * sp.eye(N)).tocsr()
+
+
+def test_block_jacobi_exact_block_solves():
+    """M x equals the dense per-block solve, including a padded
+    trailing block (N not divisible by block_size)."""
+    A = _graph_laplacian(N=333)
+    M = ops.block_jacobi_preconditioner(A, block_size=40)
+    rng = numpy.random.default_rng(0)
+    x = rng.standard_normal(333)
+    Ad = A.toarray()
+    ref = numpy.zeros(333)
+    for i in range(0, 333, 40):
+        j = min(i + 40, 333)
+        ref[i:j] = numpy.linalg.solve(Ad[i:j, i:j], x[i:j])
+    numpy.testing.assert_allclose(
+        numpy.asarray(M(jnp.asarray(x))), ref, rtol=1e-12
+    )
+
+
+def test_block_jacobi_accepts_bcoo_matvec_and_beats_jacobi():
+    """From the BCOO matvec (sparse_from_scipy) the same blocks are
+    extracted, and CG takes strictly fewer iterations than with point
+    Jacobi on the irregular-graph Laplacian."""
+    A = _graph_laplacian()
+    Amv = ops.sparse_from_scipy(A)
+    b = jnp.ones(A.shape[0], jnp.float64)
+    Mj = ops.jacobi_preconditioner(Amv)
+    Mbj = ops.block_jacobi_preconditioner(Amv, block_size=40)
+    rj = F.cg(Amv, b, M=Mj, tol=1e-8, maxiter=2000)
+    rb = F.cg(Amv, b, M=Mbj, tol=1e-8, maxiter=2000)
+    assert bool(rj.converged) and bool(rb.converged)
+    assert int(rb.niter) < int(rj.niter), (int(rb.niter), int(rj.niter))
+    # and through the config-3 solver stack (right-preconditioned GMRES)
+    rg = F.gmres(Amv, b, Mr=Mbj, tol=1e-8, maxiter=400)
+    rgj = F.gmres(Amv, b, Mr=Mj, tol=1e-8, maxiter=400)
+    assert int(rg.niter) < int(rgj.niter)
+
+
+def test_block_jacobi_singular_block_shift():
+    """An indefinite operator whose diagonal block is exactly singular
+    factors once `shift` regularizes it."""
+    import scipy.sparse as sp
+
+    d = numpy.r_[numpy.zeros(4), numpy.linspace(1, 2, 28)]
+    A = sp.diags(d).tocsr()
+    M = ops.block_jacobi_preconditioner(A, block_size=4, shift=1e-3)
+    y = M(jnp.ones(32))
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_block_jacobi_adds_no_collectives():
+    """The batched block apply is shard-local: preconditioned CG emits
+    exactly as many all-reduces per iteration as point-Jacobi CG on a
+    mesh."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from helpers import loop_body_allreduces
+
+    import jax
+
+    from krypy_tpu import parallel
+
+    A = _graph_laplacian(N=2048)
+    Amv = ops.sparse_from_scipy(A)
+    mesh = parallel.make_mesh(8)
+    b = parallel.shard_vector(jnp.ones(2048, jnp.float64), mesh)
+    Mj = ops.jacobi_preconditioner(Amv)
+    Mbj = ops.block_jacobi_preconditioner(Amv, block_size=32)
+    with mesh:
+        fj = jax.jit(lambda v: F.cg(Amv, v, M=Mj, tol=1e-8, maxiter=64))
+        fb = jax.jit(lambda v: F.cg(Amv, v, M=Mbj, tol=1e-8, maxiter=64))
+    assert loop_body_allreduces(fb, b, mesh=mesh) == loop_body_allreduces(
+        fj, b, mesh=mesh
+    )
