@@ -32,6 +32,10 @@ jax.config.update("jax_enable_x64", True)
 # between modules bounds the live-executable count; measured cost is
 # ~nil (the full grid ran 27:30 with clearing, in line with the
 # default run, because cross-module cache reuse is rare).
+# The STRUCTURAL fix is process sharding: `-n auto --dist loadscope`
+# (pytest-xdist, CI default) keeps whole modules per worker so each
+# process compiles ~1/N of the executables; this fixture stays as
+# belt-and-braces for serial runs (this container has one CPU).
 import pytest  # noqa: E402
 
 
