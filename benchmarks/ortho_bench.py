@@ -52,6 +52,11 @@ def sweep_bytes(ortho, m, N, itemsize=4):
         elif ortho == "cgs2_fused":
             h = _bucket_of(k, heights)
             sweeps = 3  # fused kernel, prefix BlockSpec
+        elif ortho == "cgs2_1r":
+            # one fused (m+2, N) x (N, 2) contraction + two update
+            # sweeps; full-height masked rows (the lagged buffer is not
+            # bucketed), one extra row
+            h, sweeps = m + 2, 3
         elif ortho == "bmgs2":
             h = min((k // 16 + 1) * 16, m + 1)
             sweeps = 4
@@ -179,7 +184,7 @@ def main():
         return bs
 
     results = {}
-    for ortho in ("cgs2", "cgs2_fused", "bmgs2"):
+    for ortho in ("cgs2", "cgs2_fused", "cgs2_1r", "bmgs2"):
 
         @jax.jit
         def multi(bs, o=ortho):

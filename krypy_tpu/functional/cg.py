@@ -6,6 +6,20 @@ per iteration one matvec, one preconditioner application, two fused inner
 products (all-reduces on a mesh) and three axpys.  The updated-vs-explicit
 residual policy of the reference (krypy/linsys.py:430-493) is preserved via
 ``lax.cond``.
+
+``variant="1r"`` swaps in the single-reduction rearrangement
+(Chronopoulos & Gear 1989; D'Azevedo/Eijkhout/Romine 1993): an extra
+coupled recurrence ``s_k = A p_k`` lets :math:`\\alpha_k` be derived from
+:math:`\\gamma_k = \\langle r_k, u_k\\rangle` and
+:math:`\\delta_k = \\langle u_k, A u_k\\rangle` instead of a second
+fresh inner product, and both scalars come out of ONE stacked ``(2, N)
+x (N,)`` contraction -- one partial-dot + all-reduce per iteration on a
+sharded mesh (pinned on compiled HLO in tests/test_collectives.py),
+half the classic variant's sync points, at the cost of two extra axpys
+and the usual mild round-off penalty of the rearranged
+:math:`\\alpha` recurrence (the explicit-residual policy still verifies
+candidate solutions against the TRUE residual, so the penalty shows up
+as extra iterations near the floor, never as a wrong answer).
 """
 
 from typing import NamedTuple
@@ -43,6 +57,11 @@ class _CgState(NamedTuple):
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray   # scalar-0 buffer when unused
     warn_explicit: jnp.ndarray
+    # --- one-reduce (variant="1r") extras; zero-size in the classic ---
+    w: jnp.ndarray          # A-applied preconditioned residual  A u_k
+    s: jnp.ndarray          # coupled direction recurrence  A p_k
+    delta: jnp.ndarray      # <u_k, A u_k>
+    alpha_old: jnp.ndarray
 
 
 def cg(
@@ -63,6 +82,7 @@ def cg(
     operator_override=None,
     projected_r0=None,
     correct_xk=None,
+    variant="classic",
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned CG in one compiled while_loop.
@@ -82,6 +102,15 @@ def cg(
     deflation hooks (see :mod:`krypy_tpu.functional.deflation`): they
     replace the iteration operator with the projected one, project the
     initial residual, and correct candidate solutions.
+
+    :param variant: ``"classic"`` (two fused inner products per
+      iteration -- the reference recurrence), ``"1r"`` (single-reduction
+      Chronopoulos-Gear rearrangement: exactly ONE all-reduce per
+      iteration on a mesh, see the module docstring; needs the
+      Euclidean or operator-weighted inner product -- a scalar callable
+      ``ip`` cannot be batched into the fused contraction), or
+      ``"auto"`` (``"1r"`` when tracing under a multi-device mesh
+      context -- the latency-bound regime -- else ``"classic"``).
 
     :param A: matvec callable / matrix / LinearOperator.
     :param b: right hand side ``(N,)`` (or ``(N,1)``, returned likewise).
@@ -103,7 +132,27 @@ def cg(
     M_mv = as_matvec(M)
     Ml_mv = as_matvec(Ml)
     Mr_mv = as_matvec(Mr)
-    pair, _ = make_inner(ip)
+    pair, rows = make_inner(ip)
+
+    _scalar_ip = ip is not None and not (
+        hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+    )
+    if variant == "auto":
+        from ..parallel import active_mesh_size
+
+        variant = (
+            "1r" if active_mesh_size() > 1 and not _scalar_ip else "classic"
+        )
+    if variant not in ("classic", "1r"):
+        raise ValueError(f"unknown cg variant {variant!r}")
+    one_reduce = variant == "1r"
+    if one_reduce and _scalar_ip:
+        raise ValueError(
+            "variant='1r' supports the Euclidean or operator-weighted "
+            "inner product only (the one-reduce fusion batches both "
+            "scalars through one stacked contraction, which a scalar "
+            "callable ip cannot express)"
+        )
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
@@ -173,19 +222,41 @@ def cg(
 
     def body(state):
         k = state.k
-        p = jnp.where(
-            k > 0,
-            state.MMlr + safe_div(state.rho, state.rho_old) * state.p,
-            state.p,
-        )
-        Ap = MlAMr(p)
-        alpha = jnp.real(safe_div(state.rho, jnp.real(pair(p, Ap))))
+        if one_reduce:
+            # Chronopoulos-Gear: alpha from the gamma/delta recurrence,
+            # both scalars from ONE stacked contraction at the bottom.
+            beta = jnp.where(k > 0, safe_div(state.rho, state.rho_old), 0.0)
+            pAp = jnp.real(state.delta) - jnp.where(
+                k > 0, safe_div(beta, state.alpha_old), 0.0
+            ) * state.rho
+            alpha = safe_div(state.rho, pAp)
+            p = state.MMlr + beta.astype(dtype) * state.p
+            s = state.w + beta.astype(dtype) * state.s
+            y = state.y + alpha.astype(dtype) * p
+            Mlr = state.Mlr - alpha.astype(dtype) * s
+            MMlr = apply(M_mv, Mlr)
+            w = MlAMr(MMlr)
+            # gamma = <Mlr, u>_B, delta = <u, A u>_B in one (2, N)x(N,)
+            # contraction: the single per-iteration all-reduce on a mesh
+            both = rows(jnp.stack([Mlr, w]), MMlr)
+            rho_new = jnp.maximum(jnp.real(both[0]), 0.0)
+            delta = jnp.real(both[1])
+            MMlr_norm = jnp.sqrt(rho_new)
+        else:
+            p = jnp.where(
+                k > 0,
+                state.MMlr + safe_div(state.rho, state.rho_old) * state.p,
+                state.p,
+            )
+            Ap = MlAMr(p)
+            alpha = jnp.real(safe_div(state.rho, jnp.real(pair(p, Ap))))
 
-        y = state.y + alpha * p
-        Mlr = state.Mlr - alpha * Ap
-        MMlr = apply(M_mv, Mlr)
-        MMlr_norm = norm_from_pair(pair, Mlr, MMlr)
-        rho_new = MMlr_norm**2
+            y = state.y + alpha * p
+            Mlr = state.Mlr - alpha * Ap
+            MMlr = apply(M_mv, Mlr)
+            MMlr_norm = norm_from_pair(pair, Mlr, MMlr)
+            rho_new = MMlr_norm**2
+            w, s, delta = state.w, state.s, state.delta
 
         rel_upd = safe_div(MMlr_norm, MMlb_norm)
         need_explicit = (
@@ -226,14 +297,30 @@ def cg(
         return _CgState(
             k + 1, y, Mlr, MMlr, p, rho_corrected, state.rho, rel,
             best_rel, since_best, y_best, resnorms, errnorms, warn,
+            w, s, delta,
+            alpha.astype(real_dtype) if one_reduce else state.alpha_old,
         )
 
+    if one_reduce:
+        w0 = MlAMr(MMlr0)
+        delta0 = jnp.real(pair(MMlr0, w0))
+        # p/s start at zero: the k=0 body step (beta=0) seats p=u0, s=w0
+        p0 = jnp.zeros(N, dtype)
+        extras = (w0, p0, delta0, jnp.asarray(1.0, real_dtype))
+    else:
+        p0 = MMlr0
+        extras = (
+            jnp.zeros(0, dtype),
+            jnp.zeros(0, dtype),
+            jnp.asarray(0.0, real_dtype),
+            jnp.asarray(1.0, real_dtype),
+        )
     init = _CgState(
         jnp.asarray(0),
         jnp.zeros(N, dtype),
         Mlr0,
         MMlr0,
-        MMlr0,
+        p0,
         MMlr0_norm**2,
         jnp.asarray(1.0, real_dtype),
         rel0,
@@ -243,6 +330,7 @@ def cg(
         resnorms0,
         errnorms0,
         jnp.asarray(False),
+        *extras,
     )
     final = lax.while_loop(cond, body, init)
 

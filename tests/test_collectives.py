@@ -86,6 +86,45 @@ def test_gmres_one_reduce_single_collective_per_iteration(mesh_and_problem):
     assert float(jnp.linalg.norm(r_onered.x - r_classic.x)) <= 1e-4
 
 
+def test_cg_one_reduce_single_collective_per_iteration(mesh_and_problem):
+    """cg(variant='1r') (Chronopoulos-Gear) communicates exactly ONCE
+    per iteration: gamma = <r, u> and delta = <u, A u> come out of one
+    stacked (2, N) x (N,) contraction -> one partial-dot + all-reduce;
+    the classic recurrence pays 2 (<p, Ap> + the residual norm).
+    variant='auto' must resolve to the one-reduce scheme under a mesh
+    context, bitwise-identical to the explicit variant."""
+    mesh, lap, b = mesh_and_problem
+    Mj = ops.jacobi_preconditioner(lap)
+    with mesh:
+        # tol sits above the fixture's f32 TRUE-residual floor (~2e-4:
+        # the explicit-residual verification, not the updated recurrence,
+        # decides convergence)
+        classic = jax.jit(
+            lambda v: F.cg(lap, v, M=Mj, tol=1e-3, maxiter=256)
+        )
+        onered = jax.jit(
+            lambda v: F.cg(lap, v, M=Mj, tol=1e-3, maxiter=256,
+                           variant="1r")
+        )
+        auto = jax.jit(
+            lambda v: F.cg(lap, v, M=Mj, tol=1e-3, maxiter=256,
+                           variant="auto")
+        )
+    assert _max_body_allreduces(classic, b, mesh) == 2
+    assert _max_body_allreduces(onered, b, mesh) == 1
+    assert _max_body_allreduces(auto, b, mesh) == 1
+    with mesh:
+        r_onered = onered(b)
+        r_auto = auto(b)
+        r_classic = classic(b)
+    assert bool(r_onered.converged) and bool(r_classic.converged)
+    assert float(jnp.linalg.norm(r_auto.x - r_onered.x)) == 0.0
+    assert float(
+        jnp.linalg.norm(r_onered.x - r_classic.x)
+        / jnp.linalg.norm(r_classic.x)
+    ) <= 1e-2
+
+
 def test_ca_cg_fewer_collectives_per_iteration(mesh_and_problem):
     mesh, lap, b = mesh_and_problem
     Mj = ops.jacobi_preconditioner(lap)

@@ -92,6 +92,83 @@ def test_gmres_one_reduce_matches_cgs2(variant):
     )
 
 
+@pytest.mark.parametrize(
+    "variant", ["plain", "jacobi", "split_precond", "weighted",
+                "complex", "deflated"]
+)
+def test_cg_one_reduce_matches_classic(variant):
+    """cg(variant='1r') (single-reduction Chronopoulos-Gear) delivers
+    the classic iterates -- same count, fp-level agreement -- across
+    preconditioned, weighted-ip, complex-Hermitian, and deflated
+    setups.  The weighted case uses A = B^{-1} C (C Hermitian pos.
+    def.) so A is genuinely self-adjoint in the B-inner product."""
+    rng = numpy.random.default_rng(7)
+    N = 100
+    Q, _ = numpy.linalg.qr(rng.standard_normal((N, N)))
+    C = (Q * numpy.linspace(1, 80, N)) @ Q.T
+    C = (C + C.T) / 2
+    A = C
+    b = rng.standard_normal(N)
+    kw = dict(tol=1e-10, maxiter=300)
+    if variant == "jacobi":
+        d = numpy.abs(numpy.diag(A))
+        kw["M"] = lambda x: x / jnp.asarray(d)
+    elif variant == "split_precond":
+        d = jnp.asarray(numpy.linspace(1, 2, N))
+        kw["Ml"] = lambda x: x / d
+        kw["Mr"] = lambda x: x / d
+        A = numpy.asarray(d)[:, None] * C * numpy.asarray(d)[None, :]
+    elif variant == "weighted":
+        Bd = numpy.linspace(0.5, 2.0, N)
+        A = (C.T / Bd).T  # B^{-1} C: self-adjoint wrt <x, By>
+        kw["ip"] = jnp.asarray(numpy.diag(Bd))
+    elif variant == "complex":
+        Qc, _ = numpy.linalg.qr(
+            rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+        )
+        A = (Qc * numpy.linspace(1, 80, N)) @ Qc.conj().T
+        A = (A + A.conj().T) / 2
+        b = b + 1j * rng.standard_normal(N)
+
+    if variant == "deflated":
+        U = jnp.asarray(rng.standard_normal((N, 3)))
+        solve = lambda v: F.deflated_cg(
+            jnp.asarray(A), jnp.asarray(b), U, variant=v, **kw
+        )
+    else:
+        solve = lambda v: F.cg(jnp.asarray(A), jnp.asarray(b), variant=v,
+                               **kw)
+    ref = solve("classic")
+    res = solve("1r")
+    assert int(res.status) == F.CONVERGED
+    assert abs(int(res.niter) - int(ref.niter)) <= 1
+    assert numpy.allclose(
+        numpy.asarray(res.x), numpy.asarray(ref.x), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_cg_one_reduce_policies_and_eligibility():
+    """The explicit-residual and stagnation-guard policies work
+    unchanged under the one-reduce recurrence; a scalar-callable ip is
+    rejected (cannot be batched into the fused contraction)."""
+    A, b = _readme_system()
+    ref = F.cg(jnp.asarray(A), jnp.asarray(b), tol=1e-8,
+               explicit_residual=True, variant="1r")
+    assert int(ref.status) == F.CONVERGED
+    x = numpy.asarray(ref.x)
+    assert numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b) <= 1e-8
+    # f32 floor: the guard stops and returns the best iterate
+    lap = ops.poisson_2d(24)
+    guarded = F.cg(lap, jnp.ones(576, jnp.float32), tol=0.0,
+                   maxiter=2000, stagnation_window=15, variant="1r")
+    assert int(guarded.niter) < 2000
+    with pytest.raises(ValueError):
+        F.cg(jnp.asarray(A), jnp.asarray(b), variant="1r",
+             ip=lambda x, y: jnp.vdot(x, y))
+    with pytest.raises(ValueError):
+        F.cg(jnp.asarray(A), jnp.asarray(b), variant="bogus")
+
+
 def test_gmres_one_reduce_eligibility():
     A, b = _readme_system()
     with pytest.raises(ValueError):
