@@ -61,36 +61,44 @@ def main():
     )
     b = jnp.ones(args.size, jnp.float32)
 
+    t0 = time.perf_counter()
+    Mspai = ops.spai_preconditioner(A)
+    spai_setup = time.perf_counter() - t0
+    print(json.dumps({"spai_setup_s": round(spai_setup, 2),
+                      "spai_residual": round(Mspai.spai_residual, 4)}),
+          flush=True)
     precs = {
         "jacobi": ops.jacobi_preconditioner(Amv),
         f"block_jacobi_bs{args.bs}": ops.block_jacobi_preconditioner(
             Amv, block_size=args.bs
         ),
+        "spai": Mspai,
     }
     rows = {}
     for name, M in precs.items():
         import jax
 
-        cg = jax.jit(
-            lambda v, M=M: F.cg(Amv, v, M=M, tol=args.tol, maxiter=2000)
-        )
-        r = cg(b)
-        _sync(r.x)  # compile+run
-        best = float("inf")
-        for rep in range(3):
-            bb = b * (1.0 + 1e-6 * rep)
-            _sync(bb)
-            t0 = time.perf_counter()
-            r = cg(bb)
-            _sync(r.x)
-            best = min(best, time.perf_counter() - t0)
+        row = {}
+        if name != "spai":  # SPAI is nonsymmetric: GMRES(Mr=) only
+            cg = jax.jit(
+                lambda v, M=M: F.cg(Amv, v, M=M, tol=args.tol,
+                                    maxiter=2000)
+            )
+            r = cg(b)
+            _sync(r.x)  # compile+run
+            best = float("inf")
+            for rep in range(3):
+                bb = b * (1.0 + 1e-6 * rep)
+                _sync(bb)
+                t0 = time.perf_counter()
+                r = cg(bb)
+                _sync(r.x)
+                best = min(best, time.perf_counter() - t0)
+            row.update(cg_iters=int(r.niter), cg_wall_s=round(best, 4),
+                       converged=bool(r.converged))
         gm = F.gmres(Amv, b, Mr=M, tol=args.tol, maxiter=500)
-        rows[name] = {
-            "cg_iters": int(r.niter),
-            "cg_wall_s": round(best, 4),
-            "gmres_iters": int(gm.niter),
-            "converged": bool(r.converged),
-        }
+        row["gmres_iters"] = int(gm.niter)
+        rows[name] = row
         print(json.dumps({"prec": name, "N": args.size, **rows[name]}),
               flush=True)
 

@@ -70,7 +70,6 @@ from jax import lax
 from .common import (
     CONVERGED,
     MAXITER,
-    SolveResult,
     apply,
     as_matvec,
     breakdown_threshold,

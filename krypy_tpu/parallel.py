@@ -60,7 +60,7 @@ def active_mesh():
             m = pxla.thread_resources.env.physical_mesh
         if not m.empty and m.devices.size > 1:
             return m
-    except Exception:
+    except (ImportError, AttributeError):
         pass
     return None
 
@@ -81,7 +81,7 @@ def active_mesh_size():
         m = get_abstract_mesh()
         if m is not None and not m.empty:
             return int(m.size)
-    except Exception:
+    except (ImportError, AttributeError):
         pass
     try:
         import warnings
@@ -93,7 +93,7 @@ def active_mesh_size():
             m = pxla.thread_resources.env.physical_mesh
         if not m.empty:
             return int(m.devices.size)
-    except Exception:
+    except (ImportError, AttributeError):
         pass
     return 0
 

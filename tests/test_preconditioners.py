@@ -321,3 +321,109 @@ def test_dia_from_scipy_wraparound_and_guard():
         ops.dia_from_scipy(
             sp.random(256, 256, 0.4, random_state=0), max_diags=32
         )
+
+
+def test_spai_exact_on_representable_inverses():
+    """When the pattern can represent A^{-1} exactly, SPAI delivers it
+    (diagonal A; complex shifted diagonal), and the certificate says so."""
+    import scipy.sparse as sp
+
+    d = numpy.linspace(1.0, 5.0, 50)
+    M = ops.spai_preconditioner(sp.diags(d).tocsr())
+    assert M.spai_residual < 1e-10
+    x = jnp.asarray(numpy.random.default_rng(0).standard_normal(50))
+    numpy.testing.assert_allclose(
+        numpy.asarray(M(x)), numpy.asarray(x) / d, rtol=1e-10
+    )
+    C = sp.diags(d[:32]).tocsr().astype(numpy.complex128) + 2j * sp.eye(32)
+    Mc = ops.spai_preconditioner(C)
+    assert Mc.spai_residual < 1e-10
+
+
+def _nonsym_graph_operator(N=2048, seed=3):
+    import scipy.sparse as sp
+
+    rng = numpy.random.default_rng(seed)
+    rows = numpy.repeat(numpy.arange(N), 6)
+    cols = (rows + rng.integers(1, 24, rows.size)) % N
+    W = sp.coo_matrix(
+        (rng.uniform(0.5, 2.0, rows.size), (rows, cols)), shape=(N, N)
+    )
+    deg = numpy.asarray(W.sum(axis=1)).ravel() + numpy.asarray(
+        W.sum(axis=0)
+    ).ravel()
+    return (
+        sp.diags(deg) - 1.7 * W - 0.3 * W.T + 0.5 * sp.eye(N)
+    ).tocsr()
+
+
+def test_spai_beats_jacobi_on_nonsymmetric_unstructured():
+    """SPAI (right) preconditioning on a convection-dominated irregular
+    graph operator: fewer GMRES iterations than Jacobi; pattern='A2'
+    fewer still, with a monotone certificate."""
+    A = _nonsym_graph_operator()
+    Amv = ops.dia_from_scipy(A)
+    Ms = ops.spai_preconditioner(Amv)          # accepts the matvec form
+    M2 = ops.spai_preconditioner(A, pattern="A2")
+    assert 0 < M2.spai_residual < Ms.spai_residual < 1
+    b = jnp.ones(A.shape[0], jnp.float64)
+    kw = dict(tol=1e-8, maxiter=400)
+    gj = F.gmres(Amv, b, Mr=ops.jacobi_preconditioner(Amv), **kw)
+    gs = F.gmres(Amv, b, Mr=Ms, **kw)
+    g2 = F.gmres(Amv, b, Mr=M2, **kw)
+    assert bool(gs.converged) and bool(g2.converged)
+    assert int(gs.niter) < 0.7 * int(gj.niter)
+    assert int(g2.niter) < int(gs.niter)
+    # certificate: residual of the solve is genuine
+    x = numpy.asarray(gs.x)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(
+        numpy.asarray(b)
+    )
+    assert rel <= 1e-7
+
+
+def test_spai_sharded_adds_no_collectives():
+    """The SPAI application is a plain sparse matvec: a preconditioned
+    GMRES iteration emits exactly as many all-reduces as a plain one."""
+    import jax
+
+    from krypy_tpu import parallel
+    from helpers import loop_body_allreduces
+
+    A = _nonsym_graph_operator(N=4096)
+    Amv = ops.dia_from_scipy(A)
+    Ms = ops.spai_preconditioner(A)
+    mesh = parallel.make_mesh(8)
+    b = parallel.shard_vector(jnp.ones(4096, jnp.float32), mesh)
+    with mesh:
+        plain = jax.jit(
+            lambda v: F.gmres(Amv, v, tol=1e-6, maxiter=16, ortho="cgs2")
+        )
+        prec = jax.jit(
+            lambda v: F.gmres(Amv, v, Mr=Ms, tol=1e-6, maxiter=16,
+                              ortho="cgs2")
+        )
+        r = prec(b)
+    assert loop_body_allreduces(prec, b, mesh=mesh) == loop_body_allreduces(
+        plain, b, mesh=mesh
+    )
+    assert numpy.isfinite(float(r.resnorms[int(r.niter)]))
+
+
+def test_spai_format_and_validation():
+    import scipy.sparse as sp
+
+    A = _nonsym_graph_operator(N=512)
+    Mb = ops.spai_preconditioner(A, format="bcoo")
+    Md = ops.spai_preconditioner(A, format="dia")
+    x = jnp.asarray(numpy.random.default_rng(1).standard_normal(512))
+    numpy.testing.assert_allclose(
+        numpy.asarray(Mb(x)), numpy.asarray(Md(x)), rtol=1e-6, atol=1e-9
+    )
+    with pytest.raises(ValueError, match="pattern"):
+        ops.spai_preconditioner(A, pattern="bogus")
+    with pytest.raises(ValueError, match="format"):
+        ops.spai_preconditioner(A, format="bogus")
+    # dense input path
+    Mdense = ops.spai_preconditioner(numpy.diag(numpy.arange(1.0, 9.0)))
+    assert Mdense.spai_residual < 1e-10
