@@ -481,9 +481,13 @@ def gmres(
 
             # THE one fused reduction of the iteration: second GS pass
             # of u, its norm (Pythagorean identity on the same row), and
-            # the first GS pass of w = op(u)
-            Z = jnp.dot(
-                state.V.conj(), jnp.stack([prep(u), prep(w)], axis=1)
+            # the first GS pass of w = op(u).  The pair is stacked
+            # ROW-major (2, N) and contracted over the trailing axis --
+            # a column-major (N, 2) operand would be lane-padded to
+            # (N, 128) on TPU (measured 2x iteration cost).
+            Z = jnp.einsum(
+                "mn,kn->mk", state.V.conj(),
+                jnp.stack([prep(u), prep(w)])
             )
             lt = jnp.arange(m + 2) < k
             r = jnp.where(lt, Z[:, 0], 0.0)

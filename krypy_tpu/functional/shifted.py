@@ -427,10 +427,13 @@ class _ShiftedCgState(NamedTuple):
     best_rel: jnp.ndarray
     stall: jnp.ndarray
     done: jnp.ndarray
+    # --- one-reduce (variant="1r") extras; zero-size in the classic ---
+    s_dir: jnp.ndarray        # (N,) coupled direction recurrence A p
+    delta: jnp.ndarray        # <r, A r>
 
 
 def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
-               stagnation_window=None):
+               stagnation_window=None, variant="classic"):
     r"""Solve the SPD shifted family ``(A + shifts[i] I) x_i = b`` by
     multi-shift CG in one compiled while_loop.
 
@@ -462,6 +465,17 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
       scale with the budget); 0 disables.  Costs one extra
       (n_shifts, N) buffer when enabled.
 
+    :param variant: ``"classic"`` (2 reductions per iteration:
+      :math:`\langle p, Ap\rangle` and the residual norm, independent
+      of the number of shifts), ``"1r"`` (single-reduction
+      Chronopoulos-Gear rearrangement of the SEED recurrence: the
+      coupled ``s = A p`` recurrence derives :math:`\alpha` from
+      :math:`\gamma = \langle r, r\rangle`,
+      :math:`\delta = \langle r, A r\rangle`, both out of ONE stacked
+      contraction -- so the ENTIRE multi-mass family costs one
+      all-reduce per iteration), or ``"auto"`` (``"1r"`` under a
+      multi-device mesh context).
+
     :return: :class:`ShiftedResult` (``resnorms`` holds the final TRUE
       relative residual per shift).
     """
@@ -484,19 +498,48 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
     bnorm = jnp.linalg.norm(bv)
     rho0 = jnp.real(jnp.vdot(bv, bv)).astype(real_dtype)
 
-    def body(st):
-        Ap = A_mv(st.p)
-        pAp = jnp.real(jnp.vdot(st.p, Ap)).astype(real_dtype)
-        alpha = safe_div(st.rho, pAp)
+    if variant == "auto":
+        from ..parallel import active_mesh_size
 
-        # base residual/direction update (the seed system's iterate is
-        # x[seed-shift rows]; the seed rides the same shifted recurrence
-        # with sigma = 0 ... except we keep it implicit: every row of x
-        # uses the zeta recurrence, which reduces to the plain CG update
-        # for sigma = 0, zeta = 1)
-        r_new = st.r - alpha.astype(dtype) * Ap
-        rho_new = jnp.real(jnp.vdot(r_new, r_new)).astype(real_dtype)
-        beta = safe_div(rho_new, st.rho)
+        variant = "1r" if active_mesh_size() > 1 else "classic"
+    if variant not in ("classic", "1r"):
+        raise ValueError(f"unknown shifted_cg variant {variant!r}")
+    one_reduce = variant == "1r"
+
+    def body(st):
+        if one_reduce:
+            # Chronopoulos-Gear on the seed: alpha from the
+            # gamma/delta recurrence, the coupled s = A p direction,
+            # and ONE stacked contraction for gamma_new/delta_new --
+            # the single all-reduce of the whole multi-mass iteration
+            pAp = st.delta - st.beta_old / jnp.where(
+                st.alpha_old == 0, 1.0, st.alpha_old
+            ) * st.rho
+            alpha = safe_div(st.rho, pAp)
+            r_new = st.r - alpha.astype(dtype) * st.s_dir
+            w_new = A_mv(r_new)
+            both = jnp.real(
+                jnp.einsum("kn,n->k", jnp.stack([r_new, w_new]).conj(),
+                           r_new)
+            ).astype(real_dtype)
+            rho_new = jnp.maximum(both[0], 0.0)
+            delta_new = both[1]
+            beta = safe_div(rho_new, st.rho)
+            s_new = w_new + beta.astype(dtype) * st.s_dir
+        else:
+            Ap = A_mv(st.p)
+            pAp = jnp.real(jnp.vdot(st.p, Ap)).astype(real_dtype)
+            alpha = safe_div(st.rho, pAp)
+
+            # base residual/direction update (the seed system's iterate
+            # is x[seed-shift rows]; the seed rides the same shifted
+            # recurrence with sigma = 0 ... except we keep it implicit:
+            # every row of x uses the zeta recurrence, which reduces to
+            # the plain CG update for sigma = 0, zeta = 1)
+            r_new = st.r - alpha.astype(dtype) * Ap
+            rho_new = jnp.real(jnp.vdot(r_new, r_new)).astype(real_dtype)
+            beta = safe_div(rho_new, st.rho)
+            s_new, delta_new = st.s_dir, st.delta
 
         # zeta recurrence (denominator guarded; a vanishing denominator
         # marks the shift as stalled, not NaN)
@@ -516,7 +559,9 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
             zeta_new[:, None].astype(dtype) * r_new[None, :]
             + beta_s[:, None].astype(dtype) * st.ps
         )
-        p = r_new + beta.astype(dtype) * st.p
+        # the base direction p only feeds <p, Ap> -- which the 1r
+        # recurrence replaces -- so skip its axpy there
+        p = st.p if one_reduce else r_new + beta.astype(dtype) * st.p
 
         # stop when every shifted residual |zeta| ||r|| meets tol
         rel = jnp.abs(zeta_new) * jnp.sqrt(
@@ -535,6 +580,7 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
         return _ShiftedCgState(
             st.k + 1, x, ps, r_new, p, rho_new, zeta_new, st.zeta,
             alpha, beta, x_best, best_rel, stall, done,
+            s_new, delta_new,
         )
 
     def cond(st):
@@ -544,6 +590,17 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
         return go
 
     ones = jnp.ones(s, real_dtype)
+    if one_reduce:
+        s0 = A_mv(bv)  # s_0 = A p_0 = A r_0
+        extras = (
+            s0,
+            jnp.real(jnp.vdot(bv, s0)).astype(real_dtype),
+        )
+    else:
+        extras = (
+            jnp.zeros(0, dtype),
+            jnp.asarray(0.0, real_dtype),
+        )
     init = _ShiftedCgState(
         jnp.asarray(0),
         jnp.zeros((s, N), dtype),
@@ -559,6 +616,7 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
         jnp.asarray(jnp.inf, real_dtype),
         jnp.asarray(0),
         jnp.asarray(False),
+        *extras,
     )
     final = lax.while_loop(cond, body, init)
     if stagnation_window > 0:

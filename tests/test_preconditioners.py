@@ -301,6 +301,32 @@ def test_dia_from_scipy_exact_and_sharded():
     assert bool(r.converged)
 
 
+def test_dia_sharded_lowers_to_neighbor_permutes():
+    """HLO pin for the DIA mesh claim: the rolls of the sharded matvec
+    lower to collective-permutes (neighbor traffic on ICI), never to
+    all-gathers or all-reduces."""
+    import re
+
+    import jax
+    import scipy.sparse as sp
+
+    from krypy_tpu import parallel
+
+    N = 4096
+    A = sp.diags(
+        [numpy.full(N, 4.0), -numpy.ones(N - 1), -numpy.ones(N - 1)],
+        [0, 1, -1],
+    ).tocsr()
+    Amv = ops.dia_from_scipy(A)
+    mesh = parallel.make_mesh(8)
+    x = parallel.shard_vector(jnp.ones(N, jnp.float32), mesh)
+    with mesh:
+        txt = jax.jit(Amv).lower(x).compile().as_text()
+    assert len(re.findall(r"collective-permute", txt)) > 0
+    assert len(re.findall(r"all-gather", txt)) == 0
+    assert len(re.findall(r"all-reduce", txt)) == 0
+
+
 def test_dia_from_scipy_wraparound_and_guard():
     """Periodic (ring) couplings land on their own far diagonals and
     stay exact; a dense-ish matrix trips the max_diags guard."""

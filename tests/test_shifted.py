@@ -181,6 +181,48 @@ def test_shifted_cg_collective_count_independent_of_shifts():
     assert n_body_allreduces(few) == n_body_allreduces(many)
 
 
+def test_shifted_cg_one_reduce_matches_classic_and_pins_hlo():
+    """variant='1r' (Chronopoulos-Gear seed recurrence): the ENTIRE
+    multi-mass family costs ONE all-reduce per iteration (classic: 2),
+    same iterates to fp; variant='auto' resolves to it under a mesh,
+    bitwise-identical."""
+    from helpers import loop_body_allreduces
+
+    lap = ops.poisson_2d(48)
+    b = jnp.ones(48 * 48, jnp.float64)
+    sh = jnp.asarray([0.0, 0.5, 2.0, 10.0])
+    rc = F.shifted_cg(lap, b, sh, tol=1e-10, maxiter=3000)
+    r1 = F.shifted_cg(lap, b, sh, tol=1e-10, maxiter=3000, variant="1r")
+    assert int(r1.niter) == int(rc.niter)
+    assert numpy.asarray(r1.status).tolist() == [F.CONVERGED] * 4
+    assert float(jnp.max(jnp.abs(rc.X - r1.X))) <= 1e-12
+
+    mesh = parallel.make_mesh(8)
+    lap2 = ops.poisson_2d(64)
+    bs = parallel.shard_vector(jnp.ones(64 * 64, jnp.float32), mesh)
+    fc = jax.jit(
+        lambda v: F.shifted_cg(lap2, v, sh, tol=1e-4, maxiter=300)
+    )
+    f1 = jax.jit(
+        lambda v: F.shifted_cg(lap2, v, sh, tol=1e-4, maxiter=300,
+                               variant="1r")
+    )
+    fa = jax.jit(
+        lambda v: F.shifted_cg(lap2, v, sh, tol=1e-4, maxiter=300,
+                               variant="auto")
+    )
+    assert loop_body_allreduces(fc, bs, mesh=mesh) == 2
+    assert loop_body_allreduces(f1, bs, mesh=mesh) == 1
+    assert loop_body_allreduces(fa, bs, mesh=mesh) == 1
+    with mesh:
+        ra, rb = fa(bs), f1(bs)
+    assert float(jnp.linalg.norm(ra.X - rb.X)) == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="variant"):
+        F.shifted_cg(lap, b, sh, variant="bogus")
+
+
 def test_shifted_cg_f32_divergence_guard_returns_best():
     """f32 family pushed far past the attainable floor: the seed
     stagnation guard must return the BEST-seed snapshot (finite, near
