@@ -58,3 +58,12 @@ def test_randomized_lane_example(capsys):
     assert "converged=True" in out
     assert "hutch++" in out
     assert "sketched_eigs" in out
+
+
+def test_unstructured_example(capsys):
+    _run("examples/unstructured.py")
+    out = capsys.readouterr().out
+    assert "RCM: occupied diagonals" in out
+    assert "DIA matvec" in out
+    assert "SPAI certificate" in out
+    assert "all converged: True" in out
