@@ -128,6 +128,40 @@ def make_inner(ip):
     raise TypeError(f"cannot interpret inner product of type {type(ip)}")
 
 
+def make_gram(ip):
+    """Build a fused cross-Gram form for the one-reduce rearrangements.
+
+    ``gram(L, R) -> (k, k)`` computes :math:`G_{ij} = \\langle L_i,
+    R_j\\rangle` for row-stacked vector bundles in ONE ``(k, N) x (N, k)``
+    contraction -- a single partial-dot + all-reduce on a mesh whose N
+    axis is sharded, regardless of how many scalars are read off G.
+
+    Scalar-callable inner products cannot be batched into one
+    contraction; callers must reject them before reaching here (the
+    one-reduce variants raise ``ValueError``).
+    """
+    if ip is None:
+        def gram(L, R):
+            return jnp.einsum("iN,jN->ij", L.conj(), R)
+
+        return gram
+
+    if hasattr(ip, "ndim") or hasattr(ip, "dot") and hasattr(ip, "shape"):
+        Bmv = as_matvec(ip)
+
+        def gram(L, R):
+            # B applications are local matvecs; the einsum is the one
+            # mesh sync point
+            return jnp.einsum("iN,jN->ij", L.conj(), jax.vmap(Bmv)(R))
+
+        return gram
+
+    raise TypeError(
+        "one-reduce fusion needs the Euclidean or operator-weighted "
+        f"inner product, got {type(ip)}"
+    )
+
+
 def norm_from_pair(pair, x, y=None):
     """sqrt(Re <x, y>) with the given pair product."""
     val = pair(x, x if y is None else y)

@@ -5,6 +5,38 @@ rotations + three-column solution recurrence, O(1) memory in the iteration
 count (reference: krypy/linsys.py:791-853).  The whole iteration compiles
 into one ``lax.while_loop``: per step one matvec, one optional M apply, two
 fused inner products (mesh all-reduces) and a handful of axpys.
+
+``variant="1r"`` swaps in the single-reduction Lanczos rearrangement: the
+2x2 cross-Gram of the current basis vector and the unorthogonalized
+:math:`w = M_l A M_r v_k - \\beta_k p_{k-1}` -- :math:`\\nu_k =
+\\|v_k\\|_M^2`, :math:`\\alpha_k' = \\langle v_k, w\\rangle_M` and
+:math:`\\sigma_k = \\|w\\|_M^2` -- comes out of ONE ``(2, N) x (N, 2)``
+contraction, and the new subdiagonal follows by the Pythagorean identity
+:math:`\\beta_{k+1}^2 = \\sigma_k - \\alpha_k'^2/\\nu_k` with
+:math:`\\alpha_k = \\alpha_k'/\\nu_k` the projection coefficient.  One
+partial-dot + all-reduce per iteration on a sharded mesh (pinned on
+compiled HLO in tests/test_collectives.py) instead of the classic two.
+
+MEASURING :math:`\\nu_k` instead of assuming 1 is load-bearing: the naive
+:math:`\\sigma - \\alpha^2` form feeds its own rounding error back through
+the next normalization (:math:`\\|v_{k+1}\\| = 1 + O(\\epsilon\\,
+\\sigma/\\beta^2)`), which compounds GEOMETRICALLY and breaks the
+recurrence within ~25 iterations on a 64x64 Poisson operator; with the
+measured-Gram correction the identity is exact for any :math:`\\nu` and
+the drift is absorbed every step (observed: :math:`|\\nu - 1| <
+10^{-14}` f64 / :math:`5\\cdot 10^{-6}` f32 over 300 iterations, beta
+matching the explicit norm to the same precision).  With ``M`` the
+scheme pays a second (local, sync-free) M application per iteration:
+the Gram needs :math:`M w` BEFORE the :math:`\\alpha` subtraction while
+the next basis vector needs :math:`M w_2` after it, and deriving the
+latter by the axpy recurrence :math:`M w - \\alpha v` lets the
+:math:`v = M p` invariant's rounding error compound by
+:math:`1/\\beta` per iteration.  The residual
+cancellation caveat remains near an invariant subspace
+(:math:`\\sigma \\approx \\alpha^2`), where a rounding-negative
+difference clamps to zero and registers as the usual breakdown; the
+explicit-residual policy still verifies candidates against the TRUE
+residual.
 """
 
 from typing import NamedTuple
@@ -23,6 +55,7 @@ from .common import (
     cast_matvec,
     breakdown_threshold,
     givens_traced,
+    make_gram,
     make_inner,
     norm_from_pair,
     safe_div,
@@ -73,12 +106,23 @@ def minres(
     operator_override=None,
     projected_r0=None,
     correct_xk=None,
+    variant="classic",
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b` (:math:`M_l A M_r`
     self-adjoint w.r.t. ``ip``), :math:`x = M_r y`, with preconditioned
     MINRES in one compiled while_loop.
 
     Parameters and result as in :func:`krypy_tpu.functional.cg.cg`.
+
+    :param variant: ``"classic"`` (two fused inner products per
+      iteration -- the reference Lanczos step), ``"1r"``
+      (single-reduction rearrangement: :math:`\alpha` and the squared
+      pre-subtraction norm from one stacked contraction, the new
+      :math:`\beta` by Pythagoras -- exactly ONE all-reduce per
+      iteration on a mesh, see the module docstring; needs the
+      Euclidean or operator-weighted inner product), or ``"auto"``
+      (``"1r"`` when tracing under a multi-device mesh context -- the
+      latency-bound regime -- else ``"classic"``).
     """
     b = jnp.asarray(b)
     flat = b.ndim == 1
@@ -92,6 +136,27 @@ def minres(
     Mr_mv = as_matvec(Mr)
     pair, _ = make_inner(ip)
     with_M = M_mv is not None
+
+    _scalar_ip = ip is not None and not (
+        hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+    )
+    if variant == "auto":
+        from ..parallel import active_mesh_size
+
+        variant = (
+            "1r" if active_mesh_size() > 1 and not _scalar_ip else "classic"
+        )
+    if variant not in ("classic", "1r"):
+        raise ValueError(f"unknown minres variant {variant!r}")
+    one_reduce = variant == "1r"
+    if one_reduce and _scalar_ip:
+        raise ValueError(
+            "variant='1r' supports the Euclidean or operator-weighted "
+            "inner product only (the one-reduce fusion batches nu, alpha "
+            "and the squared norm through one cross-Gram contraction, "
+            "which a scalar callable ip cannot express)"
+        )
+    gram = make_gram(ip) if one_reduce else None
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
@@ -175,13 +240,43 @@ def minres(
         # krypy/utils.py:1000-1034)
         w = MlAMr(state.v_cur)
         w = w - state.beta * (state.p_old if with_M else state.v_old)
-        alpha = jnp.real(pair(state.v_cur, w))
-        w = w - alpha * (state.p_cur if with_M else state.v_cur)
-        if with_M:
-            Mw = apply(M_mv, w)
-            beta_new = norm_from_pair(pair, w, Mw)
+        if one_reduce:
+            # 2x2 cross-Gram in ONE contraction: rows [dual, w] against
+            # columns [v, M w] give nu = ||p||_M^2 (measured, the
+            # stability anchor -- see the module docstring), alpha' =
+            # <p, M w> = <v, w> (M self-adjoint w.r.t. ip -- the
+            # solver's standing assumption) and sigma = ||w||_M^2.
+            # beta by the nu-corrected Pythagorean identity; a
+            # rounding-negative difference clamps to zero and registers
+            # as invariance below.
+            Mw1 = apply(M_mv, w) if with_M else w
+            d = state.p_cur if with_M else state.v_cur
+            G = gram(jnp.stack([d, w]), jnp.stack([state.v_cur, Mw1]))
+            nu = jnp.maximum(jnp.real(G[0, 0]), 0.0)
+            alpha_raw = jnp.real(G[0, 1])
+            sigma = jnp.maximum(jnp.real(G[1, 1]), 0.0)
+            alpha = safe_div(alpha_raw, nu)
+            beta_new = jnp.sqrt(
+                jnp.maximum(sigma - alpha * alpha_raw, 0.0)
+            )
+            w = w - alpha * d
+            if with_M:
+                # FRESH M apply (the second this iteration, still zero
+                # extra sync points): deriving M w2 by the axpy
+                # recurrence Mw1 - alpha*v instead lets the v = M p
+                # invariant's rounding error compound by 1/beta per
+                # iteration (~2x here), which breaks the recurrence
+                # within ~55 iterations on the Jacobi-preconditioned
+                # 64x64 Poisson operator.
+                Mw = apply(M_mv, w)
         else:
-            beta_new = norm_from_pair(pair, w)
+            alpha = jnp.real(pair(state.v_cur, w))
+            w = w - alpha * (state.p_cur if with_M else state.v_cur)
+            if with_M:
+                Mw = apply(M_mv, w)
+                beta_new = norm_from_pair(pair, w, Mw)
+            else:
+                beta_new = norm_from_pair(pair, w)
 
         hsq = state.hsq + state.beta**2 + alpha**2 + beta_new**2
         invariant = beta_new <= brk * jnp.sqrt(hsq)

@@ -125,6 +125,43 @@ def test_cg_one_reduce_single_collective_per_iteration(mesh_and_problem):
     ) <= 1e-2
 
 
+def test_minres_one_reduce_single_collective_per_iteration(mesh_and_problem):
+    """minres(variant='1r') communicates exactly ONCE per iteration:
+    nu = ||p||_M^2, alpha = <v, w> and sigma = ||w||_M^2 come out of one
+    (2, N) x (N, 2) cross-Gram contraction -> one partial-dot +
+    all-reduce; the new subdiagonal follows by the nu-corrected
+    Pythagorean identity.  The classic Lanczos step pays 2 (alpha + the
+    beta norm).  variant='auto' must resolve to the one-reduce scheme
+    under a mesh context, bitwise-identical to the explicit variant."""
+    mesh, lap, b = mesh_and_problem
+    Mj = ops.jacobi_preconditioner(lap)
+    with mesh:
+        classic = jax.jit(
+            lambda v: F.minres(lap, v, M=Mj, tol=1e-3, maxiter=256)
+        )
+        onered = jax.jit(
+            lambda v: F.minres(lap, v, M=Mj, tol=1e-3, maxiter=256,
+                               variant="1r")
+        )
+        auto = jax.jit(
+            lambda v: F.minres(lap, v, M=Mj, tol=1e-3, maxiter=256,
+                               variant="auto")
+        )
+    assert _max_body_allreduces(classic, b, mesh) == 2
+    assert _max_body_allreduces(onered, b, mesh) == 1
+    assert _max_body_allreduces(auto, b, mesh) == 1
+    with mesh:
+        r_onered = onered(b)
+        r_auto = auto(b)
+        r_classic = classic(b)
+    assert bool(r_onered.converged) and bool(r_classic.converged)
+    assert float(jnp.linalg.norm(r_auto.x - r_onered.x)) == 0.0
+    assert float(
+        jnp.linalg.norm(r_onered.x - r_classic.x)
+        / jnp.linalg.norm(r_classic.x)
+    ) <= 1e-2
+
+
 def test_ca_cg_fewer_collectives_per_iteration(mesh_and_problem):
     mesh, lap, b = mesh_and_problem
     Mj = ops.jacobi_preconditioner(lap)

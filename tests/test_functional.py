@@ -169,6 +169,78 @@ def test_cg_one_reduce_policies_and_eligibility():
         F.cg(jnp.asarray(A), jnp.asarray(b), variant="bogus")
 
 
+@pytest.mark.parametrize(
+    "variant", ["plain", "jacobi", "split_precond", "weighted",
+                "complex", "deflated", "indefinite_f32"]
+)
+def test_minres_one_reduce_matches_classic(variant):
+    """minres(variant='1r') (single-reduction Lanczos via the measured
+    2x2 cross-Gram + nu-corrected Pythagorean beta) delivers the
+    classic iterates -- same count to +-2, fp-level agreement -- across
+    preconditioned, weighted-ip, complex-Hermitian, deflated and
+    indefinite-f32 setups.  The f32 Jacobi case is the regression
+    anchor for BOTH instabilities the naive rearrangement has: the
+    assumed-unit-norm Pythagoras (breaks ~iter 25) and the axpy-derived
+    M w2 (breaks ~iter 55)."""
+    rng = numpy.random.default_rng(11)
+    N = 80
+    Q, _ = numpy.linalg.qr(rng.standard_normal((N, N)))
+    A = (Q * numpy.linspace(-40, 60, N)) @ Q.T
+    A = (A + A.T) / 2
+    b = rng.standard_normal(N)
+    kw = dict(tol=1e-9, maxiter=300)
+    if variant == "jacobi":
+        d = numpy.abs(numpy.diag(A)) + 1.0
+        kw["M"] = lambda x: x / jnp.asarray(d)
+    elif variant == "split_precond":
+        d = jnp.asarray(numpy.linspace(1, 2, N))
+        kw["Ml"] = lambda x: x / d
+        kw["Mr"] = lambda x: x / d
+        A = numpy.asarray(d)[:, None] * A * numpy.asarray(d)[None, :]
+    elif variant == "weighted":
+        Bd = numpy.linspace(0.5, 2.0, N)
+        A = (A.T / Bd).T  # B^{-1} C: self-adjoint wrt <x, By>
+        kw["ip"] = jnp.asarray(numpy.diag(Bd))
+    elif variant == "complex":
+        Qc, _ = numpy.linalg.qr(
+            rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+        )
+        A = (Qc * numpy.linspace(-30, 50, N)) @ Qc.conj().T
+        A = (A + A.conj().T) / 2
+        b = b + 1j * rng.standard_normal(N)
+
+    if variant == "indefinite_f32":
+        lap = ops.poisson_2d(48)
+        bv = jnp.ones(48 * 48, jnp.float32)
+        kwf = dict(tol=1e-3, maxiter=512,
+                   M=ops.jacobi_preconditioner(lap))
+        ref = F.minres(lap, bv, **kwf)
+        res = F.minres(lap, bv, variant="1r", **kwf)
+    elif variant == "deflated":
+        U = jnp.asarray(rng.standard_normal((N, 3)))
+        ref = F.deflated_minres(jnp.asarray(A), jnp.asarray(b), U, **kw)
+        res = F.deflated_minres(jnp.asarray(A), jnp.asarray(b), U,
+                                variant="1r", **kw)
+    else:
+        ref = F.minres(jnp.asarray(A), jnp.asarray(b), **kw)
+        res = F.minres(jnp.asarray(A), jnp.asarray(b), variant="1r", **kw)
+    assert int(res.status) == F.CONVERGED
+    assert abs(int(res.niter) - int(ref.niter)) <= 2
+    tol = 1e-3 if variant == "indefinite_f32" else 1e-7
+    assert float(
+        jnp.linalg.norm(res.x - ref.x) / jnp.linalg.norm(ref.x)
+    ) <= tol
+
+
+def test_minres_one_reduce_eligibility():
+    A, b = _readme_system()
+    with pytest.raises(ValueError):
+        F.minres(jnp.asarray(A), jnp.asarray(b), variant="1r",
+                 ip=lambda x, y: jnp.vdot(x, y))
+    with pytest.raises(ValueError):
+        F.minres(jnp.asarray(A), jnp.asarray(b), variant="bogus")
+
+
 def test_gmres_one_reduce_eligibility():
     A, b = _readme_system()
     with pytest.raises(ValueError):
