@@ -35,6 +35,7 @@ from .common import (
     apply,
     as_matvec,
     cast_matvec,
+    make_gram,
     make_inner,
     norm_from_pair,
     safe_div,
@@ -62,6 +63,8 @@ class _CgState(NamedTuple):
     s: jnp.ndarray          # coupled direction recurrence  A p_k
     delta: jnp.ndarray      # <u_k, A u_k>
     alpha_old: jnp.ndarray
+    Lb: jnp.ndarray         # (2+2d, N) persistent left operand of the
+                            # fused-deflated cross-Gram; (0, 0) else
 
 
 def cg(
@@ -83,6 +86,7 @@ def cg(
     projected_r0=None,
     correct_xk=None,
     variant="classic",
+    fused_deflation=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned CG in one compiled while_loop.
@@ -138,10 +142,26 @@ def cg(
         hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
     )
     if variant == "auto":
+        # priced selection (shared model with GMRES's ortho='auto',
+        # :mod:`~krypy_tpu.functional.policy`): the one-reduce
+        # rearrangement saves ONE sync point per iteration but streams
+        # ~12 extra local vector sweeps (measured, RESULTS_r4.md) -- on
+        # a latency-cheap mesh or with large per-shard vectors classic
+        # CG remains the HBM-roofline choice (VERDICT r4 weak #1).
         from ..parallel import active_mesh_size
+        from . import policy
 
+        _mesh_n = active_mesh_size()
         variant = (
-            "1r" if active_mesh_size() > 1 and not _scalar_ip else "classic"
+            "1r"
+            if _mesh_n > 1
+            and not _scalar_ip
+            and policy.prefer_one_reduce(
+                "cg",
+                N // _mesh_n,
+                jnp.dtype(system_dtype(bv, x0)).itemsize,
+            )
+            else "classic"
         )
     if variant not in ("classic", "1r"):
         raise ValueError(f"unknown cg variant {variant!r}")
@@ -153,6 +173,19 @@ def cg(
             "scalars through one stacked contraction, which a scalar "
             "callable ip cannot express)"
         )
+    if fused_deflation is not None:
+        if not one_reduce:
+            raise ValueError(
+                "fused_deflation requires variant='1r' (the deflation "
+                "fold rides the one-reduce cross-Gram); classic takes "
+                "the operator_override hook path"
+            )
+        if operator_override is not None:
+            raise ValueError(
+                "fused_deflation and operator_override are mutually "
+                "exclusive"
+            )
+    gram = make_gram(ip) if fused_deflation is not None else None
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
@@ -175,6 +208,27 @@ def cg(
         if operator_override is not None:
             return operator_override(v)
         return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+
+    # fused deflation (VERDICT r4 #1, CG leg): the oblique projection of
+    # the operator image rides the SAME cross-Gram contraction as the
+    # gamma/delta scalars -- one stacked (2+2d, N) x (N, 2) gram yields
+    # gamma = <Mlr, MMlr>, delta_raw = <w_raw, MMlr>, the projection
+    # coefficients <Uo, w_raw> and the correction row <W2, MMlr>; the
+    # "twice is enough" second pass uses the PREcomputed coupling Gram
+    # G = <Uo, W2> (replicated), so a deflated iteration still costs
+    # exactly ONE all-reduce (hook-path deflated classic CG pays 4:
+    # 2 recurrence reductions + 2 projection applications).
+    d_defl = 0
+    if fused_deflation is not None:
+        _UoT = jnp.asarray(fused_deflation.UoT).astype(dtype)
+        _W2T = jnp.asarray(fused_deflation.W2T).astype(dtype)
+        _Gd = jnp.asarray(fused_deflation.G).astype(dtype)
+        d_defl = _UoT.shape[0]
+
+        def _proj_coeffs(cap):
+            q1 = jnp.linalg.solve(_Gd, cap)
+            q2 = jnp.linalg.solve(_Gd, cap - jnp.dot(_Gd, q1))
+            return q1 + q2
 
     def residual_norm(x):
         """||M Ml (b - A x)||_{M^{-1}} and the two residual forms."""
@@ -236,11 +290,26 @@ def cg(
             Mlr = state.Mlr - alpha.astype(dtype) * s
             MMlr = apply(M_mv, Mlr)
             w = MlAMr(MMlr)
-            # gamma = <Mlr, u>_B, delta = <u, A u>_B in one (2, N)x(N,)
-            # contraction: the single per-iteration all-reduce on a mesh
-            both = rows(jnp.stack([Mlr, w]), MMlr)
-            rho_new = jnp.maximum(jnp.real(both[0]), 0.0)
-            delta = jnp.real(both[1])
+            if d_defl:
+                # fused deflated cross-Gram (see the comment at MlAMr):
+                # one all-reduce serves gamma, delta AND the projection
+                Lb = state.Lb.at[0].set(Mlr).at[1].set(w)
+                G2 = gram(Lb, jnp.stack([MMlr, w]))
+                rho_new = jnp.maximum(jnp.real(G2[0, 0]), 0.0)
+                delta_raw = G2[1, 0]
+                cap = G2[2:2 + d_defl, 1]
+                corr = G2[2 + d_defl:, 0]
+                q = _proj_coeffs(cap)
+                w = w - jnp.dot(q, _W2T)
+                delta = jnp.real(delta_raw - jnp.vdot(q, corr))
+            else:
+                Lb = state.Lb
+                # gamma = <Mlr, u>_B, delta = <u, A u>_B in one
+                # (2, N)x(N,) contraction: the single per-iteration
+                # all-reduce on a mesh
+                both = rows(jnp.stack([Mlr, w]), MMlr)
+                rho_new = jnp.maximum(jnp.real(both[0]), 0.0)
+                delta = jnp.real(both[1])
             MMlr_norm = jnp.sqrt(rho_new)
         else:
             p = jnp.where(
@@ -256,7 +325,7 @@ def cg(
             MMlr = apply(M_mv, Mlr)
             MMlr_norm = norm_from_pair(pair, Mlr, MMlr)
             rho_new = MMlr_norm**2
-            w, s, delta = state.w, state.s, state.delta
+            w, s, delta, Lb = state.w, state.s, state.delta, state.Lb
 
         rel_upd = safe_div(MMlr_norm, MMlb_norm)
         need_explicit = (
@@ -299,14 +368,28 @@ def cg(
             best_rel, since_best, y_best, resnorms, errnorms, warn,
             w, s, delta,
             alpha.astype(real_dtype) if one_reduce else state.alpha_old,
+            Lb,
         )
 
     if one_reduce:
         w0 = MlAMr(MMlr0)
+        if d_defl:
+            # entry-only projection of the first image (two small
+            # reductions outside the loop; the steady-state cost is the
+            # single fused gram in the body)
+            q0 = _proj_coeffs(rows(_UoT, w0))
+            w0 = w0 - jnp.dot(q0, _W2T)
+            Lb0 = (
+                jnp.zeros((2 + 2 * d_defl, N), dtype)
+                .at[2:2 + d_defl].set(_UoT)
+                .at[2 + d_defl:].set(_W2T)
+            )
+        else:
+            Lb0 = jnp.zeros((0, 0), dtype)
         delta0 = jnp.real(pair(MMlr0, w0))
         # p/s start at zero: the k=0 body step (beta=0) seats p=u0, s=w0
         p0 = jnp.zeros(N, dtype)
-        extras = (w0, p0, delta0, jnp.asarray(1.0, real_dtype))
+        extras = (w0, p0, delta0, jnp.asarray(1.0, real_dtype), Lb0)
     else:
         p0 = MMlr0
         extras = (
@@ -314,6 +397,7 @@ def cg(
             jnp.zeros(0, dtype),
             jnp.asarray(0.0, real_dtype),
             jnp.asarray(1.0, real_dtype),
+            jnp.zeros((0, 0), dtype),
         )
     init = _CgState(
         jnp.asarray(0),

@@ -174,6 +174,15 @@ def deflated_gmres(
     deflation component (reference: krypy/deflation.py DeflatedGmres).
 
     :param U: deflation basis, shape ``(N, d)`` with static d.
+    :param ortho: as in :func:`~krypy_tpu.functional.gmres.gmres`, plus
+      the deflation-specific resolution: ``'cgs2_1r'`` folds the
+      deflation capture and oblique projection INTO the one-reduce
+      contraction (:class:`~krypy_tpu.functional.gmres.FusedDeflation`),
+      so a deflated iteration costs exactly ONE all-reduce on a mesh
+      (pinned in tests/test_collectives.py) instead of the hook path's
+      ~6; ``'auto'`` resolves to the fused one-reduce scheme under a
+      multi-device mesh context (when eligible: no ``M``, non-scalar
+      ``ip``) and to ``'cgs2'`` otherwise.
     :return: :class:`~krypy_tpu.functional.common.SolveResult` (plus the
       internal small matrices if ``return_internal``).
     """
@@ -198,6 +207,22 @@ def deflated_gmres(
         return out
 
     UoT = defl.Uo.T          # (d, N)
+
+    _scalar_ip = ip is not None and not (
+        hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+    )
+    if ortho == "auto":
+        # mesh context: the fused one-reduce deflated scheme (1 sync
+        # point/iter) dominates every hook-path alternative; single
+        # chip: classic cgs2 hooks (the plain-gmres auto kernels don't
+        # compose with the capture hook).
+        from ..parallel import active_mesh_size
+
+        ortho = (
+            "cgs2_1r"
+            if active_mesh_size() > 1 and M is None and not _scalar_ip
+            else "cgs2"
+        )
 
     def proj_complement(z):
         """(I - P) z with P = W2 <Uo, W2>^{-1} <Uo, .>, applied twice
@@ -224,16 +249,32 @@ def deflated_gmres(
         c = jnp.linalg.solve(defl.E, c)
         return xk + jnp.dot(defl.Uo, c)
 
-    out = _gmres_mod.gmres(
-        A, b, M=M, Ml=Ml, Mr=Mr, ip=ip, x0=x0, tol=tol,
-        maxiter=maxiter, ortho=ortho,
-        explicit_residual=explicit_residual,
-        operator_with_capture=op_with_capture,
-        capture_width=d,
-        projected_r0=proj_complement,
-        correct_xk=correct,
-        return_internal=return_internal,
-    )
+    if ortho == "cgs2_1r":
+        # fold projection + capture into the one-reduce contraction:
+        # exactly ONE all-reduce per deflated iteration (see
+        # gmres.FusedDeflation)
+        out = _gmres_mod.gmres(
+            A, b, M=M, Ml=Ml, Mr=Mr, ip=ip, x0=x0, tol=tol,
+            maxiter=maxiter, ortho=ortho,
+            explicit_residual=explicit_residual,
+            fused_deflation=_gmres_mod.FusedDeflation(
+                UoT=UoT, W2T=defl.W2.T
+            ),
+            projected_r0=proj_complement,
+            correct_xk=correct,
+            return_internal=return_internal,
+        )
+    else:
+        out = _gmres_mod.gmres(
+            A, b, M=M, Ml=Ml, Mr=Mr, ip=ip, x0=x0, tol=tol,
+            maxiter=maxiter, ortho=ortho,
+            explicit_residual=explicit_residual,
+            operator_with_capture=op_with_capture,
+            capture_width=d,
+            projected_r0=proj_complement,
+            correct_xk=correct,
+            return_internal=return_internal,
+        )
     if return_internal:
         result, internals = out
         internals["E"] = defl.E
@@ -274,16 +315,55 @@ def _make_deflation_hooks(A, U, *, M, Minv, Ml, Mr, ip, ip_defl):
     return defl, op, proj_complement, None
 
 
-def _deflated_short_recurrence(core, A, b, U, kwargs):
+def _deflated_short_recurrence(core, A, b, U, kwargs, fused_ok=False,
+                               solver_name="cg"):
     """Common driver for deflated CG / MINRES (reference: DeflatedCg /
     DeflatedMinres, krypy/deflation.py:236-273): projected operator,
-    projected initial residual, corrected iterates."""
+    projected initial residual, corrected iterates.
+
+    With ``fused_ok`` and ``variant='1r'`` (or a mesh-resolved
+    ``'auto'``) the oblique projection is FOLDED into the solver's
+    one-reduce contraction instead of riding the operator hook: a
+    deflated iteration then costs exactly ONE all-reduce (pinned in
+    tests/test_collectives.py) vs the hook path's 4 (classic: 2
+    recurrence reductions + 2 projection applications) or 3 (hook-1r).
+    """
     b = jnp.asarray(b)
     bv = b.reshape(-1)
     ip = kwargs.get("ip")
+    M = kwargs.get("M")
+    _scalar_ip = ip is not None and not (
+        hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
+    )
+
+    variant = kwargs.get("variant", "classic")
+    if variant == "auto" and fused_ok:
+        # priced resolution (shared model, functional/policy.py): the
+        # fused-deflated form saves THREE sync points over the classic
+        # hook path, so its break-even shard is 3x larger than the
+        # plain solver's
+        from ..parallel import active_mesh_size
+        from .policy import prefer_one_reduce
+
+        _mesh_n = active_mesh_size()
+        _dt = jnp.dtype(bv.dtype)
+        variant = (
+            "1r"
+            if _mesh_n > 1
+            and not _scalar_ip
+            and prefer_one_reduce(
+                solver_name, bv.shape[0] // _mesh_n, _dt.itemsize,
+                syncs_saved=3,
+            )
+            else "classic"
+        )
+        kwargs["variant"] = variant
+
+    use_fused = fused_ok and variant == "1r" and not _scalar_ip
+
     defl, op, proj, _ = _make_deflation_hooks(
         A, U,
-        M=kwargs.get("M"), Minv=kwargs.pop("Minv", None),
+        M=M, Minv=kwargs.pop("Minv", None),
         Ml=kwargs.get("Ml"), Mr=kwargs.get("Mr"),
         ip=ip, ip_defl=kwargs.pop("ip_defl", None),
     )
@@ -301,6 +381,16 @@ def _deflated_short_recurrence(core, A, b, U, kwargs):
         c = jnp.linalg.solve(defl.E, c)
         return xk + jnp.dot(defl.Uo, c)
 
+    if use_fused:
+        return core(
+            A, b,
+            fused_deflation=_gmres_mod.FusedDeflation(
+                UoT=UoT, W2T=defl.W2.T, G=defl.G
+            ),
+            projected_r0=proj,
+            correct_xk=correct,
+            **kwargs,
+        )
     return core(
         A, b,
         operator_override=op,
@@ -313,18 +403,26 @@ def _deflated_short_recurrence(core, A, b, U, kwargs):
 def deflated_cg(A, b, U, **kwargs):
     """Deflated preconditioned CG in one compiled while_loop
     (reference: krypy/deflation.py DeflatedCg).  Accepts the parameters
-    of :func:`krypy_tpu.functional.cg.cg` plus the deflation basis U."""
+    of :func:`krypy_tpu.functional.cg.cg` plus the deflation basis U.
+    ``variant='1r'`` folds the oblique projection into the one-reduce
+    cross-Gram: ONE all-reduce per deflated iteration."""
     from .cg import cg as _cg
 
-    return _deflated_short_recurrence(_cg, A, b, U, kwargs)
+    return _deflated_short_recurrence(
+        _cg, A, b, U, kwargs, fused_ok=True, solver_name="cg"
+    )
 
 
 def deflated_minres(A, b, U, **kwargs):
     """Deflated preconditioned MINRES in one compiled while_loop
-    (reference: krypy/deflation.py DeflatedMinres)."""
+    (reference: krypy/deflation.py DeflatedMinres).  ``variant='1r'``
+    folds the oblique projection into the one-reduce cross-Gram: ONE
+    all-reduce per deflated iteration."""
     from .minres import minres as _minres
 
-    return _deflated_short_recurrence(_minres, A, b, U, kwargs)
+    return _deflated_short_recurrence(
+        _minres, A, b, U, kwargs, fused_ok=True, solver_name="minres"
+    )
 
 
 @jax.jit

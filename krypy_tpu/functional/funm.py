@@ -206,9 +206,31 @@ def funm_krylov_arnoldi(A, b, f=None, *, maxdim=30, matfunc=None):
 
     def fe1(j):
         col = np.asarray(matfunc(Hh[:j, :j]))[:, 0] * betah
-        if not np.iscomplexobj(np.zeros(0, np.dtype(dtype))):
-            # real system dtype: a real-analytic f of a real H is real;
-            # Schur-Parlett may return a +0j-typed result
+        if np.iscomplexobj(col) and not np.iscomplexobj(
+            np.zeros(0, np.dtype(dtype))
+        ):
+            # real system dtype: a real-analytic f of a real H is real
+            # and Schur-Parlett merely returns a +0j-typed result -- but
+            # f NOT real-analytic on the spectrum (sqrt/log of a real
+            # non-normal H with eigenvalues on/near the branch cut)
+            # yields genuinely complex columns whose silent truncation
+            # would corrupt the answer with no signal in `corrections`
+            # (ADVICE r4): warn when the imaginary mass is non-roundoff.
+            imag_mass = np.linalg.norm(col.imag)
+            scale = max(np.linalg.norm(col), 1.0)
+            if imag_mass > 1e3 * np.finfo(col.real.dtype).eps * scale:
+                import warnings
+
+                warnings.warn(
+                    "funm_krylov_arnoldi: f(H) e1 has non-negligible "
+                    f"imaginary mass ({imag_mass:.2e} vs norm "
+                    f"{scale:.2e}) for a real system dtype -- f is not "
+                    "real on the Arnoldi spectrum (branch cut?); the "
+                    "imaginary part is being discarded.  Pass a complex "
+                    "b/dtype to keep it.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             col = col.real
         return col
 

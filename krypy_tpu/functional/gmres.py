@@ -86,22 +86,31 @@ from .common import (
 
 
 # --- mesh ortho-policy model (DESIGN section 8) ------------------------
-# Achievable HBM stream rate used to price a basis sweep, and the cost
-# of one ICI/DCN sync point.  ortho='auto' under a mesh compares "one
-# local basis sweep saved per iteration" (the sharded fused kernel's
-# win) against "two extra all-reduces per iteration" (its cost vs the
-# one-reduce scheme).  Tests monkeypatch these to force either regime.
-_MESH_HBM_BYTES_PER_S = 690e9
-_MESH_SYNC_S = 15e-6
+# ortho='auto' under a mesh compares "one local basis sweep saved per
+# iteration" (the sharded fused kernel's win) against "two extra
+# all-reduces per iteration" (its cost vs the one-reduce scheme).  The
+# sync/HBM prices live in the SHARED calibrated model
+# (:mod:`krypy_tpu.functional.policy`: per-backend table + env
+# override; tests monkeypatch policy.SYNC_S to force either regime).
 _FUSED_SHARDED_EXTRA_SYNCS = 2  # 3 sync points vs cgs2_1r's 1
 
 
-def _fused_sharded_ok(N, n_dev):
+def _fused_sharded_ok(N, n_dev, rows, itemsize):
     """Static eligibility of the sharded fused Pallas path: an even
-    column split over the mesh and a lane-friendly local tile."""
-    from ..kernels.orthogonalize import _divide_block
+    column split over the mesh and a local tile the kernel can actually
+    use.  The tiling feasibility check must match the kernel's own
+    (:func:`~krypy_tpu.kernels.orthogonalize._vmem_block` at the
+    WORST-CASE row count, i.e. the full basis height): the VMEM budget
+    shrinks the admissible tile as rows grow, so a shard that divides
+    4096 can still be untileable at the tallest bucket -- checking
+    ``_divide_block`` alone would route such solves into a traced
+    ValueError instead of the jnp fallback (ADVICE r4)."""
+    from ..kernels.orthogonalize import _vmem_block
 
-    return N % n_dev == 0 and _divide_block(N // n_dev, 4096) is not None
+    return (
+        N % n_dev == 0
+        and _vmem_block(N // n_dev, rows, 4096, itemsize) is not None
+    )
 
 
 class _GmresState(NamedTuple):
@@ -119,6 +128,34 @@ class _GmresState(NamedTuple):
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray
     warn_explicit: jnp.ndarray
+    Rb: jnp.ndarray          # (2+d, N) persistent right-operand buffer of
+                             # the fused-deflated contraction; (0, 0) else
+
+
+class FusedDeflation(NamedTuple):
+    """Deflation data for the one-reduce fused scheme (``ortho='cgs2_1r'``
+    + deflation in ONE all-reduce per iteration, VERDICT r4 #1).
+
+    The rows of ``UoT`` ride permanently at the bottom of the Krylov
+    basis buffer and ``B W2`` in a persistent right-operand buffer, so
+    the single fused ``(m+2+d, N) x (N, 2+d)`` contraction of each
+    iteration simultaneously yields the Gram-Schmidt coefficients, the
+    deflation capture column :math:`\\langle U, M_lAM_r v\\rangle`, the
+    oblique-projection coefficients AND a fresh coupling Gram
+    :math:`\\langle U, W_2\\rangle`; the "twice is enough" second
+    projection pass needs no further communication because its
+    coefficient is :math:`G^{-1}(c - Gq_1)` with every factor already
+    replicated.  Classic deflated CGS2 pays ~6 sync points for the same
+    iteration (2x2 projection passes + capture + 2 projection
+    applications + the norm)."""
+
+    UoT: jnp.ndarray   # (d, N) rows of the orthonormalized deflation basis
+    W2T: jnp.ndarray   # (d, N) rows of the image basis (cols of W2)
+    #: (d, d) coupling Gram <Uo, W2>.  GMRES ignores it (the fused
+    #: contraction yields a fresh one each iteration for free); the
+    #: short-recurrence folds (CG/MINRES) need the stored copy because
+    #: their contraction has no W2 columns.
+    G: jnp.ndarray = None
 
 
 def gmres(
@@ -142,6 +179,7 @@ def gmres(
     correct_xk=None,
     return_internal=False,
     basis_dtype=None,
+    fused_deflation=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b`, :math:`x = M_r y` with
     preconditioned GMRES in one compiled while_loop.
@@ -163,6 +201,13 @@ def gmres(
       residual evaluation (the deflation correction).
     :param return_internal: also return the final loop state (Krylov
       basis, Hessenberg, rotated R, y, C) for spectral post-processing.
+    :param fused_deflation: a :class:`FusedDeflation` -- fold the
+      deflated operator's projection and capture into the one-reduce
+      contraction (``ortho='cgs2_1r'`` only, ONE all-reduce per deflated
+      iteration; see the class docstring).  Mutually exclusive with
+      ``operator_with_capture``; ``projected_r0``/``correct_xk`` still
+      apply.  Used by
+      :func:`krypy_tpu.functional.deflation.deflated_gmres`.
     :param basis_dtype: storage dtype for the Krylov basis buffers
       (e.g. ``jnp.bfloat16``), independent of the computation dtype.
       Orthogonalization contractions then read the basis at the narrow
@@ -217,15 +262,24 @@ def gmres(
             # want the 3-sweep sharded fused kernel (2 extra syncs, one
             # basis sweep of HBM traffic saved per iteration).  Pick by
             # comparing the saved local sweep time against the extra
-            # round trips.
-            _saved_s = (
-                (m + 1) * (N // _mesh_n) * _sys_dt.itemsize
-            ) / _MESH_HBM_BYTES_PER_S
+            # round trips.  The fused branch additionally requires a
+            # PHYSICAL mesh (shard_map needs device placement): under an
+            # abstract sharding context the single-device pallas_call
+            # would replicate the GSPMD-sharded basis (ADVICE r4), so
+            # only the mesh-safe one-reduce scheme qualifies there.
+            from . import policy
+
             if (
                 ip is None
                 and not jnp.issubdtype(_sys_dt, jnp.complexfloating)
-                and _fused_sharded_ok(N, _mesh_n)
-                and _saved_s > _FUSED_SHARDED_EXTRA_SYNCS * _MESH_SYNC_S
+                and active_mesh() is not None
+                and _fused_sharded_ok(
+                    N, _mesh_n, m + 1, _sys_dt.itemsize
+                )
+                and policy.fused_sharded_wins(
+                    m + 1, N // _mesh_n, _sys_dt.itemsize,
+                    extra_syncs=_FUSED_SHARDED_EXTRA_SYNCS,
+                )
             ):
                 ortho = "cgs2_fused"
             else:
@@ -262,6 +316,19 @@ def gmres(
                 "candidate in the basis buffer; basis_dtype quantization "
                 "would corrupt its Pythagorean norm -- use ortho='cgs2'"
             )
+    if fused_deflation is not None:
+        if not one_reduce:
+            raise ValueError(
+                "fused_deflation requires ortho='cgs2_1r' (the deflation "
+                "fold rides the one-reduce contraction); other schemes "
+                "take the operator_with_capture hook path"
+            )
+        if operator_with_capture is not None:
+            raise ValueError(
+                "fused_deflation and operator_with_capture are mutually "
+                "exclusive"
+            )
+        capture_width = int(jnp.shape(fused_deflation.UoT)[0])
     passes = {
         "cgs": 1,
         "cgs2": 2,
@@ -297,7 +364,9 @@ def gmres(
                 and M is None
                 and basis_dtype is None
                 and not jnp.issubdtype(_dt, jnp.complexfloating)
-                and _fused_sharded_ok(N, int(_fm.devices.size))
+                and _fused_sharded_ok(
+                    N, int(_fm.devices.size), m + 1, _dt.itemsize
+                )
             ):
                 fused_mesh = _fm
             else:
@@ -454,16 +523,53 @@ def gmres(
         def prep(x):
             return x if Bmv is None else Bmv(x)
 
-        V0r = jnp.zeros((m + 2, N), dtype).at[0].set(MMlr0 * v0)
+        # fused deflation (see FusedDeflation): d extra PERMANENT rows
+        # at the bottom of the basis buffer hold Uo^T, and a persistent
+        # right-operand buffer Rb carries B W2 below the two live
+        # columns, so ONE contraction serves orthogonalization,
+        # capture, projection and the fresh coupling Gram.
+        d_defl = 0
+        if fused_deflation is not None:
+            UoT = jnp.asarray(fused_deflation.UoT).astype(dtype)
+            W2T = jnp.asarray(fused_deflation.W2T).astype(dtype)
+            d_defl = UoT.shape[0]
+            BW2T = W2T if Bmv is None else jax.vmap(Bmv)(W2T)
+
+        def _dpad(coeffs):
+            """Zero-extend (m+2,) coefficients over the deflation rows
+            so dots against the extended buffer skip them."""
+            return jnp.pad(coeffs, (0, d_defl)) if d_defl else coeffs
+
+        def _proj_coeffs(cap, Gf):
+            """Oblique-projection coefficients, applied twice (Stewart's
+            "twice is enough") -- replicated d x d work, no sync."""
+            q1 = jnp.linalg.solve(Gf, cap)
+            q2 = jnp.linalg.solve(Gf, cap - jnp.dot(Gf, q1))
+            return q1 + q2
+
+        V0r = jnp.zeros((m + 2 + d_defl, N), dtype).at[0].set(MMlr0 * v0)
+        if d_defl:
+            V0r = V0r.at[m + 2:].set(UoT)
+            Rb0 = jnp.zeros((2 + d_defl, N), dtype).at[2:].set(BW2T)
+        else:
+            Rb0 = jnp.zeros((0, 0), dtype)
         H0r = jnp.zeros((m + 2, m + 1), dtype)
         C0r = jnp.zeros((m + 1, capture_width), dtype)
 
         # peeled step: first projection pass of the first direction (one
         # fused reduce; rows > 0 of the buffer are zero, no mask needed)
         w0, cap0 = iteration_op(V0r[0])
-        chat0 = jnp.dot(V0r.conj(), prep(w0))
+        if d_defl:
+            Rb0c = Rb0.at[0].set(prep(V0r[0])).at[1].set(prep(w0))
+            Z0 = jnp.einsum("mn,kn->mk", V0r.conj(), Rb0c)
+            cap0 = Z0[m + 2:, 1]
+            q0 = _proj_coeffs(cap0, Z0[m + 2:, 2:])
+            chat0 = Z0[: m + 2, 1] - jnp.dot(Z0[: m + 2, 2:], q0)
+            w0 = w0 - jnp.dot(q0, W2T)
+        else:
+            chat0 = jnp.dot(V0r.conj(), prep(w0))
         H0r = H0r.at[:, 0].set(chat0)
-        V0r = V0r.at[1].set(w0 - jnp.dot(chat0, V0r))
+        V0r = V0r.at[1].set(w0 - jnp.dot(_dpad(chat0), V0r))
         if capture_width > 0:
             C0r = C0r.at[0].set(cap0)
 
@@ -484,16 +590,42 @@ def gmres(
             # the first GS pass of w = op(u).  The pair is stacked
             # ROW-major (2, N) and contracted over the trailing axis --
             # a column-major (N, 2) operand would be lane-padded to
-            # (N, 128) on TPU (measured 2x iteration cost).
-            Z = jnp.einsum(
-                "mn,kn->mk", state.V.conj(),
-                jnp.stack([prep(u), prep(w)])
-            )
+            # (N, 128) on TPU (measured 2x iteration cost).  With fused
+            # deflation the same contraction also reads the Uo rows and
+            # the B W2 columns, yielding capture + projection data.
+            if d_defl:
+                Rb = state.Rb.at[0].set(prep(u)).at[1].set(prep(w))
+                Zf = jnp.einsum("mn,kn->mk", state.V.conj(), Rb)
+                cap = Zf[m + 2:, 1]
+                Gf = Zf[m + 2:, 2:]
+                q = _proj_coeffs(cap, Gf)
+                # projection correction of the first-pass column; the
+                # candidate u is already projected (built from a
+                # projected w last iteration), so column 0 needs none
+                col0 = Zf[: m + 2, 0]
+                col1 = Zf[: m + 2, 1] - jnp.dot(Zf[: m + 2, 2:], q)
+                w = w - jnp.dot(q, W2T)
+                # seal-time leak cancellation: the contraction also
+                # measured <Uo, u> (column 0's Uo rows) for free --
+                # removing it when the row is sealed keeps every basis
+                # vector exactly in the projection complement (an
+                # uncancelled leak recurs through the GS subtractions
+                # scaled by |h|/sigma and can compound over a long
+                # cycle; same fix as the MINRES alpha*d term).
+                q_seal = _proj_coeffs(Zf[m + 2:, 0], Gf)
+            else:
+                Rb = state.Rb
+                Z = jnp.einsum(
+                    "mn,kn->mk", state.V.conj(),
+                    jnp.stack([prep(u), prep(w)])
+                )
+                col0 = Z[:, 0]
+                col1 = Z[:, 1]
             lt = jnp.arange(m + 2) < k
-            r = jnp.where(lt, Z[:, 0], 0.0)
-            s = jnp.real(Z[k, 0])
-            c = jnp.where(lt, Z[:, 1], 0.0)
-            t = Z[k, 1]
+            r = jnp.where(lt, col0, 0.0)
+            s = jnp.real(col0[k])
+            c = jnp.where(lt, col1, 0.0)
+            t = col1[k]
 
             sig2 = jnp.maximum(s - jnp.sum(jnp.abs(r) ** 2), 0.0)
             sigma = jnp.sqrt(sig2).astype(real_dtype)
@@ -510,7 +642,10 @@ def gmres(
             H = state.H.at[:, k - 1].set(completed)
 
             inv_s = jnp.where(invariant, 0.0, safe_div(1.0, sigma))
-            vk = (u - jnp.dot(r, state.V)) * inv_s
+            vk = u - jnp.dot(_dpad(r), state.V)
+            if d_defl:
+                vk = vk - jnp.dot(q_seal, W2T)
+            vk = vk * inv_s
             V = state.V.at[k].set(vk)
 
             # first-pass column k with the lag correction g = H (r/sigma)
@@ -520,7 +655,7 @@ def gmres(
             g = jnp.dot(H, rt[: m + 1])
             tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
             chat = jnp.where(jnp.arange(m + 2) == k, tk, c * inv_s)
-            V = V.at[k + 1].set(w * inv_s - jnp.dot(chat, V))
+            V = V.at[k + 1].set(w * inv_s - jnp.dot(_dpad(chat), V))
             H = H.at[:, k].set(chat - g)
 
             if capture_width > 0:
@@ -579,7 +714,7 @@ def gmres(
 
             return _GmresState(
                 k + 1, V, state.P, H, R, Q, y, C, hsq, rel, invariant,
-                resnorms, errnorms, warn,
+                resnorms, errnorms, warn, Rb,
             )
 
         init_1r = _GmresState(
@@ -597,6 +732,7 @@ def gmres(
             resnorms0,
             errnorms0,
             jnp.asarray(False),
+            Rb0,
         )
         final = lax.while_loop(cond_1r, body_1r, init_1r)
         niter = final.k - 1
@@ -712,7 +848,7 @@ def gmres(
                 h = h + coeffs
         elif fused:
             from ..kernels.orthogonalize import (
-                _divide_block,
+                _vmem_block,
                 cgs2_fused,
                 cgs2_fused_sharded,
             )
@@ -732,8 +868,12 @@ def gmres(
                         )
                         return w_b, h_b + c
                     return branch
-            elif fused_force_jnp or _divide_block(N, 4096) is None:
-                # no lane-friendly tiling: bucketed jnp fallback
+            elif fused_force_jnp or _vmem_block(
+                N, m + 1, 4096, jnp.dtype(bdt).itemsize
+            ) is None:
+                # no tiling feasible at the WORST-CASE bucket height
+                # (policy must agree with the kernel's own _vmem_block
+                # check, ADVICE r4): bucketed jnp fallback
                 def make_branch(hgt):
                     def branch(operands):
                         w_b, h_b = operands
@@ -863,7 +1003,7 @@ def gmres(
 
         return _GmresState(
             k + 1, V, P, H, R, Q, y, C, hsq, rel, invariant,
-            resnorms, errnorms, warn,
+            resnorms, errnorms, warn, state.Rb,
         )
 
     init = _GmresState(
@@ -881,6 +1021,7 @@ def gmres(
         resnorms0,
         errnorms0,
         jnp.asarray(False),
+        jnp.zeros((0, 0), dtype),
     )
     final = lax.while_loop(cond, body, init)
 

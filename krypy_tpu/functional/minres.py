@@ -86,6 +86,8 @@ class _MinresState(NamedTuple):
     resnorms: jnp.ndarray
     errnorms: jnp.ndarray
     warn_explicit: jnp.ndarray
+    Rb: jnp.ndarray  # (2+2d, N) persistent right operand of the fused-
+                     # deflated cross-Gram (rows 2+: [M W2; Uo]); (0,0) else
 
 
 def minres(
@@ -107,6 +109,7 @@ def minres(
     projected_r0=None,
     correct_xk=None,
     variant="classic",
+    fused_deflation=None,
 ):
     r"""Solve :math:`M M_l A M_r y = M M_l b` (:math:`M_l A M_r`
     self-adjoint w.r.t. ``ip``), :math:`x = M_r y`, with preconditioned
@@ -141,10 +144,23 @@ def minres(
         hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
     )
     if variant == "auto":
+        # priced selection (shared model with GMRES's ortho='auto',
+        # :mod:`~krypy_tpu.functional.policy`): one sync point saved
+        # vs ~16 extra local sweeps (measured, RESULTS_r4.md).
         from ..parallel import active_mesh_size
+        from . import policy
 
+        _mesh_n = active_mesh_size()
         variant = (
-            "1r" if active_mesh_size() > 1 and not _scalar_ip else "classic"
+            "1r"
+            if _mesh_n > 1
+            and not _scalar_ip
+            and policy.prefer_one_reduce(
+                "minres",
+                N // _mesh_n,
+                jnp.dtype(system_dtype(bv, x0)).itemsize,
+            )
+            else "classic"
         )
     if variant not in ("classic", "1r"):
         raise ValueError(f"unknown minres variant {variant!r}")
@@ -157,6 +173,18 @@ def minres(
             "which a scalar callable ip cannot express)"
         )
     gram = make_gram(ip) if one_reduce else None
+    if fused_deflation is not None:
+        if not one_reduce:
+            raise ValueError(
+                "fused_deflation requires variant='1r' (the deflation "
+                "fold rides the one-reduce cross-Gram); classic takes "
+                "the operator_override hook path"
+            )
+        if operator_override is not None:
+            raise ValueError(
+                "fused_deflation and operator_override are mutually "
+                "exclusive"
+            )
 
     dtype = system_dtype(bv, x0)
     bv = bv.astype(dtype)
@@ -185,6 +213,36 @@ def minres(
         if operator_override is not None:
             return operator_override(v)
         return apply(Ml_mv, A_mv(apply(Mr_mv, v)))
+
+    # fused deflation (VERDICT r4 #1, MINRES leg): the oblique
+    # projection of the Lanczos candidate rides the SAME cross-Gram as
+    # nu/alpha/sigma.  The (2, N) x (N, 2+2d) gram against the
+    # persistent [v, Mw | M W2 | Uo] right operand yields the three
+    # Lanczos scalars, their projection corrections <d, M W2> and
+    # <w, M W2>, and (via conjugation, B Hermitian) the projection
+    # coefficients <Uo, w> -- ONE all-reduce per deflated iteration.
+    # The sigma correction's quadratic term uses the PREcomputed
+    # K = <W2, M W2>; "twice is enough" uses the stored G = <Uo, W2>.
+    # beta (the projection of the PREVIOUS Lanczos vector) is absorbed
+    # exactly: all Lanczos vectors live in the projection complement
+    # (the initial residual is projected; every w is), so projecting
+    # the post-beta-subtraction candidate equals projecting op(v) up to
+    # the roundoff the twice-applied projection is there to absorb.
+    d_defl = 0
+    if fused_deflation is not None:
+        _UoT = jnp.asarray(fused_deflation.UoT).astype(dtype)
+        _W2T = jnp.asarray(fused_deflation.W2T).astype(dtype)
+        _Gd = jnp.asarray(fused_deflation.G).astype(dtype)
+        d_defl = _UoT.shape[0]
+        _MW2T = (
+            jax.vmap(M_mv)(_W2T) if with_M else _W2T
+        )
+        _K = gram(_W2T, _MW2T)  # (d, d), entry-only reduction
+
+        def _proj_coeffs(cap):
+            q1 = jnp.linalg.solve(_Gd, cap)
+            q2 = jnp.linalg.solve(_Gd, cap - jnp.dot(_Gd, q1))
+            return q1 + q2
 
     def residual_norm(x):
         Mlr = apply(Ml_mv, bv - A_mv(x))
@@ -251,15 +309,48 @@ def minres(
             # as invariance below.
             Mw1 = apply(M_mv, w) if with_M else w
             d = state.p_cur if with_M else state.v_cur
-            G = gram(jnp.stack([d, w]), jnp.stack([state.v_cur, Mw1]))
-            nu = jnp.maximum(jnp.real(G[0, 0]), 0.0)
-            alpha_raw = jnp.real(G[0, 1])
-            sigma = jnp.maximum(jnp.real(G[1, 1]), 0.0)
-            alpha = safe_div(alpha_raw, nu)
+            if d_defl:
+                Rb = state.Rb.at[0].set(state.v_cur).at[1].set(Mw1)
+                G = gram(jnp.stack([d, w]), Rb)
+                nu = jnp.maximum(jnp.real(G[0, 0]), 0.0)
+                cap = jnp.conj(G[1, 2 + d_defl:])
+                q = _proj_coeffs(cap)
+                alpha_raw = jnp.real(
+                    G[0, 1] - jnp.dot(G[0, 2:2 + d_defl], q)
+                )
+                sigma = jnp.maximum(
+                    jnp.real(G[1, 1])
+                    - 2.0 * jnp.real(jnp.dot(G[1, 2:2 + d_defl], q))
+                    + jnp.real(jnp.vdot(q, jnp.dot(_K, q))),
+                    0.0,
+                )
+                alpha = safe_div(alpha_raw, nu)
+                # exact TOTAL projection of the post-alpha candidate:
+                # subtracting alpha*d AFTER projecting w would reinject
+                # d's deflation-space leak, which compounds at |alpha|/
+                # beta per iteration and breaks the recurrence within
+                # ~40 iterations (measured, numpy replay).  The gram
+                # already measured <Uo, d> (conjugate of row 0's Uo
+                # block, B Hermitian), so the leak is cancelled at the
+                # same sync cost: q_tot = proj_coeffs(cap_w - alpha*
+                # cap_d) keeps every Lanczos vector exactly in the
+                # complement.
+                cap_d = jnp.conj(G[0, 2 + d_defl:])
+                q_tot = q - alpha.astype(dtype) * _proj_coeffs(cap_d)
+                w = w - alpha * d - jnp.dot(q_tot, _W2T)
+            else:
+                Rb = state.Rb
+                G = gram(
+                    jnp.stack([d, w]), jnp.stack([state.v_cur, Mw1])
+                )
+                nu = jnp.maximum(jnp.real(G[0, 0]), 0.0)
+                alpha_raw = jnp.real(G[0, 1])
+                sigma = jnp.maximum(jnp.real(G[1, 1]), 0.0)
+                alpha = safe_div(alpha_raw, nu)
+                w = w - alpha * d
             beta_new = jnp.sqrt(
                 jnp.maximum(sigma - alpha * alpha_raw, 0.0)
             )
-            w = w - alpha * d
             if with_M:
                 # FRESH M apply (the second this iteration, still zero
                 # extra sync points): deriving M w2 by the axpy
@@ -270,6 +361,7 @@ def minres(
                 # 64x64 Poisson operator.
                 Mw = apply(M_mv, w)
         else:
+            Rb = state.Rb
             alpha = jnp.real(pair(state.v_cur, w))
             w = w - alpha * (state.p_cur if with_M else state.v_cur)
             if with_M:
@@ -359,9 +451,18 @@ def minres(
             resnorms,
             errnorms,
             warn,
+            Rb,
         )
 
     zero_vec = jnp.zeros(N, dtype)
+    if d_defl:
+        Rb0 = (
+            jnp.zeros((2 + 2 * d_defl, N), dtype)
+            .at[2:2 + d_defl].set(_MW2T)
+            .at[2 + d_defl:].set(_UoT)
+        )
+    else:
+        Rb0 = jnp.zeros((0, 0), dtype)
     init = _MinresState(
         jnp.asarray(0),
         zero_vec,
@@ -385,6 +486,7 @@ def minres(
         resnorms0,
         errnorms0,
         jnp.asarray(False),
+        Rb0,
     )
     final = lax.while_loop(cond, body, init)
 

@@ -499,9 +499,19 @@ def shifted_cg(A, b, shifts, *, maxiter=None, tol=1e-8,
     rho0 = jnp.real(jnp.vdot(bv, bv)).astype(real_dtype)
 
     if variant == "auto":
+        # priced selection (shared model, krypy_tpu/functional/policy.py)
         from ..parallel import active_mesh_size
+        from . import policy
 
-        variant = "1r" if active_mesh_size() > 1 else "classic"
+        _mesh_n = active_mesh_size()
+        variant = (
+            "1r"
+            if _mesh_n > 1
+            and policy.prefer_one_reduce(
+                "shifted_cg", N // _mesh_n, jnp.dtype(dtype).itemsize
+            )
+            else "classic"
+        )
     if variant not in ("classic", "1r"):
         raise ValueError(f"unknown shifted_cg variant {variant!r}")
     one_reduce = variant == "1r"

@@ -116,7 +116,11 @@ class SketchedSolveResult(NamedTuple):
     #: CONVERGED / MAXITER
     status: jnp.ndarray
     #: posterior embedding certificate (see class docstring)
-    distortion: jnp.ndarray = jnp.asarray(1.0)
+    #: plain-float default: a jnp default here would initialize the JAX
+    #: backend at import time, grabbing the exclusive TPU tunnel before
+    #: the caller can select CPU (ADVICE r4); constructors pass a
+    #: device array explicitly.
+    distortion: jnp.ndarray = 1.0
     #: realized embedding dimension d of the sketch used
     sketch_d: int = 0
 
@@ -592,7 +596,13 @@ def restarted_sketched_gmres(
             budget = max(1, cycles_left + 1) * int(maxiter)
             cres = _classic_gmres(
                 A, bv, x0=x, tol=tol, maxiter=budget,
-                M=kwargs.get("M"),
+                # sketched_gmres applies M as RIGHT preconditioning
+                # (x = x0 + M correction, line ~315/411): hand the same
+                # operator to classic gmres as Mr, NOT as its inner-
+                # product-defining M -- a nonsymmetric M (e.g. SPAI)
+                # would make gmres's sqrt(<r, M r>) norms meaningless
+                # (ADVICE r4).
+                Mr=kwargs.get("M"),
             )
             cn = int(cres.niter)
             total += cn

@@ -218,3 +218,119 @@ def test_golden_deflated_short_recurrence(solver, golden0):
     assert int(res.status) == F.CONVERGED
     x = numpy.asarray(res.x)
     assert abs(numpy.abs(x).sum() - golden0) < 1e-11 * golden0
+
+
+@pytest.mark.parametrize(
+    "solver, kw, golden0",
+    [
+        (deflated_gmres, {"ortho": "cgs2_1r"}, 1004.1873774950692),
+        (F.deflated_cg, {"variant": "1r"}, 1004.1873775173271),
+        (F.deflated_minres, {"variant": "1r"}, 1004.1873774950692),
+    ],
+)
+def test_golden_deflated_one_reduce(solver, kw, golden0):
+    """The fused one-reduce deflated solvers reproduce the reference
+    golden values (test/test_convenience_wrappers.py:34-55) -- the
+    numerics of folding capture+projection into the single contraction
+    are at solver tolerance."""
+    n = 100
+    A = numpy.diag([1.0e-3] + list(range(2, n + 1)))
+    b = numpy.ones(n)
+    U = numpy.zeros((n, 1))
+    U[0, 0] = 1.0
+    res = solver(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U), tol=1e-5, **kw
+    )
+    assert int(res.status) == F.CONVERGED
+    x = numpy.asarray(res.x)
+    assert abs(numpy.abs(x).sum() - golden0) < 1e-10 * golden0
+
+
+def test_deflated_one_reduce_gram_identities():
+    """The fused-1r deflated GMRES's captured small matrices satisfy the
+    SAME Gram identities as the hook path's: C[k] = <Uo, A v_k>,
+    E = <Uo, A Uo>, B = <V, A Uo> -- the augmented Galerkin block the
+    recycling machinery consumes is exact (VERDICT r4 #1 parity
+    battery)."""
+    rng = numpy.random.RandomState(7)
+    n = 80
+    A = numpy.diag(numpy.linspace(1.0, 30.0, n))
+    A += 0.05 * rng.randn(n, n)
+    b = rng.randn(n)
+    U = rng.randn(n, 3)
+    res, ints = deflated_gmres(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U),
+        tol=1e-9, maxiter=40, ortho="cgs2_1r", return_internal=True,
+    )
+    niter = int(res.niter)
+    assert niter > 5
+    V = numpy.asarray(ints["V"])
+    C = numpy.asarray(ints["C"])
+    Uo = numpy.asarray(ints["Uo"])
+    E = numpy.asarray(ints["E"])
+    # basis orthonormality and complement membership (the leak the
+    # seal-time cancellation removes)
+    Vb = V[: niter + 1]
+    numpy.testing.assert_allclose(
+        Vb @ Vb.T, numpy.eye(niter + 1), atol=1e-12
+    )
+    assert numpy.abs(Uo.T @ Vb.T).max() < 1e-12
+    # capture identity on every completed column
+    for k in range(niter):
+        numpy.testing.assert_allclose(
+            C[k], Uo.T @ (A @ V[k]), atol=1e-11
+        )
+    numpy.testing.assert_allclose(E, Uo.T @ (A @ Uo), atol=1e-11)
+    # the full augmented-Galerkin assembly (what Ritz recycling eats)
+    # agrees between the fused and hook paths
+    res_h, ints_h = deflated_gmres(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U),
+        tol=1e-9, maxiter=40, ortho="cgs2", return_internal=True,
+    )
+    from krypy_tpu.functional.deflation import _augmented_galerkin
+
+    M1, n1, d1 = _augmented_galerkin(dict(ints, niter=niter))
+    M2, n2, d2 = _augmented_galerkin(
+        dict(ints_h, niter=int(res_h.niter))
+    )
+    assert (n1, d1) == (n2, d2)
+    theta1 = numpy.sort_complex(numpy.linalg.eigvals(M1))
+    theta2 = numpy.sort_complex(numpy.linalg.eigvals(M2))
+    numpy.testing.assert_allclose(theta1, theta2, rtol=1e-8, atol=1e-10)
+
+
+def test_deflated_one_reduce_long_solve_leak_regression():
+    """Regression for the deflation-space leak: without the seal-time /
+    alpha-term cancellation the basis drifts out of the projection
+    complement at |alpha|/beta per iteration and a >100-iteration
+    deflated one-reduce solve stalls well above tolerance (measured:
+    2.5e-6 at 300 iterations on this operator pre-fix)."""
+    rng = numpy.random.RandomState(0)
+    n = 120
+    A = numpy.diag(
+        numpy.concatenate([numpy.linspace(-8, -1, 20),
+                           numpy.linspace(1, 50, 100)])
+    )
+    S = 0.05 * rng.randn(n, n)
+    A = A + S + S.T
+    b = rng.randn(n)
+    U = rng.randn(n, 3)
+    r1 = F.deflated_minres(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(U),
+        tol=1e-10, maxiter=300, variant="1r",
+    )
+    assert int(r1.status) == F.CONVERGED
+    rel = numpy.linalg.norm(
+        b - A @ numpy.asarray(r1.x)
+    ) / numpy.linalg.norm(b)
+    assert rel < 1e-9
+    # GMRES leg: long cycle stays orthogonal and in-complement
+    Aspd = numpy.diag(numpy.linspace(0.01, 60, n)) + 0.02 * (S + S.T)
+    rg = deflated_gmres(
+        jnp.asarray(Aspd), jnp.asarray(b), jnp.asarray(U),
+        tol=1e-12, maxiter=110, ortho="cgs2_1r",
+    )
+    rel = numpy.linalg.norm(
+        b - Aspd @ numpy.asarray(rg.x)
+    ) / numpy.linalg.norm(b)
+    assert rel < 1e-11
