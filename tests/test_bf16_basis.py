@@ -103,3 +103,65 @@ def test_bf16_basis_ill_conditioned_floor_is_honest():
                 explicit_residual=True, basis_dtype=jnp.bfloat16)
     # status must NOT be CONVERGED: the floor eps*kappa ~ 8 >> tol
     assert int(r.status) != int(F.CONVERGED)
+
+
+def test_bf16_basis_one_reduce_composition():
+    """basis_dtype composes with the one-reduce scheme (VERDICT r4 #2):
+    quantized sealed rows + a full-precision trailing-candidate side
+    vector reach the same eps(bf16)*kappa floor as the cgs2 quantized
+    path, and on a mesh the iteration still costs exactly ONE
+    all-reduce (pinned; auto resolves to the composed scheme)."""
+    d, A, b = _diag_system()
+    r1 = F.gmres(A, b, tol=0.0, maxiter=40, ortho="cgs2_1r",
+                 basis_dtype=jnp.bfloat16)
+    rel1 = _true_rel(d, r1.x, b)
+    assert rel1 < 5e-2, rel1
+    # full-precision 1r must do strictly better
+    r32 = F.gmres(A, b, tol=0.0, maxiter=40, ortho="cgs2_1r")
+    assert _true_rel(d, r32.x, b) < rel1
+    # basis buffer is genuinely stored narrow: HBM-traffic lever intact
+    _, ints = F.gmres(A, b, tol=0.0, maxiter=8, ortho="cgs2_1r",
+                      basis_dtype=jnp.bfloat16, return_internal=True)
+    assert ints["V"].dtype == jnp.bfloat16
+
+
+def test_bf16_basis_one_reduce_mesh_pin():
+    import jax
+
+    from krypy_tpu import ops, parallel
+    from helpers import loop_body_allreduces
+
+    mesh = parallel.make_mesh(8)
+    lap = ops.poisson_2d(32)
+    b = parallel.shard_vector(jnp.ones(32 * 32, jnp.float32), mesh)
+    with mesh:
+        onered = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-2, maxiter=24,
+                              ortho="cgs2_1r", basis_dtype=jnp.bfloat16)
+        )
+        auto = jax.jit(
+            lambda v: F.gmres(lap, v, tol=1e-2, maxiter=24,
+                              ortho="auto", basis_dtype=jnp.bfloat16)
+        )
+    assert loop_body_allreduces(onered, b, mesh=mesh) == 1
+    assert loop_body_allreduces(auto, b, mesh=mesh) == 1
+    with mesh:
+        r = onered(b)
+        ra = auto(b)
+    assert float(jnp.linalg.norm(ra.x - r.x)) == 0.0
+
+
+def test_bf16_basis_one_reduce_refine_to_tight_tolerance():
+    """GMRES-IR over the COMPOSED lane: bf16 one-reduce inner + f64
+    outer reaches 1e-8 -- the memory lever and the latency lever stack
+    for tight tolerances too."""
+    import jax
+
+    d, A, b = _diag_system()
+    b64 = jnp.asarray(np.asarray(b), jnp.float64)
+    inner = jax.jit(
+        lambda rr: F.gmres(A, rr, tol=1e-2, maxiter=40, ortho="cgs2_1r",
+                           basis_dtype=jnp.bfloat16)
+    )
+    res, info = F.refine_to(A, b64, inner, tol=1e-8)
+    assert float(np.nanmin(np.asarray(res.resnorms))) <= 1e-8

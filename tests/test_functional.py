@@ -243,15 +243,29 @@ def test_minres_one_reduce_eligibility():
 
 def test_gmres_one_reduce_eligibility():
     A, b = _readme_system()
+    # M composes with cgs2_1r since round 5 (dual-basis one-reduce,
+    # VERDICT r4 #3); the remaining M exclusions are ip and basis_dtype
     with pytest.raises(ValueError):
         F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
-                M=lambda x: x)
+                M=lambda x: x, ip=jnp.eye(len(b)))
+    with pytest.raises(ValueError):
+        F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
+                M=lambda x: x, basis_dtype=jnp.bfloat16)
     with pytest.raises(ValueError):
         F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
                 ip=lambda x, y: jnp.vdot(x, y))
-    with pytest.raises(ValueError):
-        F.gmres(jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
-                basis_dtype=jnp.bfloat16)
+    # basis_dtype COMPOSES with cgs2_1r since round 5 (VERDICT r4 #2);
+    # the remaining exclusion is the fused-deflated buffer
+    from krypy_tpu.functional.gmres import FusedDeflation
+
+    with pytest.raises(ValueError, match="fused_deflation"):
+        F.gmres(
+            jnp.asarray(A), jnp.asarray(b), ortho="cgs2_1r",
+            basis_dtype=jnp.bfloat16,
+            fused_deflation=FusedDeflation(
+                UoT=jnp.zeros((1, len(b))), W2T=jnp.zeros((1, len(b)))
+            ),
+        )
 
 
 @pytest.mark.parametrize("maxiter", [5, 37, 100])
