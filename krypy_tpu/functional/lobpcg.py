@@ -115,6 +115,7 @@ def lobpcg(
     maxiter=500,
     lock=True,
     criterion="rel",
+    variant="classic",
 ):
     r"""k extremal eigenpairs of Hermitian ``A`` (or of the pencil
     ``(A, B)`` with SPD ``B``) by preconditioned LOBPCG, as one
@@ -156,12 +157,39 @@ def lobpcg(
       would demand :math:`\kappa(A)\,\epsilon` accuracy no algorithm
       can attain (same rationale as ``eigsh``'s shift-invert
       certification).
+    :param variant: ``"classic"`` (10 all-reduces per block iteration:
+      per-stage Grams, projections, row norms) or ``"fused"`` (round 5,
+      VERDICT r4 #5): the whole advance runs on THREE stacked
+      cross-Grams -- (i) projection pass 1 + the pre-projection row
+      norms, (ii) projection pass 2 + the SVQB pass-1 Gram via the
+      expansion :math:`G_1 = G_{p1} - C_2^H C_2` (X is B-orthonormal),
+      (iii) the SVQB pass-2 Gram + the Rayleigh-Ritz blocks, with the
+      pass-2 row transform applied to the SMALL matrices -- so one
+      block iteration costs 4 sync points (3 + the residual check)
+      instead of 10, amortized 4/k per pair.  The kill-tiny-row and
+      spurious-Ritz rules fold into the SVQB alive masks (no separate
+      norm reductions).  Standard problems only (``B=None``);
+      ``"auto"`` picks ``"fused"`` under a multi-device mesh context.
     :return: :class:`LobpcgResult`.
     """
     if criterion not in ("rel", "backward"):
         raise ValueError(
             f"criterion={criterion!r}: expected 'rel' or 'backward'"
         )
+    if variant == "auto":
+        from ..parallel import active_mesh_size
+
+        variant = (
+            "fused" if active_mesh_size() > 1 and B is None else "classic"
+        )
+    if variant not in ("classic", "fused"):
+        raise ValueError(f"unknown lobpcg variant {variant!r}")
+    if variant == "fused" and B is not None:
+        raise ValueError(
+            "variant='fused' supports standard problems only (B=None); "
+            "use variant='classic' for the generalized pencil"
+        )
+    fused = variant == "fused"
     A_mv = as_matvec(A)
     generalized = B is not None
     B_mv = as_matvec(B) if generalized else None
@@ -403,12 +431,127 @@ def lobpcg(
             den = jnp.abs(th)  # ||x||_2 = 1 in the standard case
         return R, num / jnp.maximum(den, eps_floor)
 
+    eps_mach = float(jnp.finfo(real_dtype).eps)
+
+    def _svqb_transform(G, ref=None):
+        """SVQB row transform from a (j, j) B-Gram: returns (T, live)
+        where T orthonormalizes the rows the Gram belongs to and `live`
+        marks the output rows that carry a direction.  The kill-tiny
+        rule (vs pre-projection reference norms) folds into the alive
+        mask when `ref` is given -- replicated small-dense work, zero
+        sync points."""
+        j = G.shape[0]
+        d = jnp.maximum(jnp.real(jnp.diag(G)), 0.0)
+        alive = d > (64.0 * eps_mach) * jnp.sum(d) / j
+        if ref is not None:
+            alive = alive & (jnp.sqrt(d) > brk * ref)
+        aliver = alive.astype(real_dtype)
+        scale = safe_div(1.0, jnp.sqrt(d * aliver)) * aliver
+        Gh = G * (scale[:, None] * scale[None, :]).astype(dtype)
+        lam, S = jnp.linalg.eigh(Gh)
+        keep = lam > (j * eps_mach) * jnp.maximum(lam[-1], 0.0)
+        inv = jnp.where(
+            keep, safe_div(1.0, jnp.sqrt(jnp.maximum(lam, 0.0))), 0.0
+        )
+        T = (
+            inv[:, None].astype(dtype)
+            * S.T
+            * scale[None, :].astype(dtype)
+        )
+        return T, keep
+
     def body(state):
         X, AX, BX, P, AP, BP, theta, it, hist, _ = state
         R, res = _pair_res(X, AX, BX, theta)
         wres = jnp.max(res)
         hist = hist.at[it].set(wres)
         conv = wres <= tol
+
+        def advance_fused(_):
+            """Three stacked cross-Grams for the whole advance (see the
+            ``variant`` docstring); every small-dense factor is
+            replicated, every (*, N) operation a local GEMM/axpy."""
+            Rm = R
+            if lock:
+                Rm = Rm * (res > tol)[:, None].astype(real_dtype)
+            W = M_blk(Rm) if M_mv is not None else Rm
+            AW = A_blk(W)
+
+            # ---- sync 1: projection pass 1 + pre-projection norms
+            L2 = jnp.concatenate([X, W, P])
+            R2 = jnp.concatenate([W, P])
+            G2 = jnp.einsum("iN,jN->ij", L2.conj(), R2)
+            C1 = jnp.concatenate([G2[:k, :k], G2[:k, k:]], axis=1)
+            ref = jnp.sqrt(jnp.maximum(jnp.concatenate([
+                jnp.real(jnp.diagonal(G2[k:2 * k, :k])),
+                jnp.real(jnp.diagonal(G2[2 * k:, k:])),
+            ]), 0.0))
+            Up1 = R2 - jnp.dot(C1.T, X)
+            AUp1 = jnp.concatenate([AW, AP]) - jnp.dot(C1.T, AX)
+
+            # ---- sync 2: projection pass 2 + SVQB pass-1 Gram (the
+            # post-pass-2 Gram follows from G1 = Gp1 - C2^H C2 because
+            # X is B-orthonormal)
+            G3 = jnp.einsum(
+                "iN,jN->ij", jnp.concatenate([X, Up1]).conj(), Up1
+            )
+            C2 = G3[:k]
+            Gp1 = G3[k:]
+            U1 = Up1 - jnp.dot(C2.T, X)
+            AU1 = AUp1 - jnp.dot(C2.T, AX)
+            G1 = Gp1 - jnp.dot(C2.conj().T, C2)
+            G1 = 0.5 * (G1 + G1.conj().T)
+            T1, _ = _svqb_transform(G1, ref=ref)
+            U2 = jnp.dot(T1, U1)
+            AU2 = jnp.dot(T1, AU1)
+
+            # ---- sync 3: SVQB pass-2 Gram + every Rayleigh-Ritz block
+            G4 = jnp.einsum(
+                "iN,jN->ij",
+                jnp.concatenate([X, U2]).conj(),
+                jnp.concatenate([U2, AX, AU2]),
+            )
+            Gu = 0.5 * (G4[k:, :2 * k] + G4[k:, :2 * k].conj().T)
+            T2, keep2 = _svqb_transform(Gu)
+            Gxa = G4[:k, 2 * k:3 * k]
+            Gxau = jnp.dot(G4[:k, 3 * k:], T2.T)
+            Guau = jnp.dot(
+                jnp.dot(T2.conj(), G4[k:, 3 * k:]), T2.T
+            )
+            Grr = jnp.concatenate([
+                jnp.concatenate([Gxa, Gxau], axis=1),
+                jnp.concatenate([Gxau.conj().T, Guau], axis=1),
+            ])
+            Grr = 0.5 * (Grr + Grr.conj().T)
+            th_all, C = jnp.linalg.eigh(Grr)
+            # spurious mask from the transform structure: U3 row i is
+            # dead iff its pass-2 singular direction was dropped
+            live = jnp.concatenate([
+                jnp.ones(k, bool), keep2
+            ])
+            dead_mass = jnp.sum(
+                jnp.abs(C) ** 2 * (~live)[:, None].astype(real_dtype),
+                axis=0,
+            )
+            key = jnp.where(
+                dead_mass > 0.5, jnp.inf,
+                _selection_key(th_all.astype(real_dtype), which),
+            )
+            order = jnp.argsort(key)
+            th = th_all[order].astype(real_dtype)
+            C = C[:, order]
+
+            U3 = jnp.dot(T2, U2)
+            AU3 = jnp.dot(T2, AU2)
+            S = jnp.concatenate([X, U3])
+            AS = jnp.concatenate([AX, AU3])
+            Cx = C[:, :k]
+            Xn = jnp.dot(Cx.T, S)
+            AXn = jnp.dot(Cx.T, AS)
+            Cu = C[k:, :k]
+            Pn = jnp.dot(Cu.T, U3)
+            APn = jnp.dot(Cu.T, AU3)
+            return Xn, AXn, dummy, Pn, APn, dummy, th[:k]
 
         def advance(_):
             Rm = R
@@ -450,7 +593,9 @@ def lobpcg(
         def keep(_):
             return X, AX, BX, P, AP, BP, theta
 
-        Xn, AXn, BXn, Pn, APn, BPn, thn = lax.cond(conv, keep, advance, 0)
+        Xn, AXn, BXn, Pn, APn, BPn, thn = lax.cond(
+            conv, keep, advance_fused if fused else advance, 0
+        )
         return (
             Xn, AXn, BXn, Pn, APn, BPn, thn,
             it + jnp.where(conv, 0, 1), hist, conv,

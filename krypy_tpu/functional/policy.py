@@ -84,6 +84,10 @@ ONE_REDUCE_EXTRA_SWEEPS = {
     "cg": 12.4,
     "minres": 16.2,
     "shifted_cg": 12.4,
+    # QMR's fused (7, N) x (N, 5) cross-Gram streams ~7 extra vector
+    # reads + the conjugate-row copies vs the classic 5 separate
+    # reductions; structural estimate pending a slope measurement
+    "qmr": 10.0,
 }
 
 

@@ -94,6 +94,9 @@ class _QmrState(NamedTuple):
     stall: jnp.ndarray
     broken: jnp.ndarray
     resnorms: jnp.ndarray
+    # --- one-reduce (variant="1r") extras; scalars, zero in classic ---
+    delta_c: jnp.ndarray  # carried biorthogonality coupling <w, v>
+    rr: jnp.ndarray       # carried squared residual norm ||r||^2
 
 
 def qmr(
@@ -108,8 +111,9 @@ def qmr(
     maxiter=None,
     stagnation_window=0,
     explicit_residual=False,
+    variant="classic",
 ):
-    """Solve nonsymmetric ``A x = b`` with right-preconditioned QMR in
+    r"""Solve nonsymmetric ``A x = b`` with right-preconditioned QMR in
     one compiled while_loop.
 
     :param M: optional right-preconditioner matvec (the recurrence runs
@@ -121,6 +125,22 @@ def qmr(
     :param MT: optional explicit transpose of ``M`` (same contract).
     :param stagnation_window: if > 0, stop after this many iterations
       without improving the best residual.
+    :param variant: ``"classic"`` (4 reductions per iteration: the
+      biorthogonality coupling, both Lanczos normalizations, the
+      residual norm) or ``"1r"`` (round 5, VERDICT r4 #5): ALL scalar
+      couplings of the two-sided step ride ONE stacked (7, N) x (N, 5)
+      cross-Gram per iteration.  The coupling :math:`\delta_{k+1} =
+      w_{k+1}^T v_{k+1} = \tilde w^T\tilde v/(\rho\xi)` is carried one
+      step (its expansion :math:`\tilde w^T\tilde v = w_a^T p_t -
+      \beta\,w_a^T v - \beta\,w^T p_t + \beta^2\delta_k` uses only Gram
+      entries), both normalizations come from the conjugated-norm
+      expansions of :math:`\tilde v = p_t - \beta v` / :math:`\tilde w
+      = w_a - \beta w`, and the residual norm from the expansion of
+      :math:`r' = r - \eta p_t - \mathrm{sh}\, s` (the residual VECTOR
+      recurrence is unchanged -- only its norm is derived, CG-style;
+      the explicit-residual honesty check still verifies candidates
+      against the true residual).  ``"auto"`` picks ``"1r"`` under a
+      multi-device mesh context via the shared price model.
     :return: :class:`~krypy_tpu.functional.common.SolveResult`.
     """
     b = jnp.asarray(b)
@@ -135,6 +155,24 @@ def qmr(
     bv = bv.astype(dtype)
     A_mv, M_mv = (cast_matvec(f, dtype) for f in (A_mv, M_mv))
     real_dtype = jnp.zeros(0, dtype).real.dtype
+
+    if variant == "auto":
+        from ..parallel import active_mesh_size
+        from . import policy
+
+        _mesh_n = active_mesh_size()
+        variant = (
+            "1r"
+            if _mesh_n > 1
+            and policy.prefer_one_reduce(
+                "qmr", N // _mesh_n, jnp.dtype(dtype).itemsize,
+                syncs_saved=3,
+            )
+            else "classic"
+        )
+    if variant not in ("classic", "1r"):
+        raise ValueError(f"unknown qmr variant {variant!r}")
+    one_reduce = variant == "1r"
 
     def Ahat(x):
         return A_mv(apply(M_mv, x))
@@ -174,7 +212,9 @@ def qmr(
         k = state.k
         v = state.vt / state.rho
         w = state.wt / state.xi
-        delta = jnp.sum(w * v)  # bilinear, unconjugated
+        # bilinear, unconjugated coupling; carried one step in "1r"
+        # (derived from last iteration's Gram -- see below)
+        delta = state.delta_c if one_reduce else jnp.sum(w * v)
 
         first = k == 0
         p = v - jnp.where(
@@ -185,12 +225,69 @@ def qmr(
         ) * state.q
 
         pt = Ahat(p)
-        eps_k = jnp.sum(q * pt)
-        beta = safe_div(eps_k, delta)
-        vt = pt - beta * v
-        rho_new = jnp.linalg.norm(vt).astype(dtype)
-        wt = Ahat_t(q) - beta * w
-        xi_new = jnp.linalg.norm(wt).astype(dtype)
+        if one_reduce:
+            # THE one fused reduction of the iteration: a (9, N) x
+            # (N, 6) cross-Gram carrying the bilinear Lanczos couplings
+            # (pre-conjugated rows cancel the einsum's conjugation),
+            # the conjugated norm-expansion products, AND the measured
+            # self-corrections nu_v = <v,v>, nu_w = <w,w>, delta_m =
+            # w^T v, rr_m = <r,r>.  Measuring these instead of assuming
+            # 1/carried values is load-bearing (the MINRES nu lesson):
+            # the norm expansions lose accuracy exactly at cancellation
+            # and the error otherwise compounds through the next
+            # normalization -- with the measured anchors every
+            # expansion is one-step-fresh and the replayed recurrence
+            # tracks the classic one to the attainable floor
+            # (tests/test_qmr.py parity).
+            wta = Ahat_t(q)
+            L = jnp.stack([
+                pt, wta, state.r, state.s,
+                jnp.conj(w), jnp.conj(q), jnp.conj(wta), v, w,
+            ])
+            R = jnp.stack([v, pt, w, state.s, wta, state.r])
+            G = jnp.einsum("iN,jN->ij", L.conj(), R)
+            pt_v = G[0, 0]          # <pt, v>
+            pt_pt = jnp.real(G[0, 1])
+            pt_s = G[0, 3]
+            wta_w = G[1, 2]
+            wta_wta = jnp.real(G[1, 4])
+            r_pt = G[2, 1]
+            r_s = G[2, 3]
+            rr_m = jnp.real(G[2, 5])
+            s_s = jnp.real(G[3, 3])
+            w_pt_b = G[4, 1]        # bilinear w^T pt
+            delta_m = G[4, 0]       # measured bilinear coupling w^T v
+            eps_k = G[5, 1]         # bilinear q^T pt
+            wta_pt_b = G[6, 1]
+            wta_v_b = G[6, 0]
+            nu_v = jnp.real(G[7, 0])
+            nu_w = jnp.real(G[8, 2])
+
+            delta = delta_m
+            beta = safe_div(eps_k, delta_m)
+            b2 = jnp.abs(beta) ** 2
+            rho_new = jnp.sqrt(jnp.maximum(
+                pt_pt - 2.0 * jnp.real(beta * pt_v) + b2 * nu_v, 0.0
+            )).astype(dtype)
+            xi_new = jnp.sqrt(jnp.maximum(
+                wta_wta - 2.0 * jnp.real(beta * wta_w) + b2 * nu_w, 0.0
+            )).astype(dtype)
+            vt = pt - beta * v
+            wt = wta - beta * w
+            # next coupling: wt^T vt expanded from Gram entries
+            wtvt = (
+                wta_pt_b - beta * wta_v_b - beta * w_pt_b
+                + beta * beta * delta_m
+            )
+            delta_next = safe_div(wtvt, (rho_new * xi_new).astype(dtype))
+        else:
+            eps_k = jnp.sum(q * pt)
+            beta = safe_div(eps_k, delta)
+            vt = pt - beta * v
+            rho_new = jnp.linalg.norm(vt).astype(dtype)
+            wt = Ahat_t(q) - beta * w
+            xi_new = jnp.linalg.norm(wt).astype(dtype)
+            delta_next = state.delta_c
 
         theta = safe_div(
             rho_new, state.gamma * jnp.abs(beta)
@@ -202,12 +299,30 @@ def qmr(
         )
 
         shrink = (state.theta * gamma) ** 2
-        d = eta * p + jnp.where(first, 0.0, shrink) * state.d
-        s = eta * pt + jnp.where(first, 0.0, shrink) * state.s
+        sh = jnp.where(first, 0.0, shrink)
+        d = eta * p + sh * state.d
+        s = eta * pt + sh * state.s
         u = state.u + d
         r = state.r - s
 
-        rel_upd = safe_div(jnp.linalg.norm(r), bnorm)
+        if one_reduce:
+            # residual norm by ONE-STEP expansion of r' = r - eta*pt -
+            # sh*s_old, anchored on the MEASURED <r, r> of the current
+            # residual (the vector recurrence above is unchanged; only
+            # its norm is derived, and the anchor means the expansion's
+            # cancellation error never accumulates across iterations)
+            rr_new = jnp.maximum(
+                rr_m
+                - 2.0 * jnp.real(eta * r_pt + sh * r_s)
+                + jnp.abs(eta) ** 2 * pt_pt
+                + 2.0 * sh * jnp.real(jnp.conj(eta) * pt_s)
+                + sh * sh * s_s,
+                0.0,
+            )
+            rel_upd = safe_div(jnp.sqrt(rr_new), bnorm)
+        else:
+            rr_new = state.rr
+            rel_upd = safe_div(jnp.linalg.norm(r), bnorm)
         need_explicit = (
             explicit_residual | (rel_upd <= tol) | (k + 1 == maxiter)
         )
@@ -235,6 +350,7 @@ def qmr(
             k + 1, u, r, vt, wt, p, q, d, s,
             rho_new, xi_new, eps_k, gamma, eta, theta,
             rel, best, stall, broken, resnorms,
+            delta_next, rr_new,
         )
 
     def cond(state):
@@ -248,6 +364,14 @@ def qmr(
         return go
 
     rho0 = jnp.linalg.norm(r0).astype(dtype)
+    if one_reduce:
+        # entry-only reductions: the first coupling delta_0 = w_0^T v_0
+        # = r0^T r0 / rho0^2 (bilinear) and ||r0||^2
+        delta0 = safe_div(jnp.sum(r0 * r0), rho0 * rho0)
+        rr0 = jnp.real(jnp.vdot(r0, r0))
+    else:
+        delta0 = jnp.asarray(0.0, dtype)
+        rr0 = jnp.asarray(0.0, real_dtype)
     init = _QmrState(
         jnp.asarray(0),
         zero,
@@ -270,6 +394,8 @@ def qmr(
         # zero rhs (rho == 0) must not divide; loop is skipped anyway
         jnp.asarray(False) | (rho0 == 0),
         jnp.full(maxiter + 1, jnp.nan, real_dtype).at[0].set(rel0),
+        delta0.astype(dtype),
+        rr0.astype(real_dtype),
     )
     final = lax.while_loop(cond, body, init)
 

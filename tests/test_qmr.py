@@ -7,6 +7,7 @@ auto-derived path, and the honesty contract (zero rhs, unreachable
 tolerance reports MAXITER)."""
 
 import numpy
+import pytest
 import jax.numpy as jnp
 
 from krypy_tpu import functional as F, ops
@@ -134,3 +135,40 @@ def test_qmr_stagnation_window_f32():
     b = jnp.asarray(rng.randn(100), jnp.float32)
     r = F.qmr(A32, b, tol=1e-14, maxiter=4000, stagnation_window=20)
     assert int(r.niter) < 4000
+
+
+def test_qmr_one_reduce_parity_real_and_complex():
+    """variant='1r' (one fused cross-Gram per iteration) reproduces the
+    classic iteration to fp on real AND complex systems: the
+    measured-anchor expansions (nu_v, nu_w, w^T v, <r,r> from the same
+    Gram) keep the derived norms exact to the attainable floor."""
+    import numpy
+
+    rng = numpy.random.RandomState(0)
+    n = 150
+    A = numpy.diag(numpy.linspace(1, 40, n))
+    A = A + 0.5 * rng.randn(n, n) / numpy.sqrt(n)
+    b = rng.randn(n)
+    rc = F.qmr(jnp.asarray(A), jnp.asarray(b), tol=1e-9, maxiter=300)
+    r1 = F.qmr(jnp.asarray(A), jnp.asarray(b), tol=1e-9, maxiter=300,
+               variant="1r")
+    assert int(r1.status) == int(rc.status) == F.CONVERGED
+    assert int(r1.niter) == int(rc.niter)
+    rel = numpy.linalg.norm(
+        b - A @ numpy.asarray(r1.x)
+    ) / numpy.linalg.norm(b)
+    assert rel <= 1e-9
+
+    Ac = A + 1j * 0.1 * rng.randn(n, n) / numpy.sqrt(n)
+    bc = b + 1j * rng.randn(n)
+    rc2 = F.qmr(jnp.asarray(Ac), jnp.asarray(bc), tol=1e-8, maxiter=300)
+    r12 = F.qmr(jnp.asarray(Ac), jnp.asarray(bc), tol=1e-8, maxiter=300,
+                variant="1r")
+    assert int(r12.niter) == int(rc2.niter)
+    relc = numpy.linalg.norm(
+        bc - Ac @ numpy.asarray(r12.x)
+    ) / numpy.linalg.norm(bc)
+    assert relc <= 5e-8
+
+    with pytest.raises(ValueError):
+        F.qmr(jnp.asarray(A), jnp.asarray(b), variant="bogus")
