@@ -181,6 +181,35 @@ def kron_sketch(N, d, *, seed=0, dtype=jnp.float32):
     return KronSketch(S1=S1, S2=S2, signs=signs, N=int(N))
 
 
+def padded_kron_sketch(N, d_active, d_max, *, seed=0, dtype=jnp.float32):
+    """Draw a :class:`KronSketch` whose BUFFERS are sized for ``d_max``
+    but whose live embedding has ~``d_active`` rows; the rest of S1 is
+    exactly zero.
+
+    This is the single-program escalation device (VERDICT r4 #7): every
+    escalation level shares the ``d_max``-padded shapes, so the jitted
+    solve cycle compiles ONCE and levels differ only in operand VALUES
+    (zeroed rows produce zero sketch coordinates, which the Householder
+    least-squares treats as absent equations).  The 1/sqrt(d) scale
+    folded into S1 uses the ACTIVE row count, keeping the embedding an
+    isometry-in-expectation at every level.  The padding costs extra
+    MXU flops in the two small sketch GEMMs only -- the HBM sweep of
+    the sketched vector (the real cost) is padding-independent.
+    """
+    d1, d2 = _split_even(int(d_max))
+    n1, n2 = _split_even(int(N))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    real_dtype = jnp.zeros(0, dtype).real.dtype
+    # active rows of S1 (each carries d2 embedding coordinates)
+    rows = max(1, min(d1, -(-int(d_active) // d2)))
+    scale = 1.0 / math.sqrt(rows * d2)
+    S1 = jax.random.normal(k1, (d1, n1), real_dtype) * scale
+    S1 = S1.at[rows:].set(0.0)
+    S2 = jax.random.normal(k2, (d2, n2), real_dtype)
+    signs = jax.random.rademacher(k3, (int(N),), real_dtype)
+    return KronSketch(S1=S1, S2=S2, signs=signs, N=int(N))
+
+
 def sketch_apply(S, x):
     """Apply the sketch to a vector (one HBM sweep + two small GEMMs)."""
     n1, n2 = S.S1.shape[1], S.S2.shape[1]
@@ -459,13 +488,19 @@ def sketched_gmres(
     distortion = jnp.where(
         jf > 0, true_rel / sk_rel, jnp.ones((), real_dtype)
     )
+    # report the LIVE embedding dimension: under the padded single-
+    # program escalation (padded_kron_sketch) trailing S1 rows are
+    # exactly zero and carry no equations -- counting them (a cheap
+    # traced (d1, n1) scan, no N-sized reduction) keeps sketch_d
+    # meaningful across escalation levels
+    live_rows = jnp.sum(jnp.any(sketch.S1 != 0, axis=1))
     return SketchedSolveResult(
         x=x if flat else x[:, None],
         resnorms=resnorms,
         niter=jf,
         status=status,
         distortion=distortion.astype(real_dtype),
-        sketch_d=d,
+        sketch_d=live_rows * sketch.S2.shape[0],
     )
 
 
@@ -518,37 +553,90 @@ def restarted_sketched_gmres(
     """
     b = jnp.asarray(b)
     bv = b.reshape(-1)
+    N = int(bv.shape[0])
     x = kwargs.pop("x0", None)
     real_dtype = jnp.zeros(0, system_dtype(bv, None)).real.dtype
-    if sketch is None:
-        sd = kwargs.pop("sketch_dim", None)
-        sd = 8 * (int(maxiter) + 1) if sd is None else int(sd)
-        sketch = kron_sketch(bv.shape[0], sd, seed=seed, dtype=real_dtype)
 
     key_items = tuple(
         (k, v if isinstance(v, (bool, int, float, str, type(None))) else id(v))
         for k, v in sorted(kwargs.items())
     )
 
-    def make_cycle(sk):
-        key = (id(A), id(sk), float(tol), int(maxiter), key_items)
-        cycle = _SKETCH_RESTART_CACHE.get(key)
-        if cycle is None:
+    if sketch is None:
+        # SINGLE-PROGRAM escalation (VERDICT r4 #7): every level shares
+        # the d_max-padded buffer shapes, the sketch enters the jitted
+        # cycle as a traced operand, and escalating = handing the same
+        # compiled program a value with more live rows.  On a transport
+        # with minutes-scale pathological compiles a mid-solve retrace
+        # could dwarf the solve; this removes it by construction.
+        sd = kwargs.pop("sketch_dim", None)
+        sd = 8 * (int(maxiter) + 1) if sd is None else int(sd)
+        if sd <= int(maxiter):
+            raise ValueError(
+                f"sketch_dim={sd} must exceed maxiter={maxiter}"
+            )
+        d_max = sd * (2 ** max(0, int(max_escalations)))
+
+        def level_sketch(level, seed_l):
+            return padded_kron_sketch(
+                N, sd * (2 ** level), d_max, seed=seed_l,
+                dtype=real_dtype,
+            )
+
+        sketch = level_sketch(0, seed)
+        key = (id(A), "padded", float(tol), int(maxiter), N, d_max,
+               key_items)
+        cycle_fn = _SKETCH_RESTART_CACHE.get(key)
+        if cycle_fn is None:
 
             @jax.jit
-            def cycle(bb, xx):
+            def cycle_fn(bb, xx, S1, S2, signs):
+                sk = KronSketch(S1=S1, S2=S2, signs=signs, N=N)
                 return sketched_gmres(
                     A, bb, x0=xx, tol=tol, maxiter=maxiter, sketch=sk,
                     **kwargs,
                 )
 
-            cycle._keepalive = (A, sk, kwargs)
+            cycle_fn._keepalive = (A, kwargs)
             if len(_SKETCH_RESTART_CACHE) >= _SKETCH_RESTART_CACHE_MAX:
-                _SKETCH_RESTART_CACHE.pop(next(iter(_SKETCH_RESTART_CACHE)))
-            _SKETCH_RESTART_CACHE[key] = cycle
-        return cycle
+                _SKETCH_RESTART_CACHE.pop(
+                    next(iter(_SKETCH_RESTART_CACHE))
+                )
+            _SKETCH_RESTART_CACHE[key] = cycle_fn
 
-    cycle = make_cycle(sketch)
+        def cycle(bb, xx):
+            return cycle_fn(bb, xx, sketch.S1, sketch.S2, sketch.signs)
+
+        def make_cycle(sk):
+            # same compiled program; only the operand values change
+            return cycle
+    else:
+        # explicit user sketch: legacy per-shape cycles (escalation
+        # rebuilds at the doubled shape and pays one retrace)
+        kwargs.pop("sketch_dim", None)
+        level_sketch = None
+
+        def make_cycle(sk):
+            key = (id(A), id(sk), float(tol), int(maxiter), key_items)
+            cyc = _SKETCH_RESTART_CACHE.get(key)
+            if cyc is None:
+
+                @jax.jit
+                def cyc(bb, xx):
+                    return sketched_gmres(
+                        A, bb, x0=xx, tol=tol, maxiter=maxiter,
+                        sketch=sk, **kwargs,
+                    )
+
+                cyc._keepalive = (A, sk, kwargs)
+                if len(_SKETCH_RESTART_CACHE) >= _SKETCH_RESTART_CACHE_MAX:
+                    _SKETCH_RESTART_CACHE.pop(
+                        next(iter(_SKETCH_RESTART_CACHE))
+                    )
+                _SKETCH_RESTART_CACHE[key] = cyc
+            return cyc
+
+        cycle = make_cycle(sketch)
 
     import numpy as _np
 
@@ -576,14 +664,21 @@ def restarted_sketched_gmres(
             break
         distorted = float(result.distortion) > float(distortion_limit)
         if distorted and escalations < int(max_escalations):
-            # bad embedding: double d, fresh seed, and spend one of the
-            # remaining cycles re-trying (don't trip the stall exit on
-            # a residual the certificate says was never trustworthy)
+            # bad embedding: double the LIVE dimension, fresh seed, and
+            # spend one of the remaining cycles re-trying (don't trip
+            # the stall exit on a residual the certificate says was
+            # never trustworthy).  On the padded path this hands the
+            # SAME compiled program a new operand value -- no retrace.
             escalations += 1
-            sketch = kron_sketch(
-                bv.shape[0], 2 * sketch.d, seed=seed + 7919 * escalations,
-                dtype=real_dtype,
-            )
+            if level_sketch is not None:
+                sketch = level_sketch(
+                    escalations, seed + 7919 * escalations
+                )
+            else:
+                sketch = kron_sketch(
+                    bv.shape[0], 2 * sketch.d,
+                    seed=seed + 7919 * escalations, dtype=real_dtype,
+                )
             cycle = make_cycle(sketch)
             prev_rel = cycle_rel if cycle_rel < prev_rel else prev_rel
             continue

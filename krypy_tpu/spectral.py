@@ -257,33 +257,38 @@ def gap(lamda, sigma, mode="individual"):
 
 
 class Interval:
-    """A closed real interval (possibly a point) --
-    reference: krypy/utils.py:1711-1749."""
+    """A closed real interval (possibly a point).
+
+    Semantics match krypy/utils.py:1711-1749; a lightweight immutable
+    value object here -- the set algebra lives in :class:`Intervals`'
+    endpoint-array representation, not in pairwise object merging.
+    """
+
+    __slots__ = ("left", "right")
 
     def __init__(self, left, right=None):
-        if right is None:
-            right = left
+        right = left if right is None else right
         if left > right:
             raise ArgumentError(
                 f"interval endpoints must satisfy left <= right "
                 f"(got [{left}, {right}])"
             )
-        self.left = left
-        self.right = right
+        object.__setattr__(self, "left", left)
+        object.__setattr__(self, "right", right)
+
+    def __setattr__(self, *_):
+        raise AttributeError("Interval is immutable")
 
     def __and__(self, other):
-        left = max(self.left, other.left)
-        right = min(self.right, other.right)
-        if left <= right:
-            return Interval(left, right)
-        return None
+        lo, hi = max(self.left, other.left), min(self.right, other.right)
+        return Interval(lo, hi) if lo <= hi else None
 
     def __or__(self, other):
-        if self & other:
-            return Interval(
-                min(self.left, other.left), max(self.right, other.right)
-            )
-        return None
+        if (self & other) is None:
+            return None
+        return Interval(
+            min(self.left, other.left), max(self.right, other.right)
+        )
 
     def __repr__(self):
         return f"[{self.left},{self.right}]"
@@ -292,97 +297,121 @@ class Interval:
         return self.left <= alpha <= self.right
 
     def distance(self, other):
-        if self & other:
-            return 0
-        return max(other.left - self.right, self.left - other.right)
+        """0 if the intervals intersect, else the gap between them."""
+        return max(
+            0, other.left - self.right, self.left - other.right
+        )
 
 
 class Intervals:
-    """A set of pairwise disjoint intervals with set-algebra queries --
-    reference: krypy/utils.py:1752-1844."""
+    """A union of closed real intervals, stored as ONE sorted ``(m, 2)``
+    endpoint array of pairwise disjoint components.
+
+    Query semantics match krypy/utils.py:1752-1844; the representation
+    and algorithms differ by design (round-5 rewrite): components are
+    maintained by a vectorized sort-scan-merge over the endpoint array
+    (a row opens a new component exactly when its left endpoint exceeds
+    the running maximum of right endpoints), and every query is an
+    array scan -- no per-object set algebra.
+    """
 
     def __init__(self, intervals=None):
-        self.intervals = set()
-        if intervals is not None:
-            for interval in intervals:
-                self.add(interval)
+        raw = np.asarray(
+            [(iv.left, iv.right) for iv in (intervals or [])], float
+        ).reshape(-1, 2)
+        self._bounds = self._coalesce(raw)
+
+    @staticmethod
+    def _coalesce(raw):
+        """Disjoint components of a union of [l, r] rows (vectorized)."""
+        if raw.shape[0] == 0:
+            return raw
+        raw = raw[np.argsort(raw[:, 0], kind="stable")]
+        running_right = np.maximum.accumulate(raw[:, 1])
+        opens = np.empty(raw.shape[0], bool)
+        opens[0] = True
+        # strict inequality: touching CLOSED intervals intersect
+        opens[1:] = raw[1:, 0] > running_right[:-1]
+        starts = np.flatnonzero(opens)
+        return np.column_stack(
+            [raw[opens, 0], np.maximum.reduceat(raw[:, 1], starts)]
+        )
+
+    @property
+    def bounds(self):
+        """The ``(m, 2)`` sorted disjoint endpoint array (read-only)."""
+        return self._bounds
 
     def add(self, new):
-        intersecting = {iv for iv in self.intervals if iv & new}
-        for iv in intersecting:
-            new = new | iv
-        self.intervals = self.intervals.difference(intersecting)
-        self.intervals.add(new)
+        self._bounds = self._coalesce(
+            np.vstack([self._bounds, [[new.left, new.right]]])
+        )
 
     def contains(self, alpha):
-        return any(iv.contains(alpha) for iv in self.intervals)
+        b = self._bounds
+        return bool(np.any((b[:, 0] <= alpha) & (alpha <= b[:, 1])))
 
     def get_endpoints(self):
-        endpoints = []
-        for iv in self.intervals:
-            if iv.left == iv.right:
-                endpoints.append(iv.left)
-            else:
-                endpoints.extend([iv.left, iv.right])
-        endpoints.sort()
-        return endpoints
+        """Sorted endpoints; point components contribute one value."""
+        out = []
+        for lo, hi in self._bounds:
+            out.append(lo)
+            if hi != lo:
+                out.append(hi)
+        return out
 
     def __len__(self):
-        return len(self.intervals)
+        return self._bounds.shape[0]
 
     def __iter__(self):
-        return iter(self.intervals)
+        return (Interval(lo, hi) for lo, hi in self._bounds)
 
     def __repr__(self):
-        return ", ".join(repr(iv) for iv in self.intervals)
+        return ", ".join(repr(iv) for iv in self)
+
+    def _require_nonempty(self, what):
+        if self._bounds.shape[0] == 0:
+            raise ArgumentError(f"{what}() of an empty interval set")
 
     def min(self):
-        if len(self) == 0:
-            raise ArgumentError("min() of an empty interval set")
-        return min(iv.left for iv in self.intervals)
+        self._require_nonempty("min")
+        return self._bounds[0, 0]
 
     def max(self):
-        if len(self) == 0:
-            raise ArgumentError("max() of an empty interval set")
-        return max(iv.right for iv in self.intervals)
+        self._require_nonempty("max")
+        return self._bounds[-1, 1]
 
     def min_pos(self):
-        """Minimal positive value, or None."""
-        if len(self) == 0:
-            raise ArgumentError("min_pos() of an empty interval set")
+        """Minimal positive value, or None (also None if 0 is covered)."""
+        self._require_nonempty("min_pos")
         if self.contains(0):
             return None
-        positive = [iv for iv in self.intervals if iv.left > 0]
-        if not positive:
-            return None
-        return min(iv.left for iv in positive)
+        lefts = self._bounds[:, 0]
+        pos = lefts[lefts > 0]
+        return pos[0] if pos.size else None
 
     def max_neg(self):
-        """Maximal negative value, or None."""
-        if len(self) == 0:
-            raise ArgumentError("max_neg() of an empty interval set")
+        """Maximal negative value, or None (also None if 0 is covered)."""
+        self._require_nonempty("max_neg")
         if self.contains(0):
             return None
-        negative = [iv for iv in self.intervals if iv.right < 0]
-        if not negative:
-            return None
-        return max(iv.right for iv in negative)
+        rights = self._bounds[:, 1]
+        neg = rights[rights < 0]
+        return neg[-1] if neg.size else None
 
     def min_abs(self):
-        if len(self) == 0:
-            raise ArgumentError("min_abs() of an empty interval set")
+        self._require_nonempty("min_abs")
         if self.contains(0):
             return 0
         return min(
-            abs(val)
-            for val in (self.max_neg(), self.min_pos())
-            if val is not None
+            abs(v)
+            for v in (self.max_neg(), self.min_pos())
+            if v is not None
         )
 
     def max_abs(self):
-        if len(self) == 0:
-            raise ArgumentError("max_abs() of an empty interval set")
-        return max(abs(self.max()), abs(self.min()))
+        self._require_nonempty("max_abs")
+        return max(abs(self.min()), abs(self.max()))
 
 
 # ---------------------------------------------------------------------------

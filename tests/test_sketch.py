@@ -355,3 +355,68 @@ def test_restarted_classic_fallback():
     )
     assert bool(r.converged)
     assert float(r.resnorms[-1]) <= 1e-3
+
+
+def test_sketch_escalation_single_compiled_program():
+    """Escalating sketch_dim reuses ONE compiled cycle (VERDICT r4 #7):
+    every level shares the d_max-padded buffer shapes and the sketch
+    enters the jitted cycle as a traced operand, so a mid-solve
+    escalation never retraces (on the remote-TPU transport a retrace
+    can cost minutes)."""
+    import numpy
+    from krypy_tpu.functional import sketch as SK
+
+    rng = numpy.random.RandomState(0)
+    N = 300
+    A = numpy.diag(numpy.linspace(1, 60, N))
+    A = A + 0.3 * rng.randn(N, N) / numpy.sqrt(N)
+    b = rng.randn(N)
+    Aj = jnp.asarray(A, jnp.float32)
+    bj = jnp.asarray(b, jnp.float32)
+
+    SK._SKETCH_RESTART_CACHE.clear()
+    # distortion_limit=0 forces an escalation at every restart seam
+    res = SK.restarted_sketched_gmres(
+        Aj, bj, tol=1e-12, maxiter=10, max_restarts=5,
+        max_escalations=2, distortion_limit=0.0, classic_fallback=False,
+    )
+    assert len(SK._SKETCH_RESTART_CACHE) == 1
+    fn = next(iter(SK._SKETCH_RESTART_CACHE.values()))
+    assert fn._cache_size() == 1, "escalation recompiled the cycle"
+    assert jnp.isfinite(res.resnorms[0])
+
+    # the padded level-0 embedding still solves to tolerance
+    SK._SKETCH_RESTART_CACHE.clear()
+    res2 = SK.restarted_sketched_gmres(
+        Aj, bj, tol=1e-5, maxiter=30, max_restarts=6, max_escalations=2,
+    )
+    assert int(res2.status) == F.CONVERGED
+    rel = numpy.linalg.norm(
+        b - A @ numpy.asarray(res2.x, numpy.float64)
+    ) / numpy.linalg.norm(b)
+    assert rel <= 2e-5
+
+
+def test_padded_kron_sketch_levels_are_isometric():
+    """Each escalation level of the padded sketch is an isometry in
+    expectation at its ACTIVE dimension: E||S x||^2 = ||x||^2."""
+    import numpy
+    from krypy_tpu.functional.sketch import padded_kron_sketch, sketch_apply
+
+    N, d0 = 400, 64
+    x = jnp.asarray(numpy.random.RandomState(1).randn(N), jnp.float32)
+    xn = float(jnp.linalg.norm(x))
+    for level in (0, 1, 2):
+        vals = []
+        for s in range(24):
+            S = padded_kron_sketch(N, d0 * 2 ** level, d0 * 4, seed=s)
+            vals.append(float(jnp.linalg.norm(sketch_apply(S, x))) / xn)
+        mean = numpy.mean(numpy.square(vals))
+        assert abs(mean - 1.0) < 0.35, (level, mean)
+        # padded rows are exactly zero beyond the active block
+        rows = S.S1.shape[0]
+        import math as _m
+        d1, d2 = S.S1.shape[0], S.S2.shape[0]
+        active = -(-d0 * 2 ** level // d2)
+        if active < rows:
+            assert float(jnp.abs(S.S1[active:]).max()) == 0.0
