@@ -34,6 +34,15 @@ TOL = 1e-8
 # NORTHSTAR_NX=8191) the 26-row f32 basis alone is 7.0 GB, so the probe
 # overrides this down to fit the 16 GB v5e HBM
 RESTART = int(os.environ.get("NORTHSTAR_RESTART", "25"))
+# orthogonalization scheme of the inner GMRES cycles (round 5: the
+# one-reduce scheme composes with the bf16 basis, so the memory lever
+# and the latency lever stack at the 67M-dof scale -- VERDICT r4 #2)
+ORTHO = os.environ.get("NORTHSTAR_ORTHO", "cgs2")
+# basis storage dtype: "bf16" halves the dominant HBM traffic AND the
+# basis memory (doubling the affordable restart length at 67M dof);
+# the f32 attainable floor is irrelevant here because refine_to's f64
+# outer loop restores accuracy (GMRES-IR)
+BASIS = os.environ.get("NORTHSTAR_BASIS", "f32")
 # deflation width (default 0): MEASURED FINDING -- the multigrid
 # preconditioner clusters the spectrum so Ritz deflation has nothing to
 # remove, and at >=10M dof the float32 residual noise feeds through the
@@ -198,7 +207,9 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
         def body(c):
             i, x, bx, best, done, nit = c
             res = F.gmres(
-                cd32, rs, Ml=Ml, x0=x, tol=INNER_TOL, maxiter=RESTART
+                cd32, rs, Ml=Ml, x0=x, tol=INNER_TOL, maxiter=RESTART,
+                ortho=ORTHO,
+                basis_dtype=jnp.bfloat16 if BASIS == "bf16" else None,
             )
             rel = jnp.linalg.norm(rs - cd32(res.x)) / rs_norm
             better = rel < best
@@ -238,6 +249,9 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
         "n_deflation": 0,
         "refine_cycles": info["cycles"],
         "compiled": True,
+        "restart": RESTART,
+        "ortho": ORTHO,
+        "basis": BASIS,
         "device": str(jax.devices()[0]),
     }
 

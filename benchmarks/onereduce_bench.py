@@ -89,7 +89,54 @@ def main():
             lambda b: F.gmres(lap, b, tol=0.0, maxiter=m,
                               ortho="cgs2_1r")
         ),
+        # round-5 lanes: fused-deflated (1 sync/iter incl. capture +
+        # projection), dual-basis M, bf16 x 1r, one-reduce QMR
+        "gmres_defl4_cgs2": lambda m: _defl_case(m, "cgs2"),
+        "gmres_defl4_1r": lambda m: _defl_case(m, "cgs2_1r"),
+        "gmres_M_cgs2": lambda m: jit_solve(
+            lambda b: F.gmres(lap, b, M=Mj, tol=0.0, maxiter=m,
+                              ortho="cgs2")
+        ),
+        "gmres_M_1r": lambda m: jit_solve(
+            lambda b: F.gmres(lap, b, M=Mj, tol=0.0, maxiter=m,
+                              ortho="cgs2_1r")
+        ),
+        "gmres_bf16_1r": lambda m: jit_solve(
+            lambda b: F.gmres(lap, b, tol=0.0, maxiter=m,
+                              ortho="cgs2_1r",
+                              basis_dtype=jnp.bfloat16)
+        ),
+        "gmres_bf16_cgs2": lambda m: jit_solve(
+            lambda b: F.gmres(lap, b, tol=0.0, maxiter=m, ortho="cgs2",
+                              basis_dtype=jnp.bfloat16)
+        ),
+        "qmr_classic": lambda m: jit_solve(
+            lambda b: F.qmr(lap, b, tol=0.0, maxiter=m)
+        ),
+        "qmr_1r": lambda m: jit_solve(
+            lambda b: F.qmr(lap, b, tol=0.0, maxiter=m, variant="1r")
+        ),
+        "deflcg4_classic": lambda m: _deflcg_case(m, "classic"),
+        "deflcg4_1r": lambda m: _deflcg_case(m, "1r"),
     }
+
+    Ud = jax.random.normal(jax.random.PRNGKey(7), (N, 4), jnp.float32)
+
+    def _defl_case(m, ortho):
+        j = jax.jit(
+            lambda b, UU: F.deflated_gmres(
+                lap, b, UU, tol=0.0, maxiter=m, ortho=ortho
+            )
+        )
+        return lambda b: j(b, Ud).x
+
+    def _deflcg_case(m, variant):
+        j = jax.jit(
+            lambda b, UU: F.deflated_cg(
+                lap, b, UU, tol=0.0, maxiter=m, variant=variant
+            )
+        )
+        return lambda b: j(b, Ud).x
 
     if args.only:
         keys = [s.strip() for s in args.only.split(",")]

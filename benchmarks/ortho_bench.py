@@ -138,42 +138,27 @@ def kernels_leg(N, rows, reps=4):
     }), flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=1024 * 1024)
-    ap.add_argument("--m", type=int, default=40)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--kernels", action="store_true",
-                    help="run the sharded-composition kernel leg only")
-    # default roofline = the MEASURED achievable streaming bandwidth of
-    # this chip+runtime (benchmarks/stream_bench.py: ~690 GB/s triad at
-    # 64 MB+ working sets), not the 819 GB/s datasheet figure
-    ap.add_argument("--roofline-gbs", type=float, default=690.0)
-    args = ap.parse_args()
-    N, m = args.size, args.m
+def measure_ortho(N, m, orthos, reps=5, roofline_gbs=690.0, verbose=False):
+    """Slope-timed GMRES orthogonalization cost per scheme.
 
-    if args.kernels:
-        kernels_leg(N, args.m, reps=args.reps)
-        return
+    Returns {scheme: {wall_s, us_per_iter, achieved_GBs, pct_roofline,
+    onecall_wall_s}}.  Reused by bench.py so every driver round captures
+    the BASELINE "MGS GFLOP/s (GMRES, 1M dof)" metric machine-readably
+    (VERDICT r4 #6).
 
+    Method: a trivial SPD diagonal matvec isolates the
+    orthogonalization; rhs batches vary per rep and are generated ON
+    DEVICE (a 4 MB host->device transfer through the tunnel costs
+    ~100 ms); the axon tunnel adds ~25 ms constant per-dispatch
+    overhead, so device time is measured by SLOPE -- K solves chained
+    in one jit via scan, timed at K1 and K2, per-solve =
+    (t(K2)-t(K1))/(K2-K1), cancelling the constant exactly.
+    """
     from krypy_tpu import functional as F
 
-    # SPD diagonal: trivial matvec so the measurement isolates the
-    # orthogonalization; maxiter-bounded run (tol=0 -> all m iterations)
     d = jnp.linspace(1.0, 2.0, N).astype(jnp.float32)
     A = lambda v: d * v
-
-    # rhs batches VARY per rep (identical repeated requests can be
-    # served from a transport cache) and are generated ON DEVICE: a 4 MB
-    # host->device transfer through the tunnel costs ~100 ms and would
-    # dwarf the measured solve.
-    # The axon tunnel adds ~25 ms of constant per-dispatch overhead
-    # (measured by stream_bench.py: one-call walls were ~25 ms at every
-    # size), comparable to the whole m=40 solve.  Device time is
-    # therefore measured by SLOPE: K solves chained in one jit via scan
-    # (distinct rhs per solve), timed at K1 and K2; per-solve =
-    # (t(K2)-t(K1))/(K2-K1), cancelling the constant overhead exactly.
-    K1, K2 = 1, 1 + args.reps
+    K1, K2 = 1, 1 + reps
 
     def mkbs(k, seed):
         bs = jnp.sin(
@@ -184,7 +169,7 @@ def main():
         return bs
 
     results = {}
-    for ortho in ("cgs2", "cgs2_fused", "cgs2_1r", "bmgs2"):
+    for ortho in orthos:
 
         @jax.jit
         def multi(bs, o=ortho):
@@ -214,11 +199,37 @@ def main():
             "wall_s": round(best, 5),
             "us_per_iter": round(per_iter_us, 1),
             "achieved_GBs": round(gbs, 1),
-            "pct_roofline": round(100 * gbs / args.roofline_gbs, 1),
+            "pct_roofline": round(100 * gbs / roofline_gbs, 1),
             "onecall_wall_s": round(t1, 5),
         }
-        print(json.dumps({"ortho": ortho, "m": m, "N": N,
-                          **results[ortho]}), flush=True)
+        if verbose:
+            print(json.dumps({"ortho": ortho, "m": m, "N": N,
+                              **results[ortho]}), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024 * 1024)
+    ap.add_argument("--m", type=int, default=40)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--kernels", action="store_true",
+                    help="run the sharded-composition kernel leg only")
+    # default roofline = the MEASURED achievable streaming bandwidth of
+    # this chip+runtime (benchmarks/stream_bench.py: ~690 GB/s triad at
+    # 64 MB+ working sets), not the 819 GB/s datasheet figure
+    ap.add_argument("--roofline-gbs", type=float, default=690.0)
+    args = ap.parse_args()
+    N, m = args.size, args.m
+
+    if args.kernels:
+        kernels_leg(N, args.m, reps=args.reps)
+        return
+
+    results = measure_ortho(
+        N, m, ("cgs2", "cgs2_fused", "cgs2_1r", "bmgs2"),
+        reps=args.reps, roofline_gbs=args.roofline_gbs, verbose=True,
+    )
 
     best_name = min(results, key=lambda o: results[o]["wall_s"])
     print(json.dumps({

@@ -148,16 +148,25 @@ def _update_kernel(V_ref, w_ref, c_ref, wout_ref):
 
 
 def _divide_block(N, block_n):
-    """Largest lane-friendly divisor of N not above block_n (or None)."""
+    """Largest MOSAIC-LEGAL divisor of N not above block_n (or None).
+
+    Mosaic requires the trailing block dimension to be a multiple of
+    128 OR equal to the full dimension -- a merely ">= 128" divisor
+    (e.g. 961 at N = 1023^2) lowers on CPU interpret mode but raises at
+    TPU compile time (hit by bench.py's ortho leg at the 2^k-1 grid
+    sizes, round 5).  So: the whole dimension when it fits in one
+    block, else the largest divisor that is a multiple of 128, else
+    None (callers fall back to the batched-jnp path).
+    """
+    if N <= block_n:
+        return N
     if N % block_n == 0:
         return block_n
     best = None
-    for cand in range(min(block_n, N), 0, -1):
+    for cand in range(block_n - block_n % 128, 127, -128):
         if N % cand == 0:
             best = cand
             break
-    if best is not None and best < 128 and N > 128:
-        return None
     return best
 
 
