@@ -39,10 +39,18 @@ RESTART = int(os.environ.get("NORTHSTAR_RESTART", "25"))
 # and the latency lever stack at the 67M-dof scale -- VERDICT r4 #2)
 ORTHO = os.environ.get("NORTHSTAR_ORTHO", "cgs2")
 # basis storage dtype: "bf16" halves the dominant HBM traffic AND the
-# basis memory (doubling the affordable restart length at 67M dof);
-# the f32 attainable floor is irrelevant here because refine_to's f64
-# outer loop restores accuracy (GMRES-IR)
+# basis memory (doubling the affordable restart length at 67M dof).
+# MEASURED CONSTRAINT (round 5): a quantized basis requires RIGHT
+# preconditioning here -- basis quantization noise is high-frequency,
+# the raw operator amplifies it by lambda_max while the solution lives
+# at lambda_min, so with LEFT preconditioning the true-residual floor
+# is eps(bf16)*kappa(A) (~1e5 at 8191^2: the solve diverges, measured
+# rel 4.7-20 at 255^2); with x = Mr(V y) the multigrid filters the
+# rough noise and the floor drops to eps(bf16)*kappa(A Mr) ~ 1e-2 per
+# cycle (measured), which refine_to absorbs.
 BASIS = os.environ.get("NORTHSTAR_BASIS", "f32")
+# preconditioner side: "left" (default; deflation-exact) or "right"
+PRECOND = os.environ.get("NORTHSTAR_PRECOND", "left")
 # deflation width (default 0): MEASURED FINDING -- the multigrid
 # preconditioner clusters the spectrum so Ritz deflation has nothing to
 # remove, and at >=10M dof the float32 residual noise feeds through the
@@ -206,10 +214,12 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
 
         def body(c):
             i, x, bx, best, done, nit = c
+            pk = {"Mr": Ml} if PRECOND == "right" else {"Ml": Ml}
             res = F.gmres(
-                cd32, rs, Ml=Ml, x0=x, tol=INNER_TOL, maxiter=RESTART,
+                cd32, rs, x0=x, tol=INNER_TOL, maxiter=RESTART,
                 ortho=ORTHO,
                 basis_dtype=jnp.bfloat16 if BASIS == "bf16" else None,
+                **pk,
             )
             rel = jnp.linalg.norm(rs - cd32(res.x)) / rs_norm
             better = rel < best
@@ -252,6 +262,7 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
         "restart": RESTART,
         "ortho": ORTHO,
         "basis": BASIS,
+        "precond": PRECOND,
         "device": str(jax.devices()[0]),
     }
 

@@ -352,7 +352,8 @@ def _deflated_short_recurrence(core, A, b, U, kwargs, fused_ok=False,
             if _mesh_n > 1
             and not _scalar_ip
             and prefer_one_reduce(
-                solver_name, bv.shape[0] // _mesh_n, _dt.itemsize,
+                f"deflated_{solver_name}",
+                bv.shape[0] // _mesh_n, _dt.itemsize,
                 syncs_saved=3,
             )
             else "classic"

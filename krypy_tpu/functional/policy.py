@@ -84,10 +84,14 @@ ONE_REDUCE_EXTRA_SWEEPS = {
     "cg": 12.4,
     "minres": 16.2,
     "shifted_cg": 12.4,
-    # QMR's fused (7, N) x (N, 5) cross-Gram streams ~7 extra vector
-    # reads + the conjugate-row copies vs the classic 5 separate
-    # reductions; structural estimate pending a slope measurement
-    "qmr": 10.0,
+    # measured round 5 (onereduce_bench, K100->600 slope at 1.05M f32):
+    # qmr 74.2 -> 602.9 us/iter -- the (9,N)x(N,6) cross-Gram's operand
+    # stacks dominate; a pure mesh-latency lane (syncs 4 -> 1)
+    "qmr": 87.0,
+    # deflated short recurrences (d=4): CG 258.7 -> 356.8 us/iter;
+    # MINRES's fold is structurally identical
+    "deflated_cg": 16.0,
+    "deflated_minres": 16.0,
 }
 
 

@@ -165,3 +165,41 @@ def test_bf16_basis_one_reduce_refine_to_tight_tolerance():
     )
     res, info = F.refine_to(A, b64, inner, tol=1e-8)
     assert float(np.nanmin(np.asarray(res.resnorms))) <= 1e-8
+
+
+def test_bf16_basis_needs_right_preconditioning_at_high_kappa():
+    """Mechanism test (round-5 north-star finding): basis quantization
+    noise is HIGH-FREQUENCY, the raw operator amplifies it by
+    lambda_max while the solution lives at lambda_min -- so with LEFT
+    preconditioning the true-residual floor is eps(bf16)*kappa(A)
+    regardless of preconditioner quality (> 1 here: the solve cannot
+    even improve on x0), while with RIGHT preconditioning the assembly
+    is x = Mr(V y) and the smoother filters the rough noise, dropping
+    the floor to ~eps(bf16)*kappa(A Mr)."""
+    import jax
+
+    from krypy_tpu import ops
+
+    nx = 127
+    N = nx * nx
+    h2 = (1.0 / (nx + 1)) ** 2
+    cd = ops.convection_diffusion_2d(
+        nx, wind=(1.0 * h2, 0.5 * h2), eps=1.0 * h2
+    )
+    Mg = ops.multigrid_poisson_preconditioner(nx, coarsest=31)
+    M = lambda r: Mg(r) * (1.0 / h2)
+    b = jnp.ones(N, jnp.float32) * jnp.float32(h2)
+
+    def true_rel(x):
+        return float(
+            jnp.linalg.norm(b - cd(x)) / jnp.linalg.norm(b)
+        )
+
+    rl = F.gmres(cd, b, Ml=M, tol=1e-3, maxiter=24, ortho="cgs2_1r",
+                 basis_dtype=jnp.bfloat16)
+    rr = F.gmres(cd, b, Mr=M, tol=1e-3, maxiter=24, ortho="cgs2_1r",
+                 basis_dtype=jnp.bfloat16)
+    # left: floored at eps*kappa(A) ~ O(100) -- no progress possible
+    assert true_rel(rl.x) > 0.5
+    # right: the smoother filters the quantization noise
+    assert true_rel(rr.x) < 5e-2
