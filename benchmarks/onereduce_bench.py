@@ -118,6 +118,15 @@ def main():
         ),
         "deflcg4_classic": lambda m: _deflcg_case(m, "classic"),
         "deflcg4_1r": lambda m: _deflcg_case(m, "1r"),
+        # round-5: one-reduce IDR(s) -- maxiter counts MATVECS, so the
+        # slope is per matvec (= per sync point in the 1r scheme)
+        "idrs4_classic": lambda m: jit_solve(
+            lambda b: F.idrs(lap, b, s=4, tol=0.0, maxiter=m)
+        ),
+        "idrs4_1r": lambda m: jit_solve(
+            lambda b: F.idrs(lap, b, s=4, tol=0.0, maxiter=m,
+                             variant="1r")
+        ),
     }
 
     Ud = jax.random.normal(jax.random.PRNGKey(7), (N, 4), jnp.float32)

@@ -92,6 +92,10 @@ ONE_REDUCE_EXTRA_SWEEPS = {
     # MINRES's fold is structurally identical
     "deflated_cg": 16.0,
     "deflated_minres": 16.0,
+    # idrs (s=4), per MATVEC: the 1r inner step stacks an
+    # (s+2+k, N) x (N, 2) operand vs classic's two (s, N) projections
+    # -- measured on the real chip (onereduce_bench, round 5)
+    "idrs": 25.0,
 }
 
 

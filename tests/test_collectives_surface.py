@@ -77,6 +77,62 @@ def test_idrs_sync_points_per_cycle(mesh_and_problem):
     assert n / (s + 1) <= 2.0
 
 
+def test_idrs_one_reduce_sync_points_per_matvec(mesh_and_problem):
+    """idrs(variant='1r') communicates exactly ONCE per matvec -- s+1
+    all-reduces per cycle (round 5, closing the last short-recurrence
+    sync pole of the DESIGN section-8 table): each inner step's shadow
+    projections, M-column, f/norm anchors and g-Gram couplings ride one
+    (s+2+k, N) x (N, 2) contraction, and the omega step's norms fold
+    with the NEXT cycle's f = P^H r into one (s+2, N) x (N, 2)
+    cross-Gram.  Parity with classic on the same mesh problem."""
+    mesh, lap, cd, b = mesh_and_problem
+    s = 4
+    with mesh:
+        f1 = jax.jit(lambda v: F.idrs(cd, v, s=s, tol=1e-6, maxiter=200,
+                                      variant="1r"))
+        fc = jax.jit(lambda v: F.idrs(cd, v, s=s, tol=1e-6, maxiter=200))
+    assert loop_body_allreduces(f1, b, mesh=mesh) == s + 1
+    with mesh:
+        r1 = f1(b)
+        rc = fc(b)
+    assert abs(int(r1.niter) - int(rc.niter)) <= s + 1
+    assert float(
+        jnp.linalg.norm(r1.x - rc.x) / jnp.linalg.norm(rc.x)
+    ) <= 1e-3
+
+
+def test_idrs_auto_priced_regimes(mesh_and_problem, monkeypatch):
+    """idrs variant='auto' prices through the shared model: an
+    expensive sync resolves to '1r', a free sync to 'classic' -- each
+    bitwise equal to the explicit spelling."""
+    from krypy_tpu.functional import policy
+
+    mesh, lap, _, b = mesh_and_problem
+    with mesh:
+        r_classic = jax.jit(
+            lambda v: F.idrs(lap, v, s=4, tol=1e-4, maxiter=120)
+        )(b)
+        r_1r = jax.jit(
+            lambda v: F.idrs(lap, v, s=4, tol=1e-4, maxiter=120,
+                             variant="1r")
+        )(b)
+    monkeypatch.setattr(policy, "SYNC_S", 1.0)
+    with mesh:
+        r_lat = jax.jit(
+            lambda v: F.idrs(lap, v, s=4, tol=1e-4, maxiter=120,
+                             variant="auto")
+        )(b)
+    assert float(jnp.linalg.norm(r_lat.x - r_1r.x)) == 0.0
+    monkeypatch.setattr(policy, "SYNC_S", 0.0)
+    with mesh:
+        r_bw = jax.jit(
+            lambda v: F.idrs(lap, v, s=4, tol=1e-4, maxiter=120,
+                             variant="auto")
+        )(b)
+    assert float(jnp.linalg.norm(r_bw.x - r_classic.x)) == 0.0
+    monkeypatch.setattr(policy, "SYNC_S", None)
+
+
 def test_qmr_sync_points_and_sharded_equivalence(mesh_and_problem):
     """QMR's coupled two-sided Lanczos step costs exactly 4 all-reduces
     (the biorthogonality coupling <w, v>, the A- and A^T-side

@@ -133,6 +133,85 @@ def test_idrs_column_rhs_shape():
     assert int(r.status) == 0
 
 
+def test_idrs_one_reduce_parity_real():
+    """variant='1r' replays the classic biortho recurrence from fused
+    cross-Grams (one all-reduce per matvec, pinned in
+    test_collectives_surface.py); on a dense nonsymmetric f64 operator
+    it must converge to the same tolerance in a comparable number of
+    matvecs with the same solution."""
+    A, rng = _dense_nonsym(200)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.randn(200))
+    rc = F.idrs(Aj, b, s=4, tol=1e-10, maxiter=500)
+    r1 = F.idrs(Aj, b, s=4, tol=1e-10, maxiter=500, variant="1r")
+    assert int(r1.status) == 0
+    rel = float(jnp.linalg.norm(b - Aj @ r1.x) / jnp.linalg.norm(b))
+    assert rel <= 1e-10
+    # same cycle count up to one slack cycle each way
+    assert abs(int(r1.niter) - int(rc.niter)) <= 5
+    assert float(
+        jnp.linalg.norm(r1.x - rc.x) / jnp.linalg.norm(rc.x)
+    ) <= 1e-8
+
+
+def test_idrs_one_reduce_parity_complex():
+    rng = numpy.random.RandomState(1)
+    A = (numpy.diag(numpy.linspace(1, 8, 80))
+         + 0.05 * (rng.randn(80, 80) + 1j * rng.randn(80, 80)))
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.randn(80) + 1j * rng.randn(80))
+    rc = F.idrs(Aj, b, s=4, tol=1e-10, maxiter=300)
+    r1 = F.idrs(Aj, b, s=4, tol=1e-10, maxiter=300, variant="1r")
+    assert int(r1.status) == 0
+    rel = float(jnp.linalg.norm(b - Aj @ r1.x) / jnp.linalg.norm(b))
+    assert rel <= 1e-10
+    assert abs(int(r1.niter) - int(rc.niter)) <= 5
+
+
+def test_idrs_one_reduce_preconditioned_and_s_sweep():
+    """The fused scheme survives the right preconditioner (M applies
+    stay local, the anchors measure the TRUE residual) and the exact-
+    termination bound across s."""
+    cd = ops.convection_diffusion_2d(48, 48)
+    Mj = ops.jacobi_preconditioner(cd)
+    b = jnp.ones(48 * 48, jnp.float64)
+    r = F.idrs(cd, b, s=4, M=Mj, tol=1e-9, maxiter=3000, variant="1r")
+    assert int(r.status) == 0
+    rel = float(jnp.linalg.norm(b - cd(r.x)) / jnp.linalg.norm(b))
+    assert rel <= 1e-9
+
+    A, rng = _dense_nonsym(120, seed=3)
+    bb = jnp.asarray(rng.randn(120))
+    for s in (1, 2, 8):
+        r = F.idrs(jnp.asarray(A), bb, s=s, tol=1e-9, maxiter=400,
+                   variant="1r")
+        assert int(r.status) == 0, f"s={s}"
+        bound = 120 + 120 // s + (s + 1)
+        assert int(r.niter) <= bound, f"s={s}: {int(r.niter)} > {bound}"
+
+
+def test_idrs_one_reduce_final_resnorm_is_explicit():
+    """The 1r lane derives intra-cycle norms from anchored expansions,
+    but the CONVERGED exit still verifies the claim explicitly: the
+    final reported resnorm must match an independent recomputation."""
+    A, rng = _dense_nonsym(90, seed=7)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.randn(90))
+    r = F.idrs(Aj, b, s=4, tol=1e-9, maxiter=400, variant="1r")
+    assert int(r.status) == 0
+    reported = float(r.resnorms[int(r.niter)])
+    true_rel = float(jnp.linalg.norm(b - Aj @ r.x) / jnp.linalg.norm(b))
+    assert abs(reported - true_rel) <= 1e-12 + 1e-6 * true_rel
+
+
+def test_idrs_variant_rejects_unknown():
+    import pytest
+
+    A, _ = _dense_nonsym(20)
+    with pytest.raises(ValueError):
+        F.idrs(jnp.asarray(A), jnp.ones(20), variant="bogus")
+
+
 def test_idrs_sharded():
     """Sharded solve on the 8-device mesh: the (s, N) shadow
     contractions partition into partial dots + all-reduces; result
