@@ -131,6 +131,103 @@ def lanczos_cgs2_sweep(
     return lax.fori_loop(j0, m, step, (V, H))
 
 
+def lanczos_1r_sweep(A_mv, V, H, j0, m, dtype, real_dtype):
+    """One-reduce lagged DCGS-2 sweep: steps ``j0..m-1`` at exactly ONE
+    all-reduce per step (round 5; classic :func:`lanczos_cgs2_sweep`
+    pays 3 -- two projection passes + the norm).
+
+    Same lagged scheme as the GMRES/Arnoldi ``ortho='cgs2_1r'`` lane
+    (Swirydowicz et al. NLAA 2021, see
+    :func:`krypy_tpu.functional.arnoldi._arnoldi_1r`): the candidate
+    row ``j`` is stored UNNORMALIZED; one fused ``(m+1, N) x (N, 2)``
+    contraction per step yields its reorthogonalization coefficients
+    ``r = V^H u`` (the delayed second pass), its Pythagorean norm
+    ``sigma^2 = <u,u> - ||r||^2``, and the first projection pass of the
+    new direction ``w = A u``.  Because ``A`` hits the uncorrected
+    candidate, the recorded column picks up the replicated lag
+    correction ``g = H (r/sigma)`` -- ``H`` stays ``V^H A V`` exactly
+    (in exact arithmetic), so the Ritz/arrowhead restart machinery is
+    untouched.  The algebra never assumes Hermitian ``H``: the same
+    sweep serves the non-Hermitian Arnoldi users
+    (:mod:`~krypy_tpu.functional.eigs`).
+
+    A peeled first projection (one reduce) opens the sweep and a
+    seal contraction (one reduce, no matvec) closes the final candidate
+    after the loop -- both OUTSIDE the loop body, so the per-step HLO
+    pin is exactly 1 (tests/test_collectives_surface.py).  Deflation
+    keeps the classic zero-row convention.  Standard (Euclidean,
+    ``bs = 1``) pencils only; generalized/block sweeps stay on the
+    classic scheme.
+    """
+    brk = breakdown_threshold(dtype)
+    rows = V.shape[0]
+    row_idx = jnp.arange(rows)
+
+    # peeled step j0: first projection pass of A V[j0]
+    w0 = A_mv(V[j0])
+    c0 = jnp.dot(V.conj(), w0) * (row_idx <= j0).astype(real_dtype)
+    H = H.at[:, j0].add(c0)
+    V = V.at[j0 + 1].set(w0 - jnp.dot(c0, V))
+
+    def step(j, carry):
+        V, H = carry
+        u = V[j]  # unnormalized, once-projected candidate
+        w = A_mv(u)
+        # THE one fused reduction of the step
+        Z = jnp.dot(V.conj(), jnp.stack([u, w], axis=1))
+        lt = row_idx < j
+        r = jnp.where(lt, Z[:, 0], 0.0)
+        s = jnp.real(Z[j, 0])
+        c = jnp.where(lt, Z[:, 1], 0.0)
+        t = Z[j, 1]
+
+        sig2 = jnp.maximum(s - jnp.sum(jnp.abs(r) ** 2), 0.0)
+        sigma = jnp.sqrt(sig2).astype(real_dtype)
+
+        # complete column j-1: delayed reorthogonalization + subdiag
+        completed = H[:, j - 1] + r
+        alive = sigma > brk * jnp.linalg.norm(completed)
+        live = jnp.where(alive, 1.0, 0.0)
+        H = H.at[:, j - 1].set(completed).at[j, j - 1].set(
+            jnp.where(alive, sigma, 0.0).astype(dtype)
+        )
+        inv_s = live * safe_div(1.0, sigma)
+        V = V.at[j].set((u - jnp.dot(r, V)) * inv_s)
+
+        # first-pass column j with the lag correction g = H (r/sigma)
+        # (rt truncated to H's column count: callers pass square
+        # (m+1, m+1) or rectangular (m+1, m) buffers; rows >= j are
+        # zero either way)
+        rt = r * inv_s
+        g = jnp.dot(H, rt[: H.shape[1]])
+        tk = (t - jnp.vdot(r, c)) * inv_s * inv_s
+        chat = jnp.where(row_idx == j, tk, c * inv_s)
+        V = V.at[j + 1].set(w * inv_s - jnp.dot(chat, V))
+        H = H.at[:, j].add(chat - g)
+        return V, H
+
+    V, H = lax.fori_loop(j0 + 1, m, step, (V, H))
+
+    # seal the final candidate (one reduce, no matvec): delayed second
+    # pass + Pythagorean norm of row m
+    u = V[m]
+    Zs = jnp.dot(V.conj(), u)
+    r = jnp.where(row_idx < m, Zs, 0.0)
+    s = jnp.real(Zs[m])
+    sig2 = jnp.maximum(s - jnp.sum(jnp.abs(r) ** 2), 0.0)
+    sigma = jnp.sqrt(sig2).astype(real_dtype)
+    completed = H[:, m - 1] + r
+    alive = sigma > brk * jnp.linalg.norm(completed)
+    live = jnp.where(alive, 1.0, 0.0)
+    H = H.at[:, m - 1].set(completed).at[m, m - 1].set(
+        jnp.where(alive, sigma, 0.0).astype(dtype)
+    )
+    V = V.at[m].set(
+        (u - jnp.dot(r, V)) * live * safe_div(1.0, sigma)
+    )
+    return V, H
+
+
 def spurious_ritz_mask(V_rows, S):
     """Identify eigenpairs of the projected matrix living in the DEAD
     block left by sweep deflation (their eigenvalues are exactly 0 and
@@ -173,6 +270,7 @@ def eigsh(
     B=None,
     Binv=None,
     block_size=1,
+    ortho="cgs2",
 ):
     r"""k extremal eigenpairs of Hermitian ``A`` by thick-restart
     Lanczos, as one compiled while_loop.
@@ -240,6 +338,11 @@ def eigsh(
       rows deflate to zero (cluster exhausted).  Combinable with
       ``sigma``/``inv``; not with ``B`` (generalized pencils are
       single-vector only for now).
+    :param ortho: ``"cgs2"`` (default: full two-pass CGS2, 3
+      all-reduces per Lanczos step) or ``"cgs2_1r"`` (round 5: the
+      lagged DCGS-2 sweep at exactly ONE all-reduce per step, see
+      :func:`lanczos_1r_sweep`; same dmgs stability class).
+      ``"cgs2_1r"`` requires ``block_size=1`` and no ``B=``.
     :return: :class:`EigshResult`.
     """
     A_mv = as_matvec(A)
@@ -404,6 +507,15 @@ def eigsh(
 
         return lax.fori_loop(0, (m - j0) // bs, step, (V, H))
 
+    if ortho not in ("cgs2", "cgs2_1r"):
+        raise ValueError(f"unknown eigsh ortho {ortho!r}")
+    if ortho == "cgs2_1r" and (bs > 1 or generalized):
+        raise ValueError(
+            "ortho='cgs2_1r' supports the standard single-vector sweep "
+            "only (block_size=1, no B=); the block/generalized sweeps "
+            "stay on classic cgs2"
+        )
+
     def lanczos_sweep(V, W, H, j0):
         """Sweep wrapper carrying the dual basis W (dummy (0,0) array
         in the standard case so the loop state keeps one static
@@ -414,6 +526,11 @@ def eigsh(
             )
         if bs > 1:
             V, H = block_cgs2_sweep(V, H, j0)
+            return V, W, H
+        if ortho == "cgs2_1r":
+            V, H = lanczos_1r_sweep(
+                A_mv, V, H, j0, m, dtype, real_dtype
+            )
             return V, W, H
         V, H = lanczos_cgs2_sweep(
             A_mv, V, H, j0, m, dtype, real_dtype

@@ -47,7 +47,7 @@ from .common import (
     safe_div,
     system_dtype,
 )
-from .eigh import lanczos_cgs2_sweep
+from .eigh import lanczos_1r_sweep, lanczos_cgs2_sweep
 
 __all__ = ["eigs", "EigsResult"]
 
@@ -109,6 +109,7 @@ def eigs(
     max_restarts=100,
     sigma=None,
     inv=None,
+    ortho="cgs2",
 ):
     r"""k eigenpairs of a general (non-Hermitian) operator by
     Krylov-Schur restarted Arnoldi.
@@ -136,6 +137,10 @@ def eigs(
       ``which`` is ignored.  Final pairs are back-transformed and
       verified against A itself.
     :param inv: jittable matvec applying :math:`(A - \sigma I)^{-1}`.
+    :param ortho: ``"cgs2"`` (default, 3 all-reduces per Arnoldi step)
+      or ``"cgs2_1r"`` (lagged DCGS-2,
+      :func:`~krypy_tpu.functional.eigh.lanczos_1r_sweep`: ONE
+      all-reduce per step; the lag algebra never assumes Hermitian H).
     :return: :class:`EigsResult`.
 
     Reference: the reference package extracts Ritz/harmonic pairs from
@@ -200,9 +205,15 @@ def eigs(
     op_c = cast_matvec(op_mv, dtype)
     A_c = cast_matvec(A_mv, dtype)
 
+    if ortho not in ("cgs2", "cgs2_1r"):
+        raise ValueError(f"unknown eigs ortho {ortho!r}")
+    _sweep_fn = (
+        lanczos_1r_sweep if ortho == "cgs2_1r" else lanczos_cgs2_sweep
+    )
+
     @jax.jit
     def sweep(V, H, j0):
-        return lanczos_cgs2_sweep(op_c, V, H, j0, m, dtype, real_dtype)
+        return _sweep_fn(op_c, V, H, j0, m, dtype, real_dtype)
 
     @jax.jit
     def compress(V, H, Zl, Tll, brow):

@@ -27,7 +27,7 @@ from .common import (
     safe_div,
     system_dtype,
 )
-from .eigh import lanczos_cgs2_sweep, spurious_ritz_mask
+from .eigh import lanczos_1r_sweep, lanczos_cgs2_sweep, spurious_ritz_mask
 
 __all__ = ["funm_krylov", "funm_krylov_arnoldi", "expm_multiply",
            "inv_sqrt_multiply", "slq_trace", "slq_logdet"]
@@ -45,7 +45,7 @@ class FunmResult(NamedTuple):
     m: int
 
 
-def funm_krylov(A, b, f, *, maxdim=30):
+def funm_krylov(A, b, f, *, maxdim=30, ortho="cgs2"):
     r"""Approximate ``f(A) b`` for Hermitian ``A`` by the Lanczos method.
 
     :param A: Hermitian operator (matvec / matrix / LinearOperator).
@@ -62,6 +62,8 @@ def funm_krylov(A, b, f, *, maxdim=30):
       when the tail has decayed to rounding, the Krylov approximation
       has converged; otherwise re-run with a larger m (static shapes: m
       is a compile-time constant, as everywhere in this framework).
+    :param ortho: ``"cgs2"`` (3 all-reduces per Lanczos step) or
+      ``"cgs2_1r"`` (one fused all-reduce per step, lagged DCGS-2).
     :return: :class:`FunmResult`.
     """
     b = jnp.asarray(b)
@@ -84,8 +86,12 @@ def funm_krylov(A, b, f, *, maxdim=30):
     # contractions, with the invariance guard -- normalizing a
     # round-off-sized residual would inject a garbage direction whose
     # Rayleigh quotient is unbounded (catastrophic under f=exp); it
-    # deflates to a zero row instead.
-    V, H = lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype, real_dtype)
+    # deflates to a zero row instead.  ortho="cgs2_1r" swaps in the
+    # one-all-reduce-per-step lagged sweep (eigh.lanczos_1r_sweep).
+    if ortho not in ("cgs2", "cgs2_1r"):
+        raise ValueError(f"unknown funm_krylov ortho {ortho!r}")
+    _sweep = lanczos_1r_sweep if ortho == "cgs2_1r" else lanczos_cgs2_sweep
+    V, H = _sweep(A_mv, V, H, 0, m, dtype, real_dtype)
 
     def fT_e1(Hj, Vj):
         """beta * f(T_j) e1 over the leading block (size from the
@@ -125,7 +131,8 @@ def funm_krylov(A, b, f, *, maxdim=30):
     )
 
 
-def funm_krylov_arnoldi(A, b, f=None, *, maxdim=30, matfunc=None):
+def funm_krylov_arnoldi(A, b, f=None, *, maxdim=30, matfunc=None,
+                        ortho="cgs2"):
     r"""Approximate ``f(A) b`` for a GENERAL (non-Hermitian) operator by
     the Arnoldi method: :math:`f(A) b \approx \beta V_m f(H_m) e_1`.
 
@@ -189,9 +196,11 @@ def funm_krylov_arnoldi(A, b, f=None, *, maxdim=30, matfunc=None):
 
     import jax
 
+    if ortho not in ("cgs2", "cgs2_1r"):
+        raise ValueError(f"unknown funm_krylov_arnoldi ortho {ortho!r}")
+    _sweep = lanczos_1r_sweep if ortho == "cgs2_1r" else lanczos_cgs2_sweep
     sweep = jax.jit(
-        lambda V, H: lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype,
-                                        real_dtype)
+        lambda V, H: _sweep(A_mv, V, H, 0, m, dtype, real_dtype)
     )
     V, H = sweep(V0, H0)
 
@@ -358,7 +367,7 @@ def inv_sqrt_multiply(
 
 
 def slq_trace(
-    A, f, key, *, n=None, n_probes=16, maxdim=30
+    A, f, key, *, n=None, n_probes=16, maxdim=30, ortho="cgs2"
 ):
     r"""Stochastic Lanczos quadrature estimate of ``trace(f(A))`` for
     Hermitian ``A`` (Hutchinson probes + Gauss quadrature from the
@@ -419,7 +428,10 @@ def slq_trace(
             z * safe_div(1.0, beta)
         )
         H = jnp.zeros((m + 1, m + 1), dtype)
-        V, H = lanczos_cgs2_sweep(A_mv, V, H, 0, m, dtype, real_dtype)
+        _sweep = (
+            lanczos_1r_sweep if ortho == "cgs2_1r" else lanczos_cgs2_sweep
+        )
+        V, H = _sweep(A_mv, V, H, 0, m, dtype, real_dtype)
         Tm = 0.5 * (H[:m, :m] + H[:m, :m].conj().T)
         theta, S = jnp.linalg.eigh(Tm)
         spurious = spurious_ritz_mask(V[:m], S)

@@ -94,8 +94,9 @@ ONE_REDUCE_EXTRA_SWEEPS = {
     "deflated_minres": 16.0,
     # idrs (s=4), per MATVEC: the 1r inner step stacks an
     # (s+2+k, N) x (N, 2) operand vs classic's two (s, N) projections
-    # -- measured on the real chip (onereduce_bench, round 5)
-    "idrs": 25.0,
+    # -- measured on the real chip (onereduce_bench K20->40 slope at
+    # 1.05M f32, round 5): 298.0 -> 401.7 us/matvec
+    "idrs": 17.1,
 }
 
 

@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from krypy_tpu import functional as F, ops, parallel
 from krypy_tpu.functional.common import as_matvec
-from krypy_tpu.functional.eigh import lanczos_cgs2_sweep
+from krypy_tpu.functional.eigh import lanczos_1r_sweep, lanczos_cgs2_sweep
 
 from helpers import loop_body_allreduces
 
@@ -236,6 +236,33 @@ def test_eigsh_sync_points_per_lanczos_step(mesh_and_problem):
     assert loop_body_allreduces(f, b, mesh=mesh) == 3
 
 
+def test_eigsh_one_reduce_sync_points_and_parity(mesh_and_problem):
+    """eigsh(ortho='cgs2_1r') communicates exactly ONCE per Lanczos
+    step (round 5): the lagged DCGS-2 sweep
+    (eigh.lanczos_1r_sweep) fuses the delayed reorthogonalization
+    pass, the Pythagorean norm and the new direction's first pass into
+    one (m+1, N) x (N, 2) contraction; the peel/seal contractions live
+    in the restart branch outside the loop body.  Eigenvalue parity
+    with classic on the mesh problem."""
+    mesh, lap, _, b = mesh_and_problem
+    with mesh:
+        f1 = jax.jit(lambda v: F.eigsh(lap, 4, v0=v, tol=1e-6,
+                                       max_restarts=16,
+                                       ortho="cgs2_1r"))
+        fc = jax.jit(lambda v: F.eigsh(lap, 4, v0=v, tol=1e-6,
+                                       max_restarts=16))
+    assert loop_body_allreduces(f1, b, mesh=mesh) == 1
+    with mesh:
+        r1 = f1(b)
+        rc = fc(b)
+    assert bool(r1.converged) == bool(rc.converged)
+    # f32 at tol=1e-6 on the square Laplacian's DEGENERATE pairs: the
+    # two sweeps land ~1e-4-relative apart within the converged cluster
+    np.testing.assert_allclose(
+        np.asarray(r1.theta), np.asarray(rc.theta), rtol=1e-3
+    )
+
+
 def test_eigs_device_sweep_sync_points(mesh_and_problem):
     """eigs is host-driven (ordered Schur on host, DESIGN section 7);
     all N-sized communication is the shared CGS2 Arnoldi sweep, pinned
@@ -259,6 +286,44 @@ def test_eigs_device_sweep_sync_points(mesh_and_problem):
             lambda V, H: lanczos_cgs2_sweep(cmv, V, H, 0, m, dt, rdt)
         )
     assert loop_body_allreduces(sweep, V0, H0, mesh=mesh) == 3
+
+
+def test_eigs_one_reduce_device_sweep_and_parity(mesh_and_problem):
+    """The lagged one-reduce sweep serves the NON-Hermitian Arnoldi
+    users too (its lag algebra never assumes Hermitian H): pinned at 1
+    all-reduce per step in eigs's complex dtype, and the full
+    eigs(ortho='cgs2_1r') driver returns the classic spectrum."""
+    mesh, lap, cd, b = mesh_and_problem
+    N = b.shape[0]
+    m = 16
+    A_mv = as_matvec(lap)
+    dt, rdt = jnp.complex64, jnp.float32
+
+    def cmv(x):
+        return A_mv(x.real).astype(dt) + 1j * A_mv(x.imag).astype(dt)
+
+    V0 = jnp.zeros((m + 1, N), dt).at[0].set(
+        (b / jnp.linalg.norm(b)).astype(dt)
+    )
+    H0 = jnp.zeros((m + 1, m), dt)
+    with mesh:
+        V0 = jax.device_put(V0)
+        sweep = jax.jit(
+            lambda V, H: lanczos_1r_sweep(cmv, V, H, 0, m, dt, rdt)
+        )
+    assert loop_body_allreduces(sweep, V0, H0, mesh=mesh) == 1
+
+    v0 = jnp.ones(N, jnp.float32)
+    plain = F.eigs(cd, 4, v0=v0, which="lr", tol=1e-8, max_restarts=40)
+    with mesh:
+        onered = F.eigs(cd, 4, v0=b, which="lr", tol=1e-8,
+                        max_restarts=40, ortho="cgs2_1r")
+    assert plain.converged and onered.converged
+    np.testing.assert_allclose(
+        np.sort_complex(np.asarray(onered.theta)),
+        np.sort_complex(np.asarray(plain.theta)),
+        rtol=1e-4,
+    )
 
 
 def test_eigs_sharded_equivalence(mesh_and_problem):
@@ -287,6 +352,24 @@ def test_funm_krylov_sync_points_per_step(mesh_and_problem):
     with mesh:
         f = jax.jit(lambda v: F.funm_krylov(lap, v, jnp.exp, maxdim=16))
     assert loop_body_allreduces(f, b, mesh=mesh) == 3
+
+
+def test_funm_krylov_one_reduce_sync_points_and_parity(mesh_and_problem):
+    """funm_krylov(ortho='cgs2_1r') rides the one-reduce lagged sweep:
+    1 all-reduce per Lanczos step, f(A)b parity with classic."""
+    mesh, lap, _, b = mesh_and_problem
+    fun = lambda w: 1.0 / jnp.sqrt(w)  # noqa: E731
+    with mesh:
+        f1 = jax.jit(lambda v: F.funm_krylov(lap, v, fun, maxdim=16,
+                                             ortho="cgs2_1r"))
+        fc = jax.jit(lambda v: F.funm_krylov(lap, v, fun, maxdim=16))
+    assert loop_body_allreduces(f1, b, mesh=mesh) == 1
+    with mesh:
+        r1 = f1(b)
+        rc = fc(b)
+    assert float(
+        jnp.linalg.norm(r1.x - rc.x) / jnp.linalg.norm(rc.x)
+    ) <= 1e-5
 
 
 def test_block_cg_two_collectives_per_block_step(mesh_and_problem):

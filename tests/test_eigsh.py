@@ -403,3 +403,46 @@ def test_eigsh_block_sharded():
     assert numpy.allclose(
         numpy.sort(numpy.asarray(r.theta)), numpy.sort(d)[:3], rtol=1e-9
     )
+
+
+def test_eigsh_one_reduce_matches_numpy_and_classic():
+    """ortho='cgs2_1r' (one-reduce lagged DCGS-2 sweep, round 5): same
+    eigenvalues as the dense oracle and the classic sweep; works with
+    shift-invert composition."""
+    rng = numpy.random.default_rng(0)
+    n = 120
+    B = rng.standard_normal((n, n))
+    Am = (B + B.T) / 2
+    ew = numpy.linalg.eigvalsh(Am)
+    r = F.eigsh(jnp.asarray(Am), k=4, which="sa", tol=1e-10,
+                ortho="cgs2_1r")
+    assert int(r.status) == 0
+    assert numpy.allclose(numpy.asarray(r.theta), ew[:4], atol=1e-8)
+
+    # shift-invert: interior pairs nearest sigma, verified against A
+    import jax.numpy as _jnp
+
+    d = numpy.linspace(1.0, 60.0, 60)
+    Ad = _jnp.asarray(numpy.diag(d))
+    inv = lambda v: v / (_jnp.asarray(d) - 30.3)  # noqa: E731
+    r = F.eigsh(Ad, k=3, sigma=30.3, inv=inv, tol=1e-10, maxdim=24,
+                ortho="cgs2_1r")
+    assert int(r.status) == 0
+    want = d[numpy.argsort(numpy.abs(d - 30.3))[:3]]
+    assert numpy.allclose(
+        numpy.sort(numpy.asarray(r.theta)), numpy.sort(want), rtol=1e-9
+    )
+
+
+def test_eigsh_one_reduce_guards():
+    import pytest
+
+    d = jnp.arange(1.0, 41.0)
+    Am = jnp.diag(d)
+    with pytest.raises(ValueError, match="cgs2_1r"):
+        F.eigsh(Am, k=2, block_size=2, ortho="cgs2_1r")
+    with pytest.raises(ValueError, match="unknown eigsh ortho"):
+        F.eigsh(Am, k=2, ortho="bogus")
+    with pytest.raises(ValueError, match="cgs2_1r"):
+        F.eigsh(Am, k=2, B=jnp.eye(40), Binv=jnp.eye(40),
+                ortho="cgs2_1r")
