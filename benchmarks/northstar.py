@@ -51,6 +51,15 @@ ORTHO = os.environ.get("NORTHSTAR_ORTHO", "cgs2")
 BASIS = os.environ.get("NORTHSTAR_BASIS", "f32")
 # preconditioner side: "left" (default; deflation-exact) or "right"
 PRECOND = os.environ.get("NORTHSTAR_PRECOND", "left")
+# lane-padded grid layout (round 5): embed the 8191^2 grid in
+# (8191, 8192) with a zero pad column (== the Dirichlet ghost), which
+# lane-aligns every row -- the f32 operator and the multigrid smoother/
+# residual then run as fused Pallas affine-stencil kernels at the HBM
+# roofline instead of the lane-misaligned jnp chains (measured 39 GB/s,
+# benchmarks/RESULTS_r5.md), and the padded N is 128-divisible, which
+# unlocks the fused Pallas orthogonalization kernels.  The f64
+# refinement stays unpadded (no Mosaic f64).
+PAD = os.environ.get("NORTHSTAR_PAD", "0") == "1"
 # deflation width (default 0): MEASURED FINDING -- the multigrid
 # preconditioner clusters the spectrum so Ritz deflation has nothing to
 # remove, and at >=10M dof the float32 residual noise feeds through the
@@ -82,7 +91,8 @@ def tpu_side(nx):
     # operator is built from scaled coefficients -- scaling the OUTPUT
     # would round first and scale the damage.
     cd32 = ops.convection_diffusion_2d(
-        nx, wind=(WIND[0] * h2, WIND[1] * h2), eps=EPS * h2
+        nx, wind=(WIND[0] * h2, WIND[1] * h2), eps=EPS * h2,
+        pad_cols=PAD, impl="pallas" if PAD else "jnp",
     )
     cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
     # multigrid of the (unscaled-spectrum) diffusive part as the LEFT
@@ -93,7 +103,8 @@ def tpu_side(nx):
     # multigrid grids are 2^k-1, always lane-unaligned, where the jnp
     # lowering measured 4.5x faster (docs/DESIGN.md section 8).
     Ml_raw = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60
+        nx, coarsest=31, coarse_sweeps=60,
+        pad_cols=PAD, impl="pallas" if PAD else "jnp",
     )
     Ml = lambda r: Ml_raw(r) * (1.0 / h2)
     b = jnp.ones(N, jnp.float32)
@@ -104,6 +115,9 @@ def tpu_side(nx):
         # default path: fully-compiled solve (see below); no Ritz
         # harvest needed
         return _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32)
+    if PAD:
+        raise SystemExit("NORTHSTAR_PAD composes with the compiled "
+                         "(NORTHSTAR_DEFL=0) path only")
 
     # cycle 1: plain GMRES stopping at the inner tolerance, so the Ritz
     # harvest uses only the CLEAN leading Krylov directions (running to
@@ -197,16 +211,21 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
     per restart and per refinement cycle."""
     from jax import lax
 
-    from krypy_tpu import functional as F
+    from krypy_tpu import functional as F, ops
     from krypy_tpu.functional.common import MAXITER, SolveResult
 
     def inner_solve(r32):
         """Traced analog of the host restart loop: up to 3 GMRES(m)
         cycles on the equilibrated system, best iterate by TRUE f32
-        residual, early stop on non-improvement/convergence."""
+        residual, early stop on non-improvement/convergence.  With
+        NORTHSTAR_PAD the cycles run entirely in the lane-padded layout
+        (pad/unpad at this boundary only; the f64 outer loop is
+        unpadded)."""
         rs = r32 * h2_f32
+        if PAD:
+            rs = ops.pad_cols_vec(rs, nx, nx)
         rs_norm = jnp.maximum(jnp.linalg.norm(rs), 1e-30)
-        xz = jnp.zeros_like(r32)
+        xz = jnp.zeros_like(rs)
 
         def cond(c):
             i, x, bx, best, done, nit = c
@@ -240,6 +259,8 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
                 jnp.asarray(False), jnp.asarray(0),
             ),
         )
+        if PAD:
+            bx = ops.unpad_cols_vec(bx, nx, nx)
         return SolveResult(
             x=bx, resnorms=jnp.zeros(1), niter=nit,
             status=jnp.asarray(MAXITER),
@@ -263,6 +284,7 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
         "ortho": ORTHO,
         "basis": BASIS,
         "precond": PRECOND,
+        "pad": PAD,
         "device": str(jax.devices()[0]),
     }
 

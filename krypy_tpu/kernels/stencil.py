@@ -30,17 +30,36 @@ __all__ = [
     "laplacian_2d",
     "laplacian_2d_pipelined",
     "stencil5_pipelined",
+    "stencil5_affine",
     "stencil5_sharded",
 ]
 
 
-def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr):
-    """Kernel body for a constant-coefficient 5-point stencil
-    ``out = cc*u + cu*u[i-1,:] + cd*u[i+1,:] + cl*u[:,j-1] + cr*u[:,j+1]``
-    with Dirichlet zero boundaries.  ``nrows`` is the true (unpadded) row
-    count; rows beyond it are zero padding."""
+def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr,
+                          *, ncols=None, alpha=0.0, beta=0.0,
+                          has_g=False):
+    """Kernel body for the affine constant-coefficient 5-point stencil
+    ``out = alpha*u + beta*g + cc*u + cu*u[i-1,:] + cd*u[i+1,:]
+    + cl*u[:,j-1] + cr*u[:,j+1]`` with Dirichlet zero boundaries.
 
-    def kernel(center_ref, up8_ref, dn8_ref, out_ref):
+    ``nrows`` is the true (unpadded) row count; rows beyond it are zero
+    padding.  ``ncols`` (default ``ny``) is the true column count: with
+    ``ncols < ny`` the trailing columns are lane padding -- their
+    neighbor reads are masked to the Dirichlet zero and their OUTPUT is
+    zeroed, so the zero-pad invariant survives repeated applications
+    (the lane-aligned formulation of the 2^k-1 multigrid grids).
+
+    The optional second operand ``g`` (``has_g``) rides the same block
+    pipeline; ``alpha``/``beta`` are compile-time floats, so the plain
+    matvec (alpha=beta=0), the damped-Jacobi step
+    (alpha=1, beta=omega/diag, stencil coeffs scaled by -omega/diag) and
+    the residual (beta=1, coeffs negated) are each ONE fused kernel at
+    2-3 HBM passes."""
+    ncols = ny if ncols is None else ncols
+
+    def kernel(center_ref, up8_ref, dn8_ref, *rest):
+        g_ref = rest[0] if has_g else None
+        out_ref = rest[-1]
         i = pl.program_id(0)
         u = center_ref[:, :]
         row = jax.lax.broadcasted_iota(jnp.int32, (T, ny), 0)
@@ -65,30 +84,43 @@ def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr):
             col == 0, 0.0, pltpu.roll(u, jnp.int32(1), 1)
         )
         right = jnp.where(
-            col == ny - 1, 0.0, pltpu.roll(u, jnp.int32(ny - 1), 1)
+            col >= ncols - 1, 0.0, pltpu.roll(u, jnp.int32(ny - 1), 1)
         )
-        out_ref[:, :] = (
-            cc * u + cu * up + cd * down + cl * left + cr * right
-        )
+        out = cc * u + cu * up + cd * down + cl * left + cr * right
+        if alpha != 0.0:
+            out = out + alpha * u
+        if has_g and beta != 0.0:
+            out = out + beta * g_ref[:, :]
+        if ncols != ny:
+            # keep the lane padding exactly zero in the output
+            out = jnp.where(col >= ncols, 0.0, out)
+        out_ref[:, :] = out
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nx", "ny", "coeffs", "block_rows", "interpret"),
+    static_argnames=(
+        "nx", "ny", "ncols", "coeffs", "alpha", "beta", "block_rows",
+        "interpret",
+    ),
 )
-def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
-                       interpret=None):
-    """Constant-coefficient 5-point stencil matvec on an ``nx x ny``
-    Dirichlet grid (flat input/output).
+def stencil5_affine(x, g=None, *, nx, ny, coeffs, ncols=None, alpha=0.0,
+                    beta=0.0, block_rows=256, interpret=None):
+    """Affine constant-coefficient 5-point stencil
+    ``out = alpha*x + beta*g + Stencil5(x)`` on an ``nx x ny`` Dirichlet
+    grid (flat operands), fused into ONE pipelined Pallas kernel: 2-3
+    HBM passes where the jnp lowering of e.g. a damped-Jacobi step
+    (``u + (omega/diag)*(r - A u)``) costs ~6.
 
-    ``coeffs = (cc, cu, cd, cl, cr)`` are static Python floats weighting
-    the center and the four neighbors.  The halo is expressed as extra
-    BlockSpec views of the input, so Pallas's built-in pipeline double-
-    buffers all transfers: each element is read ~once and written once --
-    the HBM-roofline formulation (the jnp/XLA lowering of the same stencil
-    is ~3x slower at 1M dof on TPU v5e, see module docstring).
+    ``coeffs = (cc, cu, cd, cl, cr)``, ``alpha``, ``beta`` are static
+    Python floats.  ``ncols < ny`` declares the trailing columns as lane
+    padding (kept exactly zero in the output): the lane-ALIGNED
+    formulation of lane-odd grids -- e.g. the 2^k-1 multigrid/north-star
+    grids, where Mosaic needs the 128-multiple width the logical grid
+    lacks.  The zero pad column doubles as the Dirichlet ghost, so the
+    arithmetic on the logical region is exactly the unpadded stencil's.
 
     Any ``nx`` is supported: rows are zero-padded to the sublane/block
     multiple and the pad is sliced off (two ~N-element copies, a few
@@ -98,59 +130,85 @@ def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
         # Mosaic compiles on TPU only; elsewhere run interpreted
         interpret = jax.default_backend() != "tpu"
     cc, cu, cd, cl, cr = (float(c) for c in coeffs)
+    has_g = g is not None
     u = x.reshape(nx, ny)
+    gg = g.reshape(nx, ny) if has_g else None
 
     # pad rows to a multiple of the block (zero rows are consistent with
     # the Dirichlet boundary; the kernel masks the last true row's lower
     # neighbor so it does not read pad garbage -- pads ARE zero though,
     # so the mask is belt and braces)
-    # VMEM budget: the pipeline multi-buffers center+out (+halo views);
-    # empirically ~6 block-sized buffers live at once, so keep the block
-    # small enough that 6 of them fit in ~11MB of the 16MB VMEM.
+    # VMEM budget: the pipeline multi-buffers center+out (+halo views,
+    # +g when present); empirically ~6 block-sized buffers live at once
+    # (8 with g), so keep the block small enough that they fit in ~11MB
+    # of the 16MB VMEM.
     # block_rows MUST stay a multiple of 8: the halo views are addressed
     # in 8-row units (r8 = T//8), so any other block height silently
     # misaligns the halos and corrupts the block-boundary rows.
     bpe = jnp.dtype(x.dtype).itemsize
-    vmem_cap = max(8, (11 * 2**20) // (6 * ny * bpe))
+    streams = 8 if has_g else 6
+    vmem_cap = max(8, (11 * 2**20) // (streams * ny * bpe))
     nx_ceil8 = -(-nx // 8) * 8
     block_rows = min(block_rows, vmem_cap, nx_ceil8)
     block_rows = max(8, block_rows // 8 * 8)
     nx_pad = -(-nx // block_rows) * block_rows
     if nx_pad != nx:
         u = jnp.pad(u, ((0, nx_pad - nx), (0, 0)))
+        if has_g:
+            gg = jnp.pad(gg, ((0, nx_pad - nx), (0, 0)))
     T = block_rows
     n_blocks = nx_pad // T
     r8 = T // 8  # 8-row units per block
 
-    kernel = _make_stencil5_kernel(ny, T, n_blocks, nx, cc, cu, cd, cl, cr)
+    kernel = _make_stencil5_kernel(
+        ny, T, n_blocks, nx, cc, cu, cd, cl, cr,
+        ncols=ncols, alpha=alpha, beta=beta, has_g=has_g,
+    )
+    block = pl.BlockSpec((T, ny), lambda i: (i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM)
+    in_specs = [
+        block,
+        pl.BlockSpec(
+            (8, ny),
+            lambda i: (jnp.maximum(i * r8 - 1, 0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (8, ny),
+            lambda i: (
+                jnp.minimum((i + 1) * r8, nx_pad // 8 - 1), jnp.int32(0)
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [u, u, u]
+    if has_g:
+        in_specs.append(block)
+        operands.append(gg)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((T, ny), lambda i: (i, jnp.int32(0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (8, ny),
-                lambda i: (jnp.maximum(i * r8 - 1, 0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (8, ny),
-                lambda i: (
-                    jnp.minimum((i + 1) * r8, nx_pad // 8 - 1), jnp.int32(0)
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (T, ny), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=block,
         out_shape=jax.ShapeDtypeStruct((nx_pad, ny), x.dtype),
         interpret=interpret,
-    )(u, u, u)
+    )(*operands)
     if nx_pad != nx:
         out = out[:nx]
     return out.reshape(-1)
+
+
+def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
+                       interpret=None):
+    """Constant-coefficient 5-point stencil matvec on an ``nx x ny``
+    Dirichlet grid (flat input/output): :func:`stencil5_affine` with
+    ``alpha = beta = 0`` and no second operand (see there for the
+    pipeline/halo design; the jnp/XLA lowering of the same stencil is
+    ~3x slower at 1M dof on TPU v5e, see module docstring)."""
+    return stencil5_affine(
+        x, nx=nx, ny=ny, coeffs=coeffs, block_rows=block_rows,
+        interpret=interpret,
+    )
 
 
 def stencil5_sharded(x, *, nx, ny, coeffs, mesh, axis_name=None,

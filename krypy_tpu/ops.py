@@ -34,6 +34,9 @@ __all__ = [
     "block_jacobi_preconditioner",
     "dia_from_scipy",
     "spai_preconditioner",
+    "pad_cols_width",
+    "pad_cols_vec",
+    "unpad_cols_vec",
 ]
 
 
@@ -86,7 +89,7 @@ def poisson_1d(n):
     return matvec
 
 
-def poisson_2d(nx, ny=None, impl="jnp", mesh=None):
+def poisson_2d(nx, ny=None, impl="jnp", mesh=None, pad_cols=False):
     """5-point Laplacian on an nx x ny interior grid of the unit square,
     Dirichlet boundaries; SPD, N = nx*ny.
 
@@ -102,6 +105,25 @@ def poisson_2d(nx, ny=None, impl="jnp", mesh=None):
     ny = nx if ny is None else ny
     hx2 = (1.0 / (nx + 1)) ** 2
     hy2 = (1.0 / (ny + 1)) ** 2
+
+    if pad_cols:
+        # lane-padded layout (see the padded-grid block below): matvec
+        # on (nx*ny_pad,) vectors whose pad columns are zero
+        if mesh is not None:
+            raise ValueError("pad_cols does not compose with mesh= yet")
+        coeffs = (2.0 / hx2 + 2.0 / hy2, -1.0 / hx2, -1.0 / hx2,
+                  -1.0 / hy2, -1.0 / hy2)
+        matvec, ny_pad = _padded_stencil_matvec(nx, ny, coeffs, impl)
+        matvec.shape = (nx * ny_pad, nx * ny_pad)
+        matvec.grid = (nx, ny)
+        matvec.ny_pad = ny_pad
+        # pad-column diagonal entries are 1 so diag-based
+        # preconditioners stay finite (they multiply zeros anyway)
+        dg = jnp.full((nx, ny_pad), 1.0).at[:, :ny].set(
+            2.0 / hx2 + 2.0 / hy2
+        )
+        matvec.diag = dg.reshape(-1)
+        return matvec
 
     if impl == "pallas" and mesh is not None:
         from .kernels.stencil import stencil5_sharded
@@ -139,7 +161,7 @@ def poisson_2d(nx, ny=None, impl="jnp", mesh=None):
 
 
 def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
-                            impl="jnp", mesh=None):
+                            impl="jnp", mesh=None, pad_cols=False):
     """Nonsymmetric convection-diffusion operator
     ``-eps * Lap(u) + w . grad(u)`` with first-order upwind convection;
     the BASELINE config-3 operator.
@@ -154,6 +176,24 @@ def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
     hy = 1.0 / (ny + 1)
     hx2, hy2 = hx * hx, hy * hy
     wx, wy = wind
+
+    if pad_cols:
+        if mesh is not None:
+            raise ValueError("pad_cols does not compose with mesh= yet")
+        coeffs = (
+            eps * (2.0 / hx2 + 2.0 / hy2) + wx / hx + wy / hy,
+            -eps / hx2 - wx / hx,
+            -eps / hx2,
+            -eps / hy2 - wy / hy,
+            -eps / hy2,
+        )
+        matvec, ny_pad = _padded_stencil_matvec(nx, ny, coeffs, impl)
+        matvec.shape = (nx * ny_pad, nx * ny_pad)
+        matvec.grid = (nx, ny)
+        matvec.ny_pad = ny_pad
+        dg = jnp.full((nx, ny_pad), 1.0).at[:, :ny].set(coeffs[0])
+        matvec.diag = dg.reshape(-1)
+        return matvec
 
     if impl == "pallas":
         from .kernels.stencil import stencil5_pipelined, stencil5_sharded
@@ -489,6 +529,94 @@ def _prolong_bilinear(c, nx):
     return _prolong_bilinear_1d(_prolong_bilinear_1d(c, 0), 1)
 
 
+# ---------------------------------------------------------------------------
+# lane-padded grid layout: the TPU-aligned formulation of lane-odd grids
+# ---------------------------------------------------------------------------
+# TPU vector lanes are 128 wide; a +-1 column shift on a lane-UNaligned
+# grid (e.g. the 2^k-1 multigrid / north-star grids) defeats both XLA's
+# fused stencil lowering and Mosaic's tiling (measured 39 GB/s vs the
+# 690 GB/s streaming ceiling at 8191^2 -- benchmarks/RESULTS_r5.md).
+# The padded layout stores an (nx, ny) Dirichlet grid inside an
+# (nx, ny_pad) buffer, ny_pad the next 128-multiple, with the pad
+# columns kept EXACTLY zero: the first pad column doubles as the
+# Dirichlet ghost, so stencils on the padded buffer reproduce the
+# unpadded arithmetic bit-for-bit on the logical region while every
+# row is lane-aligned.  ny_pad is also a 128-multiple of the flat
+# length, which makes the padded vectors eligible for the fused Pallas
+# orthogonalization kernels (kernels/orthogonalize.py).
+
+
+def pad_cols_width(ny):
+    """Smallest multiple of 128 (the TPU lane count) >= ``ny``."""
+    return -(-ny // 128) * 128
+
+
+def pad_cols_vec(x, nx, ny, ny_pad=None):
+    """Embed a flat ``(nx*ny,)`` grid vector into the lane-padded
+    ``(nx*ny_pad,)`` layout (pad columns zero)."""
+    ny_pad = pad_cols_width(ny) if ny_pad is None else ny_pad
+    if ny_pad == ny:
+        return x
+    u = x.reshape(nx, ny)
+    return jnp.pad(u, ((0, 0), (0, ny_pad - ny))).reshape(-1)
+
+
+def unpad_cols_vec(x, nx, ny, ny_pad=None):
+    """Extract the logical ``(nx*ny,)`` vector from the lane-padded
+    layout (inverse of :func:`pad_cols_vec`)."""
+    ny_pad = pad_cols_width(ny) if ny_pad is None else ny_pad
+    if ny_pad == ny:
+        return x
+    return x.reshape(nx, ny_pad)[:, :ny].reshape(-1)
+
+
+def _stencil5_padded_jnp(u, coeffs, ncols):
+    """jnp lowering of the 5-point Dirichlet stencil on a lane-padded
+    ``(nx, P)`` grid array with ``ncols`` logical columns: column shifts
+    wrap through the zero pad column (== the Dirichlet ghost), the
+    output pad columns are re-zeroed so the invariant survives repeated
+    applications.  Used on CPU/f64 where the Pallas kernel
+    (:func:`krypy_tpu.kernels.stencil.stencil5_affine`) is unavailable."""
+    cc, cu, cd, cl, cr = coeffs
+    P = u.shape[1]
+    up = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+    dn = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
+    if P > ncols:
+        lf = jnp.roll(u, 1, axis=1)
+        rt = jnp.roll(u, -1, axis=1)
+    else:
+        lf = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        rt = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+    out = cc * u + cu * up + cd * dn + cl * lf + cr * rt
+    if P > ncols:
+        mask = (jnp.arange(P) < ncols).astype(out.dtype)
+        out = out * mask[None, :]
+    return out
+
+
+def _padded_stencil_matvec(nx, ny, coeffs, impl):
+    """Shared padded-layout matvec builder: Pallas on f32/bf16 input
+    (the roofline path), jnp fallback on f64 (no Mosaic f64)."""
+    ny_pad = pad_cols_width(ny)
+    coeffs = tuple(float(c) for c in coeffs)
+
+    def matvec(x):
+        use_pallas = impl == "pallas" and x.dtype in (
+            jnp.float32, jnp.bfloat16
+        )
+        if use_pallas:
+            from .kernels.stencil import stencil5_affine
+
+            return stencil5_affine(
+                x, nx=nx, ny=ny_pad, coeffs=coeffs, ncols=ny
+            )
+        return _stencil5_padded_jnp(
+            x.reshape(nx, ny_pad), coeffs, ny
+        ).reshape(-1)
+
+    return matvec, ny_pad
+
+
 def _dst1(u, axis):
     """DST-I along ``axis`` via the odd-extension FFT (length 2(n+1));
     the TPU-native path to spectral Poisson solves."""
@@ -597,9 +725,109 @@ def ssor_poisson_preconditioner(nx, ny=None, omega=1.0, sweeps=1):
     return matvec
 
 
+def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
+                      impl):
+    """Lane-padded V-cycle (see the padded-grid block above): every
+    level lives in an ``(n, pad128(n))`` buffer, so the fine-level
+    smoother/residual run as fused Pallas affine-stencil kernels
+    (``impl="pallas"``, 2-3 HBM passes each) instead of the lane-
+    misaligned jnp chains -- the single biggest cost of the 67M-dof
+    north-star V-cycle (benchmarks/RESULTS_r5.md: 48.4 ms, stencils at
+    39 GB/s).  Damped-Jacobi smoothing only (the padded production
+    configuration)."""
+    from jax import lax
+
+    def step_fn(n, P, h2, dtype_is_f32):
+        diag = 4.0 / h2
+        lapc = (4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2)
+        w = omega / diag
+        use_pallas = impl == "pallas" and n >= 256 and dtype_is_f32
+        if use_pallas:
+            from .kernels.stencil import stencil5_affine
+
+            # u + w*(r - A u) as ONE kernel: alpha*u + beta*r + S(u)
+            # with S = -w*A
+            sc = tuple(-w * c for c in lapc)
+            rc = tuple(-c for c in lapc)
+
+            def step(u, r):
+                return stencil5_affine(
+                    u.reshape(-1), r.reshape(-1), nx=n, ny=P,
+                    coeffs=sc, ncols=n, alpha=1.0, beta=w,
+                ).reshape(n, P)
+
+            def residual(u, r):
+                return stencil5_affine(
+                    u.reshape(-1), r.reshape(-1), nx=n, ny=P,
+                    coeffs=rc, ncols=n, beta=1.0,
+                ).reshape(n, P)
+        else:
+            def step(u, r):
+                return u + w * (r - _stencil5_padded_jnp(u, lapc, n))
+
+            def residual(u, r):
+                return r - _stencil5_padded_jnp(u, lapc, n)
+
+        return step, residual, w
+
+    def smooth(u, r, step, k):
+        if k <= 0:
+            return u
+        if k <= 4:
+            for _ in range(k):
+                u = step(u, r)
+            return u
+        return lax.fori_loop(0, k, lambda i, uu: step(uu, r), u)
+
+    def restrict_p(r, n):
+        nc = (n - 1) // 2
+        Pc = pad_cols_width(nc)
+        # row pass (rows are unpadded), then the column pass on the
+        # LOGICAL slice -- slice-of-strided-slice folds statically, no
+        # copy materializes
+        r = 0.25 * r[0:-2:2] + 0.5 * r[1:-1:2] + 0.25 * r[2::2]
+        rl = r[:, :n]
+        c = (0.25 * rl[:, 0:-2:2] + 0.5 * rl[:, 1:-1:2]
+             + 0.25 * rl[:, 2::2])
+        return jnp.pad(c, ((0, 0), (0, Pc - nc)))
+
+    def prolong_p(c, nc, P):
+        n = 2 * nc + 1
+        out = _prolong_bilinear_1d(c[:, :nc], 1)      # (nc, n)
+        out = _prolong_bilinear_1d(out, 0)            # (n, n)
+        return jnp.pad(out, ((0, 0), (0, P - n)))
+
+    def vcycle(r, n):
+        P = r.shape[1]
+        h2 = (1.0 / (n + 1)) ** 2
+        step, residual, w = step_fn(n, P, h2, r.dtype == jnp.float32)
+
+        if n <= coarsest:
+            # first sweep from u=0 is the elementwise u1 = w*r
+            u = w * r
+            return smooth(u, r, step, coarse_sweeps - 1)
+
+        u = w * r
+        u = smooth(u, r, step, nu_pre - 1)
+        res = residual(u, r)
+        ec = vcycle(restrict_p(res, n), (n - 1) // 2)
+        u = u + prolong_p(ec, (n - 1) // 2, P)
+        return smooth(u, r, step, nu_post)
+
+    ny_pad = pad_cols_width(nx)
+
+    def matvec(x):
+        return vcycle(x.reshape(nx, ny_pad), nx).reshape(-1)
+
+    matvec.shape = (nx * ny_pad, nx * ny_pad)
+    matvec.grid = (nx, nx)
+    matvec.ny_pad = ny_pad
+    return matvec
+
+
 def multigrid_poisson_preconditioner(
     nx, nu_pre=2, nu_post=2, omega=0.8, coarsest=7, coarse_sweeps=20,
-    coarse_solver=None, impl="jnp", smoother="jacobi",
+    coarse_solver=None, impl="jnp", smoother="jacobi", pad_cols=False,
 ):
     r"""Geometric multigrid V-cycle preconditioner for the 2-D Dirichlet
     Poisson operator -- the mesh-independent production preconditioner.
@@ -628,6 +856,16 @@ def multigrid_poisson_preconditioner(
         raise ValueError("multigrid requires nx = 2^k - 1")
     if smoother not in ("jacobi", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
+    if pad_cols:
+        # lane-padded V-cycle: matvec on (nx*pad128(nx),) vectors
+        if smoother != "jacobi" or coarse_solver is not None:
+            raise ValueError(
+                "pad_cols multigrid supports the jacobi smoother with "
+                "the sweep coarse solve only"
+            )
+        return _multigrid_padded(
+            nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps, impl
+        )
     if coarse_solver == "dst":
         coarse_solver = poisson_dst_solver(coarsest)
 
