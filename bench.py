@@ -41,12 +41,20 @@ import jax
 import jax.numpy as jnp
 
 
+# lane-padded inner lane (round 5): embed the 2^k-1 grid in a
+# (nx, pad128(nx)) buffer whose zero pad column doubles as the Dirichlet
+# ghost; the f32 operator and multigrid smoother/residual then run as
+# fused Pallas affine-stencil kernels on lane-ALIGNED rows instead of
+# the misaligned jnp chains (measured 39 GB/s at 8191^2,
+# benchmarks/RESULTS_r5.md).  BENCH_PAD=1 opts in (flipped to default
+# once measured on the driver path).
+PAD = os.environ.get("BENCH_PAD", "0") == "1"
+
+
 def build_problem(nx):
-    """Returns (lap, b64, N).  The jnp stencil is used (its matvec dtype
-    follows the input, serving both the f32 inner lane and the f64 outer
-    residual); at the 2^k-1 bench sizes the grid is lane-unaligned, where
-    the jnp lowering matches or beats the Pallas kernel (measured,
-    benchmarks/RESULTS_r2.md)."""
+    """Returns (lap, b64, N).  The jnp stencil serves the f64 outer
+    residual (its matvec dtype follows the input); the f32 inner lane
+    uses the lane-padded Pallas layout (see PAD above)."""
     from krypy_tpu import ops
 
     lap = ops.poisson_2d(nx)
@@ -66,19 +74,23 @@ def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
     orders of magnitude."""
     from krypy_tpu import functional as F, ops
 
-    # NOTE: the Pallas stencil is not used inside the multigrid -- the
-    # 2^k-1 grids are lane-unaligned, where the jnp lowering measured
-    # 4.5x faster (docs/DESIGN.md section 8 / benchmarks/RESULTS_r2.md)
+    impl = "pallas" if PAD else "jnp"
+    lap32 = ops.poisson_2d(nx, pad_cols=PAD, impl=impl) if PAD else lap
     Mmg = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60
+        nx, coarsest=31, coarse_sweeps=60, pad_cols=PAD, impl=impl
     )
 
     @jax.jit
     def inner_solve(r32):
-        return F.cg(
-            lap, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
+        if PAD:
+            r32 = ops.pad_cols_vec(r32, nx, nx)
+        res = F.cg(
+            lap32, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
             stagnation_window=4,
         )
+        if PAD:
+            res = res._replace(x=ops.unpad_cols_vec(res.x, nx, nx))
+        return res
 
     # warm up the inner compile (refine_to warms the whole compiled
     # refinement loop itself; a production deployment compiles once and

@@ -876,8 +876,11 @@ def gmres(
     # zero-initialized, so the extra rows of a bucket contribute exact
     # zeros.  Doubling buckets bound the compiled-branch count by
     # log2(m); at m=40 the average swept height drops from 41 to ~26.
+    # Buckets start at 8 (not 16) so short restart lengths -- e.g. the
+    # memory-capped m=12 of the 67M-dof north star -- still engage the
+    # prefix: at m=12 the average swept height drops from 13 to ~9.7.
     bucket_heights = []
-    _h = 16
+    _h = 8
     while _h < m + 1:
         bucket_heights.append(_h)
         _h *= 2
