@@ -83,13 +83,13 @@ def tpu_solve(lap, b64, nx, tol=1e-8, inner_tol=1e-4, inner_maxiter=12):
     @jax.jit
     def inner_solve(r32):
         if PAD:
-            r32 = ops.pad_cols_vec(r32, nx, nx)
+            r32 = ops.pad_grid_vec(r32, nx, nx)
         res = F.cg(
             lap32, r32, M=Mmg, tol=inner_tol, maxiter=inner_maxiter,
             stagnation_window=4,
         )
         if PAD:
-            res = res._replace(x=ops.unpad_cols_vec(res.x, nx, nx))
+            res = res._replace(x=ops.unpad_grid_vec(res.x, nx, nx))
         return res
 
     # warm up the inner compile (refine_to warms the whole compiled

@@ -223,7 +223,7 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
         unpadded)."""
         rs = r32 * h2_f32
         if PAD:
-            rs = ops.pad_cols_vec(rs, nx, nx)
+            rs = ops.pad_grid_vec(rs, nx, nx)
         rs_norm = jnp.maximum(jnp.linalg.norm(rs), 1e-30)
         xz = jnp.zeros_like(rs)
 
@@ -260,7 +260,7 @@ def _tpu_compiled(nx, N, cd32, cd64, Ml, b, h2_f32):
             ),
         )
         if PAD:
-            bx = ops.unpad_cols_vec(bx, nx, nx)
+            bx = ops.unpad_grid_vec(bx, nx, nx)
         return SolveResult(
             x=bx, resnorms=jnp.zeros(1), niter=nit,
             status=jnp.asarray(MAXITER),

@@ -35,6 +35,18 @@ __all__ = [
 ]
 
 
+def _largest_divisor_mult8(n, cap):
+    """Largest divisor of ``n`` that is a multiple of 8 and <= cap
+    (``n`` itself a multiple of 8 guarantees at least 8)."""
+    best = 8
+    d = 8
+    while d <= cap:
+        if n % d == 0:
+            best = d
+        d += 8
+    return best
+
+
 def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr,
                           *, ncols=None, alpha=0.0, beta=0.0,
                           has_g=False):
@@ -94,6 +106,10 @@ def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr,
         if ncols != ny:
             # keep the lane padding exactly zero in the output
             out = jnp.where(col >= ncols, 0.0, out)
+        if nrows != n_blocks * T:
+            # same for sublane (row) padding: the grid-padded layout
+            # keeps pad rows in the buffer across applications
+            out = jnp.where(glob_row >= nrows, 0.0, out)
         out_ref[:, :] = out
 
     return kernel
@@ -102,12 +118,12 @@ def _make_stencil5_kernel(ny, T, n_blocks, nrows, cc, cu, cd, cl, cr,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nx", "ny", "ncols", "coeffs", "alpha", "beta", "block_rows",
-        "interpret",
+        "nx", "ny", "ncols", "nrows", "coeffs", "alpha", "beta",
+        "block_rows", "interpret",
     ),
 )
-def stencil5_affine(x, g=None, *, nx, ny, coeffs, ncols=None, alpha=0.0,
-                    beta=0.0, block_rows=256, interpret=None):
+def stencil5_affine(x, g=None, *, nx, ny, coeffs, ncols=None, nrows=None,
+                    alpha=0.0, beta=0.0, block_rows=256, interpret=None):
     """Affine constant-coefficient 5-point stencil
     ``out = alpha*x + beta*g + Stencil5(x)`` on an ``nx x ny`` Dirichlet
     grid (flat operands), fused into ONE pipelined Pallas kernel: 2-3
@@ -121,23 +137,24 @@ def stencil5_affine(x, g=None, *, nx, ny, coeffs, ncols=None, alpha=0.0,
     grids, where Mosaic needs the 128-multiple width the logical grid
     lacks.  The zero pad column doubles as the Dirichlet ghost, so the
     arithmetic on the logical region is exactly the unpadded stencil's.
+    ``nrows < nx`` does the same for trailing PAD ROWS (the grid-padded
+    layout): with ``nx`` a multiple of 8 the buffer needs no per-call
+    row padding, so the kernel runs with ZERO copies around it --
+    the measured cost of the legacy pad+slice pair at 8191^2 f32 was
+    ~2x the kernel itself (benchmarks/RESULTS_r5.md ablation).
 
-    Any ``nx`` is supported: rows are zero-padded to the sublane/block
-    multiple and the pad is sliced off (two ~N-element copies, a few
-    percent of the kernel cost at 1M dof).
+    Any ``nx`` is supported: non-multiple-of-8 row counts fall back to
+    the legacy zero-pad + slice-off pair.
     """
     if interpret is None:
         # Mosaic compiles on TPU only; elsewhere run interpreted
         interpret = jax.default_backend() != "tpu"
     cc, cu, cd, cl, cr = (float(c) for c in coeffs)
     has_g = g is not None
+    nrows = nx if nrows is None else nrows
     u = x.reshape(nx, ny)
     gg = g.reshape(nx, ny) if has_g else None
 
-    # pad rows to a multiple of the block (zero rows are consistent with
-    # the Dirichlet boundary; the kernel masks the last true row's lower
-    # neighbor so it does not read pad garbage -- pads ARE zero though,
-    # so the mask is belt and braces)
     # VMEM budget: the pipeline multi-buffers center+out (+halo views,
     # +g when present); empirically ~6 block-sized buffers live at once
     # (8 with g), so keep the block small enough that they fit in ~11MB
@@ -148,20 +165,28 @@ def stencil5_affine(x, g=None, *, nx, ny, coeffs, ncols=None, alpha=0.0,
     bpe = jnp.dtype(x.dtype).itemsize
     streams = 8 if has_g else 6
     vmem_cap = max(8, (11 * 2**20) // (streams * ny * bpe))
-    nx_ceil8 = -(-nx // 8) * 8
-    block_rows = min(block_rows, vmem_cap, nx_ceil8)
-    block_rows = max(8, block_rows // 8 * 8)
-    nx_pad = -(-nx // block_rows) * block_rows
-    if nx_pad != nx:
+    cap = max(8, min(block_rows, vmem_cap) // 8 * 8)
+    if nx % 8 == 0:
+        # grid-padded fast path: a block height dividing nx exactly
+        # means NO pad/slice copies around the kernel
+        T = _largest_divisor_mult8(nx, min(cap, nx))
+        nx_pad = nx
+    else:
+        # legacy path: pad rows to a multiple of the block (zero rows
+        # are consistent with the Dirichlet boundary; the kernel masks
+        # the last true row's lower neighbor so it does not read pad
+        # garbage -- pads ARE zero though, so the mask is belt and
+        # braces) and slice the pad off afterwards
+        T = min(cap, -(-nx // 8) * 8)
+        nx_pad = -(-nx // T) * T
         u = jnp.pad(u, ((0, nx_pad - nx), (0, 0)))
         if has_g:
             gg = jnp.pad(gg, ((0, nx_pad - nx), (0, 0)))
-    T = block_rows
     n_blocks = nx_pad // T
     r8 = T // 8  # 8-row units per block
 
     kernel = _make_stencil5_kernel(
-        ny, T, n_blocks, nx, cc, cu, cd, cl, cr,
+        ny, T, n_blocks, min(nrows, nx), cc, cu, cd, cl, cr,
         ncols=ncols, alpha=alpha, beta=beta, has_g=has_g,
     )
     block = pl.BlockSpec((T, ny), lambda i: (i, jnp.int32(0)),

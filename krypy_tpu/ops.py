@@ -35,8 +35,9 @@ __all__ = [
     "dia_from_scipy",
     "spai_preconditioner",
     "pad_cols_width",
-    "pad_cols_vec",
-    "unpad_cols_vec",
+    "pad_rows_width",
+    "pad_grid_vec",
+    "unpad_grid_vec",
 ]
 
 
@@ -113,13 +114,16 @@ def poisson_2d(nx, ny=None, impl="jnp", mesh=None, pad_cols=False):
             raise ValueError("pad_cols does not compose with mesh= yet")
         coeffs = (2.0 / hx2 + 2.0 / hy2, -1.0 / hx2, -1.0 / hx2,
                   -1.0 / hy2, -1.0 / hy2)
-        matvec, ny_pad = _padded_stencil_matvec(nx, ny, coeffs, impl)
-        matvec.shape = (nx * ny_pad, nx * ny_pad)
+        matvec, nx_pad, ny_pad = _padded_stencil_matvec(
+            nx, ny, coeffs, impl
+        )
+        Np = nx_pad * ny_pad
+        matvec.shape = (Np, Np)
         matvec.grid = (nx, ny)
-        matvec.ny_pad = ny_pad
-        # pad-column diagonal entries are 1 so diag-based
-        # preconditioners stay finite (they multiply zeros anyway)
-        dg = jnp.full((nx, ny_pad), 1.0).at[:, :ny].set(
+        matvec.nx_pad, matvec.ny_pad = nx_pad, ny_pad
+        # pad diagonal entries are 1 so diag-based preconditioners stay
+        # finite (they multiply zeros anyway)
+        dg = jnp.full((nx_pad, ny_pad), 1.0).at[:nx, :ny].set(
             2.0 / hx2 + 2.0 / hy2
         )
         matvec.diag = dg.reshape(-1)
@@ -187,11 +191,14 @@ def convection_diffusion_2d(nx, ny=None, wind=(1.0, 0.5), eps=1.0,
             -eps / hy2 - wy / hy,
             -eps / hy2,
         )
-        matvec, ny_pad = _padded_stencil_matvec(nx, ny, coeffs, impl)
-        matvec.shape = (nx * ny_pad, nx * ny_pad)
+        matvec, nx_pad, ny_pad = _padded_stencil_matvec(
+            nx, ny, coeffs, impl
+        )
+        Np = nx_pad * ny_pad
+        matvec.shape = (Np, Np)
         matvec.grid = (nx, ny)
-        matvec.ny_pad = ny_pad
-        dg = jnp.full((nx, ny_pad), 1.0).at[:, :ny].set(coeffs[0])
+        matvec.nx_pad, matvec.ny_pad = nx_pad, ny_pad
+        dg = jnp.full((nx_pad, ny_pad), 1.0).at[:nx, :ny].set(coeffs[0])
         matvec.diag = dg.reshape(-1)
         return matvec
 
@@ -530,19 +537,21 @@ def _prolong_bilinear(c, nx):
 
 
 # ---------------------------------------------------------------------------
-# lane-padded grid layout: the TPU-aligned formulation of lane-odd grids
+# grid-padded layout: the TPU-aligned formulation of lane-odd grids
 # ---------------------------------------------------------------------------
 # TPU vector lanes are 128 wide; a +-1 column shift on a lane-UNaligned
 # grid (e.g. the 2^k-1 multigrid / north-star grids) defeats both XLA's
 # fused stencil lowering and Mosaic's tiling (measured 39 GB/s vs the
-# 690 GB/s streaming ceiling at 8191^2 -- benchmarks/RESULTS_r5.md).
+# ~350 GB/s copy ceiling at 8191^2 -- benchmarks/RESULTS_r5.md).
 # The padded layout stores an (nx, ny) Dirichlet grid inside an
-# (nx, ny_pad) buffer, ny_pad the next 128-multiple, with the pad
-# columns kept EXACTLY zero: the first pad column doubles as the
-# Dirichlet ghost, so stencils on the padded buffer reproduce the
-# unpadded arithmetic bit-for-bit on the logical region while every
-# row is lane-aligned.  ny_pad is also a 128-multiple of the flat
-# length, which makes the padded vectors eligible for the fused Pallas
+# (nx_pad, ny_pad) buffer -- rows padded to a multiple of 8 (sublanes,
+# so Pallas blocks divide the buffer with NO per-call pad/slice
+# copies), columns to a multiple of 128 (lanes) -- with the pad
+# rows/columns kept EXACTLY zero: the first pad row/column doubles as
+# the Dirichlet ghost, so stencils on the padded buffer reproduce the
+# unpadded arithmetic on the logical region while every row is
+# lane-aligned.  The flat padded length is 128-divisible, which also
+# makes the padded vectors eligible for the fused Pallas
 # orthogonalization kernels (kernels/orthogonalize.py).
 
 
@@ -551,34 +560,40 @@ def pad_cols_width(ny):
     return -(-ny // 128) * 128
 
 
-def pad_cols_vec(x, nx, ny, ny_pad=None):
-    """Embed a flat ``(nx*ny,)`` grid vector into the lane-padded
-    ``(nx*ny_pad,)`` layout (pad columns zero)."""
-    ny_pad = pad_cols_width(ny) if ny_pad is None else ny_pad
-    if ny_pad == ny:
+def pad_rows_width(nx):
+    """Smallest multiple of 8 (the f32 sublane count) >= ``nx``."""
+    return -(-nx // 8) * 8
+
+
+def pad_grid_vec(x, nx, ny):
+    """Embed a flat ``(nx*ny,)`` grid vector into the grid-padded
+    ``(pad_rows_width(nx) * pad_cols_width(ny),)`` layout (pads zero)."""
+    nxp, nyp = pad_rows_width(nx), pad_cols_width(ny)
+    if (nxp, nyp) == (nx, ny):
         return x
     u = x.reshape(nx, ny)
-    return jnp.pad(u, ((0, 0), (0, ny_pad - ny))).reshape(-1)
+    return jnp.pad(u, ((0, nxp - nx), (0, nyp - ny))).reshape(-1)
 
 
-def unpad_cols_vec(x, nx, ny, ny_pad=None):
-    """Extract the logical ``(nx*ny,)`` vector from the lane-padded
-    layout (inverse of :func:`pad_cols_vec`)."""
-    ny_pad = pad_cols_width(ny) if ny_pad is None else ny_pad
-    if ny_pad == ny:
+def unpad_grid_vec(x, nx, ny):
+    """Extract the logical ``(nx*ny,)`` vector from the grid-padded
+    layout (inverse of :func:`pad_grid_vec`)."""
+    nxp, nyp = pad_rows_width(nx), pad_cols_width(ny)
+    if (nxp, nyp) == (nx, ny):
         return x
-    return x.reshape(nx, ny_pad)[:, :ny].reshape(-1)
+    return x.reshape(nxp, nyp)[:nx, :ny].reshape(-1)
 
 
-def _stencil5_padded_jnp(u, coeffs, ncols):
-    """jnp lowering of the 5-point Dirichlet stencil on a lane-padded
-    ``(nx, P)`` grid array with ``ncols`` logical columns: column shifts
-    wrap through the zero pad column (== the Dirichlet ghost), the
-    output pad columns are re-zeroed so the invariant survives repeated
-    applications.  Used on CPU/f64 where the Pallas kernel
-    (:func:`krypy_tpu.kernels.stencil.stencil5_affine`) is unavailable."""
+def _stencil5_padded_jnp(u, coeffs, nrows, ncols):
+    """jnp lowering of the 5-point Dirichlet stencil on a grid-padded
+    array with ``nrows x ncols`` logical region: column shifts wrap
+    through the zero pad column (== the Dirichlet ghost), row shifts
+    read the zero pad row, and the output pads are re-zeroed so the
+    invariant survives repeated applications.  Used on CPU/f64 where
+    the Pallas kernel (:func:`krypy_tpu.kernels.stencil.stencil5_affine`)
+    is unavailable."""
     cc, cu, cd, cl, cr = coeffs
-    P = u.shape[1]
+    R, P = u.shape
     up = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
     dn = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
     if P > ncols:
@@ -589,15 +604,16 @@ def _stencil5_padded_jnp(u, coeffs, ncols):
         rt = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
     out = cc * u + cu * up + cd * dn + cl * lf + cr * rt
     if P > ncols:
-        mask = (jnp.arange(P) < ncols).astype(out.dtype)
-        out = out * mask[None, :]
+        out = out * (jnp.arange(P) < ncols).astype(out.dtype)[None, :]
+    if R > nrows:
+        out = out * (jnp.arange(R) < nrows).astype(out.dtype)[:, None]
     return out
 
 
 def _padded_stencil_matvec(nx, ny, coeffs, impl):
-    """Shared padded-layout matvec builder: Pallas on f32/bf16 input
+    """Shared grid-padded matvec builder: Pallas on f32/bf16 input
     (the roofline path), jnp fallback on f64 (no Mosaic f64)."""
-    ny_pad = pad_cols_width(ny)
+    nx_pad, ny_pad = pad_rows_width(nx), pad_cols_width(ny)
     coeffs = tuple(float(c) for c in coeffs)
 
     def matvec(x):
@@ -608,13 +624,14 @@ def _padded_stencil_matvec(nx, ny, coeffs, impl):
             from .kernels.stencil import stencil5_affine
 
             return stencil5_affine(
-                x, nx=nx, ny=ny_pad, coeffs=coeffs, ncols=ny
+                x, nx=nx_pad, ny=ny_pad, coeffs=coeffs, ncols=ny,
+                nrows=nx,
             )
         return _stencil5_padded_jnp(
-            x.reshape(nx, ny_pad), coeffs, ny
+            x.reshape(nx_pad, ny_pad), coeffs, nx, ny
         ).reshape(-1)
 
-    return matvec, ny_pad
+    return matvec, nx_pad, ny_pad
 
 
 def _dst1(u, axis):
@@ -737,7 +754,7 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
     configuration)."""
     from jax import lax
 
-    def step_fn(n, P, h2, dtype_is_f32):
+    def step_fn(n, R, P, h2, dtype_is_f32):
         diag = 4.0 / h2
         lapc = (4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2)
         w = omega / diag
@@ -752,21 +769,21 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
 
             def step(u, r):
                 return stencil5_affine(
-                    u.reshape(-1), r.reshape(-1), nx=n, ny=P,
-                    coeffs=sc, ncols=n, alpha=1.0, beta=w,
-                ).reshape(n, P)
+                    u.reshape(-1), r.reshape(-1), nx=R, ny=P,
+                    coeffs=sc, ncols=n, nrows=n, alpha=1.0, beta=w,
+                ).reshape(R, P)
 
             def residual(u, r):
                 return stencil5_affine(
-                    u.reshape(-1), r.reshape(-1), nx=n, ny=P,
-                    coeffs=rc, ncols=n, beta=1.0,
-                ).reshape(n, P)
+                    u.reshape(-1), r.reshape(-1), nx=R, ny=P,
+                    coeffs=rc, ncols=n, nrows=n, beta=1.0,
+                ).reshape(R, P)
         else:
             def step(u, r):
-                return u + w * (r - _stencil5_padded_jnp(u, lapc, n))
+                return u + w * (r - _stencil5_padded_jnp(u, lapc, n, n))
 
             def residual(u, r):
-                return r - _stencil5_padded_jnp(u, lapc, n)
+                return r - _stencil5_padded_jnp(u, lapc, n, n)
 
         return step, residual, w
 
@@ -781,26 +798,26 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
 
     def restrict_p(r, n):
         nc = (n - 1) // 2
-        Pc = pad_cols_width(nc)
-        # row pass (rows are unpadded), then the column pass on the
-        # LOGICAL slice -- slice-of-strided-slice folds statically, no
-        # copy materializes
-        r = 0.25 * r[0:-2:2] + 0.5 * r[1:-1:2] + 0.25 * r[2::2]
-        rl = r[:, :n]
+        # row and column passes on the LOGICAL slice --
+        # slice-of-strided-slice folds statically, no copy materializes
+        rl = r[:n]
+        rl = 0.25 * rl[0:-2:2] + 0.5 * rl[1:-1:2] + 0.25 * rl[2::2]
+        rl = rl[:, :n]
         c = (0.25 * rl[:, 0:-2:2] + 0.5 * rl[:, 1:-1:2]
              + 0.25 * rl[:, 2::2])
-        return jnp.pad(c, ((0, 0), (0, Pc - nc)))
+        return jnp.pad(c, ((0, pad_rows_width(nc) - nc),
+                           (0, pad_cols_width(nc) - nc)))
 
-    def prolong_p(c, nc, P):
+    def prolong_p(c, nc, R, P):
         n = 2 * nc + 1
-        out = _prolong_bilinear_1d(c[:, :nc], 1)      # (nc, n)
+        out = _prolong_bilinear_1d(c[:nc, :nc], 1)    # (nc, n)
         out = _prolong_bilinear_1d(out, 0)            # (n, n)
-        return jnp.pad(out, ((0, 0), (0, P - n)))
+        return jnp.pad(out, ((0, R - n), (0, P - n)))
 
     def vcycle(r, n):
-        P = r.shape[1]
+        R, P = r.shape
         h2 = (1.0 / (n + 1)) ** 2
-        step, residual, w = step_fn(n, P, h2, r.dtype == jnp.float32)
+        step, residual, w = step_fn(n, R, P, h2, r.dtype == jnp.float32)
 
         if n <= coarsest:
             # first sweep from u=0 is the elementwise u1 = w*r
@@ -811,17 +828,17 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
         u = smooth(u, r, step, nu_pre - 1)
         res = residual(u, r)
         ec = vcycle(restrict_p(res, n), (n - 1) // 2)
-        u = u + prolong_p(ec, (n - 1) // 2, P)
+        u = u + prolong_p(ec, (n - 1) // 2, R, P)
         return smooth(u, r, step, nu_post)
 
-    ny_pad = pad_cols_width(nx)
+    nx_pad, ny_pad = pad_rows_width(nx), pad_cols_width(nx)
 
     def matvec(x):
-        return vcycle(x.reshape(nx, ny_pad), nx).reshape(-1)
+        return vcycle(x.reshape(nx_pad, ny_pad), nx).reshape(-1)
 
-    matvec.shape = (nx * ny_pad, nx * ny_pad)
+    matvec.shape = (nx_pad * ny_pad, nx_pad * ny_pad)
     matvec.grid = (nx, nx)
-    matvec.ny_pad = ny_pad
+    matvec.nx_pad, matvec.ny_pad = nx_pad, ny_pad
     return matvec
 
 

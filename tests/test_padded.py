@@ -1,12 +1,13 @@
-"""Lane-padded grid layout (ops.pad_cols_*, stencil5_affine, padded
+"""Grid-padded layout (ops.pad_grid_*, stencil5_affine, padded
 multigrid): the TPU-aligned formulation of lane-odd grids.
 
-The padded buffer stores an (nx, ny) Dirichlet grid in (nx, pad128(ny))
-with zero pad columns; the first pad column doubles as the Dirichlet
-ghost, so padded operators must reproduce the unpadded arithmetic on
-the logical region and keep the pads exactly zero (the invariant every
-downstream consumer -- norms, dots, repeated applications -- relies
-on).  Reference semantics: the unpadded gallery operators themselves.
+The padded buffer stores an (nx, ny) Dirichlet grid in
+(pad8(nx), pad128(ny)) with zero pad rows/columns; the first pad
+row/column doubles as the Dirichlet ghost, so padded operators must
+reproduce the unpadded arithmetic on the logical region and keep the
+pads exactly zero (the invariant every downstream consumer -- norms,
+dots, repeated applications -- relies on).  Reference semantics: the
+unpadded gallery operators themselves.
 """
 
 import numpy as np
@@ -19,30 +20,36 @@ from krypy_tpu import ops
 from krypy_tpu.kernels.stencil import stencil5_affine
 
 
-def _rand_padded(key, nx, ny, ny_pad, dtype=jnp.float64):
+def _shapes(nx, ny):
+    return ops.pad_rows_width(nx), ops.pad_cols_width(ny)
+
+
+def _rand_padded(key, nx, ny, dtype=jnp.float64):
     x = jax.random.normal(key, (nx * ny,), dtype)
-    return x, ops.pad_cols_vec(x, nx, ny, ny_pad)
+    return x, ops.pad_grid_vec(x, nx, ny)
 
 
-def test_pad_cols_width():
+def test_pad_widths():
     assert ops.pad_cols_width(1) == 128
     assert ops.pad_cols_width(128) == 128
     assert ops.pad_cols_width(129) == 256
     assert ops.pad_cols_width(8191) == 8192
+    assert ops.pad_rows_width(1) == 8
+    assert ops.pad_rows_width(8) == 8
+    assert ops.pad_rows_width(8191) == 8192
 
 
 @pytest.mark.parametrize("nx,ny", [(7, 7), (9, 5), (16, 128)])
 def test_pad_unpad_roundtrip(nx, ny):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (nx * ny,), jnp.float64)
-    xp = ops.pad_cols_vec(x, nx, ny)
-    P = ops.pad_cols_width(ny)
-    assert xp.shape == (nx * P,)
-    # pads are zero
-    assert float(jnp.abs(xp.reshape(nx, P)[:, ny:]).max() if P > ny
-                 else 0.0) == 0.0
+    xp = ops.pad_grid_vec(x, nx, ny)
+    R, P = _shapes(nx, ny)
+    assert xp.shape == (R * P,)
+    u = np.asarray(xp.reshape(R, P))
+    assert np.all(u[nx:, :] == 0.0) and np.all(u[:, ny:] == 0.0)
     np.testing.assert_array_equal(
-        np.asarray(ops.unpad_cols_vec(xp, nx, ny)), np.asarray(x)
+        np.asarray(ops.unpad_grid_vec(xp, nx, ny)), np.asarray(x)
     )
 
 
@@ -59,38 +66,44 @@ def test_padded_matvec_matches_unpadded(op_name, nx, ny):
         Ap = ops.convection_diffusion_2d(
             nx, ny, wind=(1.0, 0.5), eps=0.7, pad_cols=True
         )
-    P = Ap.ny_pad
-    assert Ap.shape == (nx * P, nx * P)
+    R, P = Ap.nx_pad, Ap.ny_pad
+    assert Ap.shape == (R * P, R * P)
     key = jax.random.PRNGKey(1)
-    x, xp = _rand_padded(key, nx, ny, P)
+    x, xp = _rand_padded(key, nx, ny)
     yp = Ap(xp)
-    if P > ny:
-        pads = np.asarray(yp.reshape(nx, P)[:, ny:])
-        np.testing.assert_array_equal(pads, np.zeros_like(pads))
+    u = np.asarray(yp.reshape(R, P))
+    assert np.all(u[nx:, :] == 0.0) and np.all(u[:, ny:] == 0.0)
     np.testing.assert_allclose(
-        np.asarray(ops.unpad_cols_vec(yp, nx, ny)),
+        np.asarray(ops.unpad_grid_vec(yp, nx, ny)),
         np.asarray(A(x)),
         rtol=1e-13, atol=1e-13,
     )
 
 
-@pytest.mark.parametrize("nx,ny", [(9, 120), (17, 100)])
+@pytest.mark.parametrize("nx,ny", [(9, 120), (17, 100), (16, 100)])
 def test_stencil5_affine_interpret_matches_jnp(nx, ny):
     """The Pallas affine kernel (interpret mode on CPU) matches the jnp
-    padded lowering: plain matvec, damped-Jacobi step, residual."""
-    P = ops.pad_cols_width(ny)
+    padded lowering: plain matvec, damped-Jacobi step, residual.
+    nx=16 exercises the grid-padded (no pad/slice) fast path with
+    nrows < buffer rows."""
+    R, P = _shapes(nx, ny)
     coeffs = (4.1, -1.0, -0.9, -1.1, -0.8)
     key = jax.random.PRNGKey(2)
     k1, k2 = jax.random.split(key)
-    _, up = _rand_padded(k1, nx, ny, P, jnp.float32)
-    _, rp = _rand_padded(k2, nx, ny, P, jnp.float32)
-    u2 = up.reshape(nx, P)
+    _, up = _rand_padded(k1, nx, ny, jnp.float32)
+    _, rp = _rand_padded(k2, nx, ny, jnp.float32)
+    u2 = up.reshape(R, P)
+
+    def mask(a):
+        a = a * (jnp.arange(P) < ny)[None, :]
+        return a * (jnp.arange(R) < nx)[:, None]
 
     # plain matvec (alpha = beta = 0)
     got = stencil5_affine(
-        up, nx=nx, ny=P, coeffs=coeffs, ncols=ny, interpret=True
+        up, nx=R, ny=P, coeffs=coeffs, ncols=ny, nrows=nx,
+        interpret=True,
     )
-    want = ops._stencil5_padded_jnp(u2, coeffs, ny).reshape(-1)
+    want = ops._stencil5_padded_jnp(u2, coeffs, nx, ny).reshape(-1)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
     )
@@ -98,15 +111,13 @@ def test_stencil5_affine_interpret_matches_jnp(nx, ny):
     # damped-Jacobi step: u + w*(r - A u) with S = -w*A fused in
     w = 0.2
     got = stencil5_affine(
-        up, rp, nx=nx, ny=P, coeffs=tuple(-w * c for c in coeffs),
-        ncols=ny, alpha=1.0, beta=w, interpret=True,
+        up, rp, nx=R, ny=P, coeffs=tuple(-w * c for c in coeffs),
+        ncols=ny, nrows=nx, alpha=1.0, beta=w, interpret=True,
     )
-    want = (
-        u2 + w * (rp.reshape(nx, P)
-                  - ops._stencil5_padded_jnp(u2, coeffs, ny))
+    want = mask(
+        u2 + w * (rp.reshape(R, P)
+                  - ops._stencil5_padded_jnp(u2, coeffs, nx, ny))
     )
-    # the fused form re-zeroes pads explicitly
-    want = want * (jnp.arange(P) < ny)[None, :]
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want.reshape(-1)),
         rtol=2e-6, atol=2e-6,
@@ -114,11 +125,12 @@ def test_stencil5_affine_interpret_matches_jnp(nx, ny):
 
     # residual: r - A u (beta = 1, coeffs negated)
     got = stencil5_affine(
-        up, rp, nx=nx, ny=P, coeffs=tuple(-c for c in coeffs),
-        ncols=ny, beta=1.0, interpret=True,
+        up, rp, nx=R, ny=P, coeffs=tuple(-c for c in coeffs),
+        ncols=ny, nrows=nx, beta=1.0, interpret=True,
     )
-    want = rp.reshape(nx, P) - ops._stencil5_padded_jnp(u2, coeffs, ny)
-    want = want * (jnp.arange(P) < ny)[None, :]
+    want = mask(
+        rp.reshape(R, P) - ops._stencil5_padded_jnp(u2, coeffs, nx, ny)
+    )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want.reshape(-1)),
         rtol=2e-6, atol=2e-6,
@@ -129,16 +141,34 @@ def test_stencil5_affine_pad_invariant_repeated():
     """Pads stay exactly zero under repeated padded applications
     (the invariant the padded multigrid and solvers rely on)."""
     nx, ny = 9, 100
-    P = ops.pad_cols_width(ny)
+    R, P = _shapes(nx, ny)
     coeffs = (4.0, -1.0, -1.0, -1.0, -1.0)
     key = jax.random.PRNGKey(3)
-    _, xp = _rand_padded(key, nx, ny, P, jnp.float32)
+    _, xp = _rand_padded(key, nx, ny, jnp.float32)
     for _ in range(3):
         xp = stencil5_affine(
-            xp, nx=nx, ny=P, coeffs=coeffs, ncols=ny, interpret=True
+            xp, nx=R, ny=P, coeffs=coeffs, ncols=ny, nrows=nx,
+            interpret=True,
         )
-    pads = np.asarray(xp.reshape(nx, P)[:, ny:])
-    np.testing.assert_array_equal(pads, np.zeros_like(pads))
+    u = np.asarray(xp.reshape(R, P))
+    assert np.all(u[nx:, :] == 0.0) and np.all(u[:, ny:] == 0.0)
+
+
+def test_stencil5_affine_legacy_rows_unchanged():
+    """Callers with nx not a multiple of 8 and no nrows still get the
+    legacy internal pad+slice behavior (stencil5_pipelined surface)."""
+    nx, ny = 9, 128
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (nx * ny,), jnp.float32)
+    coeffs = (4.0, -1.0, -1.0, -1.0, -1.0)
+    got = stencil5_affine(x, nx=nx, ny=ny, coeffs=coeffs, interpret=True)
+    assert got.shape == (nx * ny,)
+    want = ops._stencil5_padded_jnp(
+        x.reshape(nx, ny), coeffs, nx, ny
+    ).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
+    )
 
 
 @pytest.mark.parametrize("nx", [15, 31, 63])
@@ -151,14 +181,14 @@ def test_padded_multigrid_matches_unpadded(nx):
     mgp = ops.multigrid_poisson_preconditioner(
         nx, coarsest=7, coarse_sweeps=12, pad_cols=True
     )
-    P = mgp.ny_pad
+    R, P = mgp.nx_pad, mgp.ny_pad
     key = jax.random.PRNGKey(4)
-    r, rp = _rand_padded(key, nx, nx, P)
+    r, rp = _rand_padded(key, nx, nx)
     got = mgp(rp)
-    pads = np.asarray(got.reshape(nx, P)[:, nx:])
-    np.testing.assert_array_equal(pads, np.zeros_like(pads))
+    u = np.asarray(got.reshape(R, P))
+    assert np.all(u[nx:, :] == 0.0) and np.all(u[:, nx:] == 0.0)
     np.testing.assert_allclose(
-        np.asarray(ops.unpad_cols_vec(got, nx, nx)),
+        np.asarray(ops.unpad_grid_vec(got, nx, nx)),
         np.asarray(mg(r)),
         rtol=1e-12, atol=1e-12,
     )
@@ -189,13 +219,12 @@ def test_padded_gmres_solve_matches_unpadded():
     Mlp = ops.multigrid_poisson_preconditioner(
         nx, coarsest=7, pad_cols=True
     )
-    P = Ap.ny_pad
     b = jnp.ones(nx * nx, jnp.float64)
-    bp = ops.pad_cols_vec(b, nx, nx, P)
+    bp = ops.pad_grid_vec(b, nx, nx)
 
     res = F.gmres(A, b, Ml=Ml, tol=1e-10, maxiter=60)
     resp = F.gmres(Ap, bp, Ml=Mlp, tol=1e-10, maxiter=60)
-    xp = ops.unpad_cols_vec(resp.x, nx, nx, P)
+    xp = ops.unpad_grid_vec(resp.x, nx, nx)
     # both converged to the same true solution
     rel = float(jnp.linalg.norm(b - A(xp)) / jnp.linalg.norm(b))
     assert rel < 1e-9
