@@ -602,7 +602,13 @@ def _stencil5_padded_jnp(u, coeffs, nrows, ncols):
     else:
         lf = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
         rt = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
-    out = cc * u + cu * up + cd * dn + cl * lf + cr * rt
+    # grouped difference form -- cancellation before rounding, matching
+    # the Pallas kernel's arithmetic (see stencil5_affine)
+    out = (-cu * (u - up) - cd * (u - dn) - cl * (u - lf)
+           - cr * (u - rt))
+    e = cc + cu + cd + cl + cr
+    if e != 0.0:
+        out = out + e * u
     if P > ncols:
         out = out * (jnp.arange(P) < ncols).astype(out.dtype)[None, :]
     if R > nrows:
