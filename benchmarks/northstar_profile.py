@@ -26,6 +26,9 @@ from jax import lax
 
 NX = int(os.environ.get("NORTHSTAR_NX", "8191"))
 RESTART = int(os.environ.get("NORTHSTAR_RESTART", "12"))
+# NORTHSTAR_PAD=1 profiles the grid-padded lane (padded Pallas stencil
+# + padded multigrid) instead of the lane-misaligned jnp operators
+PAD = os.environ.get("NORTHSTAR_PAD", "0") == "1"
 WIND = (1.0, 0.5)
 EPS = 1.0
 
@@ -55,21 +58,34 @@ def main():
     N = nx * nx
     h = 1.0 / (nx + 1)
     h2 = h * h
+    impl = "pallas" if PAD else "jnp"
     cd32 = ops.convection_diffusion_2d(
-        nx, wind=(WIND[0] * h2, WIND[1] * h2), eps=EPS * h2
+        nx, wind=(WIND[0] * h2, WIND[1] * h2), eps=EPS * h2,
+        pad_cols=PAD, impl=impl,
     )
     cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
     Ml_raw = ops.multigrid_poisson_preconditioner(
-        nx, coarsest=31, coarse_sweeps=60
+        nx, coarsest=31, coarse_sweeps=60, pad_cols=PAD, impl=impl,
     )
     Ml = lambda r: Ml_raw(r) * (1.0 / h2)  # noqa: E731
 
+    N32 = cd32.shape[0] if PAD else N
     key = jax.random.PRNGKey(0)
-    pool32 = [jax.random.normal(k, (N,), jnp.float32)
+    pool32 = [jax.random.normal(k, (N32,), jnp.float32)
               for k in jax.random.split(key, 3)]
-    pool64 = [p.astype(jnp.float64) for p in pool32]
+    if PAD:
+        # keep the pad-zero invariant in the probe inputs
+        pool32 = [
+            ops.pad_grid_vec(
+                ops.unpad_grid_vec(p, nx, nx), nx, nx
+            )
+            for p in pool32
+        ]
+    pool64 = [jax.random.normal(k, (N,), jnp.float64)
+              for k in jax.random.split(key, 3)]
 
-    out = {"N": N, "nx": nx, "restart": RESTART, "per_op_s": {}}
+    out = {"N": N, "nx": nx, "restart": RESTART, "pad": PAD,
+           "per_op_s": {}}
 
     def chain(op):
         def make(K):
