@@ -102,11 +102,15 @@ def tpu_side(nx):
     # overstate progress.  NOTE: the Pallas stencil is NOT used here --
     # multigrid grids are 2^k-1, always lane-unaligned, where the jnp
     # lowering measured 4.5x faster (docs/DESIGN.md section 8).
-    Ml_raw = ops.multigrid_poisson_preconditioner(
+    # the 1/h2 equilibration scale rides the preconditioner itself:
+    # on the padded Pallas lane it folds into the final post-smoothing
+    # kernel (zero extra HBM passes -- the external `* (1/h2)` wrapper
+    # used before cost a full 268 MB read+write per application at 67M)
+    Ml = ops.multigrid_poisson_preconditioner(
         nx, coarsest=31, coarse_sweeps=60,
         pad_cols=PAD, impl="pallas" if PAD else "jnp",
+        scale=1.0 / h2,
     )
-    Ml = lambda r: Ml_raw(r) * (1.0 / h2)
     b = jnp.ones(N, jnp.float32)
 
     h2_f32 = jnp.float32(h2)

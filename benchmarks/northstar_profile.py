@@ -64,10 +64,10 @@ def main():
         pad_cols=PAD, impl=impl,
     )
     cd64 = ops.convection_diffusion_2d(nx, wind=WIND, eps=EPS)
-    Ml_raw = ops.multigrid_poisson_preconditioner(
+    Ml = ops.multigrid_poisson_preconditioner(
         nx, coarsest=31, coarse_sweeps=60, pad_cols=PAD, impl=impl,
+        scale=1.0 / h2,
     )
-    Ml = lambda r: Ml_raw(r) * (1.0 / h2)  # noqa: E731
 
     N32 = cd32.shape[0] if PAD else N
     key = jax.random.PRNGKey(0)

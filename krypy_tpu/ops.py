@@ -749,7 +749,7 @@ def ssor_poisson_preconditioner(nx, ny=None, omega=1.0, sweeps=1):
 
 
 def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
-                      impl):
+                      impl, scale=1.0):
     """Lane-padded V-cycle (see the padded-grid block above): every
     level lives in an ``(n, pad128(n))`` buffer, so the fine-level
     smoother/residual run as fused Pallas affine-stencil kernels
@@ -757,10 +757,13 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
     misaligned jnp chains -- the single biggest cost of the 67M-dof
     north-star V-cycle (benchmarks/RESULTS_r5.md: 48.4 ms, stencils at
     39 GB/s).  Damped-Jacobi smoothing only (the padded production
-    configuration)."""
+    configuration).  ``scale`` is folded into the FINAL post-smoothing
+    sweep (s*(u + w*(r - A u)) is the same affine kernel with
+    alpha=s, beta=s*w, coeffs scaled), so the equilibration multiply
+    the caller would otherwise apply costs zero extra HBM passes."""
     from jax import lax
 
-    def step_fn(n, R, P, h2, dtype_is_f32):
+    def step_fn(n, R, P, h2, dtype_is_f32, s=1.0):
         diag = 4.0 / h2
         lapc = (4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2)
         w = omega / diag
@@ -768,15 +771,15 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
         if use_pallas:
             from .kernels.stencil import stencil5_affine
 
-            # u + w*(r - A u) as ONE kernel: alpha*u + beta*r + S(u)
-            # with S = -w*A
-            sc = tuple(-w * c for c in lapc)
+            # s*(u + w*(r - A u)) as ONE kernel: alpha*u + beta*r +
+            # S(u) with S = -s*w*A, alpha=s, beta=s*w
+            sc = tuple(-s * w * c for c in lapc)
             rc = tuple(-c for c in lapc)
 
             def step(u, r):
                 return stencil5_affine(
                     u.reshape(-1), r.reshape(-1), nx=R, ny=P,
-                    coeffs=sc, ncols=n, nrows=n, alpha=1.0, beta=w,
+                    coeffs=sc, ncols=n, nrows=n, alpha=s, beta=s * w,
                 ).reshape(R, P)
 
             def residual(u, r):
@@ -786,7 +789,11 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
                 ).reshape(R, P)
         else:
             def step(u, r):
-                return u + w * (r - _stencil5_padded_jnp(u, lapc, n, n))
+                return s * (
+                    u + w * (r - _stencil5_padded_jnp(u, lapc, n, n))
+                ) if s != 1.0 else (
+                    u + w * (r - _stencil5_padded_jnp(u, lapc, n, n))
+                )
 
             def residual(u, r):
                 return r - _stencil5_padded_jnp(u, lapc, n, n)
@@ -820,27 +827,35 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
         out = _prolong_bilinear_1d(out, 0)            # (n, n)
         return jnp.pad(out, ((0, R - n), (0, P - n)))
 
-    def vcycle(r, n):
+    def vcycle(r, n, top=False):
         R, P = r.shape
+        is_f32 = r.dtype == jnp.float32
         h2 = (1.0 / (n + 1)) ** 2
-        step, residual, w = step_fn(n, R, P, h2, r.dtype == jnp.float32)
+        step, residual, w = step_fn(n, R, P, h2, is_f32)
 
         if n <= coarsest:
             # first sweep from u=0 is the elementwise u1 = w*r
             u = w * r
-            return smooth(u, r, step, coarse_sweeps - 1)
+            u = smooth(u, r, step, coarse_sweeps - 1)
+            return scale * u if (top and scale != 1.0) else u
 
         u = w * r
         u = smooth(u, r, step, nu_pre - 1)
         res = residual(u, r)
         ec = vcycle(restrict_p(res, n), (n - 1) // 2)
         u = u + prolong_p(ec, (n - 1) // 2, R, P)
-        return smooth(u, r, step, nu_post)
+        if top and scale != 1.0 and nu_post >= 1:
+            # fold the caller's equilibration scale into the final sweep
+            u = smooth(u, r, step, nu_post - 1)
+            step_s, _, _ = step_fn(n, R, P, h2, is_f32, s=scale)
+            return step_s(u, r)
+        u = smooth(u, r, step, nu_post)
+        return scale * u if (top and scale != 1.0) else u
 
     nx_pad, ny_pad = pad_rows_width(nx), pad_cols_width(nx)
 
     def matvec(x):
-        return vcycle(x.reshape(nx_pad, ny_pad), nx).reshape(-1)
+        return vcycle(x.reshape(nx_pad, ny_pad), nx, top=True).reshape(-1)
 
     matvec.shape = (nx_pad * ny_pad, nx_pad * ny_pad)
     matvec.grid = (nx, nx)
@@ -851,6 +866,7 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
 def multigrid_poisson_preconditioner(
     nx, nu_pre=2, nu_post=2, omega=0.8, coarsest=7, coarse_sweeps=20,
     coarse_solver=None, impl="jnp", smoother="jacobi", pad_cols=False,
+    scale=1.0,
 ):
     r"""Geometric multigrid V-cycle preconditioner for the 2-D Dirichlet
     Poisson operator -- the mesh-independent production preconditioner.
@@ -866,6 +882,12 @@ def multigrid_poisson_preconditioner(
     user-supplied operators; this is part of the TPU-native operator
     gallery.)
 
+    :param scale: scalar multiplied into the V-cycle output (M becomes
+      ``scale * V(r)``) -- for h^2-equilibrated systems where the caller
+      would otherwise wrap the preconditioner in ``lambda r: M(r)/h2``.
+      On the ``pad_cols`` Pallas lane the scale is folded into the final
+      post-smoothing kernel (zero extra HBM passes); on the jnp lane XLA
+      fuses the multiply into the last sweep.
     :param smoother: ``"jacobi"`` (damped by ``omega``) or ``"rbgs"``
       (red-black Gauss-Seidel at ``omega = 1`` -- the ``omega``
       parameter applies to the Jacobi smoother only: two checkerboard
@@ -887,7 +909,8 @@ def multigrid_poisson_preconditioner(
                 "the sweep coarse solve only"
             )
         return _multigrid_padded(
-            nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps, impl
+            nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps, impl,
+            scale=scale,
         )
     if coarse_solver == "dst":
         coarse_solver = poisson_dst_solver(coarsest)
@@ -977,7 +1000,8 @@ def multigrid_poisson_preconditioner(
 
     def matvec(x):
         r = x.reshape(nx, nx)
-        return vcycle(r, nx).reshape(-1)
+        u = vcycle(r, nx).reshape(-1)
+        return scale * u if scale != 1.0 else u
 
     matvec.shape = (nx * nx, nx * nx)
     return matvec

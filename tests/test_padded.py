@@ -194,6 +194,52 @@ def test_padded_multigrid_matches_unpadded(nx):
     )
 
 
+@pytest.mark.parametrize("nx", [31, 63])
+def test_multigrid_scale_folds(nx):
+    """``scale=`` == external ``s * M(r)`` multiply on both lanes.
+
+    On the jnp lanes the fold is bit-exact (the final sweep's output is
+    multiplied by the same scalar, just inside the program)."""
+    s = 7.5
+    kw = dict(coarsest=7, coarse_sweeps=12)
+    mg = ops.multigrid_poisson_preconditioner(nx, **kw)
+    mgs = ops.multigrid_poisson_preconditioner(nx, scale=s, **kw)
+    mgp = ops.multigrid_poisson_preconditioner(nx, pad_cols=True, **kw)
+    mgps = ops.multigrid_poisson_preconditioner(
+        nx, pad_cols=True, scale=s, **kw
+    )
+    key = jax.random.PRNGKey(11)
+    r, rp = _rand_padded(key, nx, nx)
+    np.testing.assert_array_equal(
+        np.asarray(mgs(r)), s * np.asarray(mg(r))
+    )
+    got = mgps(rp)
+    # the scaled final sweep preserves the pad-zero invariant
+    u = np.asarray(got.reshape(mgps.nx_pad, mgps.ny_pad))
+    assert np.all(u[nx:, :] == 0.0) and np.all(u[:, nx:] == 0.0)
+    np.testing.assert_array_equal(np.asarray(got), s * np.asarray(mgp(rp)))
+
+
+def test_multigrid_scale_folds_pallas_lane():
+    """The Pallas affine-kernel fold (alpha=s, beta=s*w, scaled coeffs)
+    matches the external multiply to f32 rounding.  nx=511 so the fine
+    level takes the ``n >= 256`` Pallas branch (interpreted off-TPU);
+    coarsest=255 keeps the recursion to one Pallas level."""
+    nx, s = 511, 3.0
+    kw = dict(
+        nu_pre=1, nu_post=1, coarsest=255, coarse_sweeps=2,
+        pad_cols=True, impl="pallas",
+    )
+    mgp = ops.multigrid_poisson_preconditioner(nx, **kw)
+    mgps = ops.multigrid_poisson_preconditioner(nx, scale=s, **kw)
+    key = jax.random.PRNGKey(12)
+    _, rp = _rand_padded(key, nx, nx, dtype=jnp.float32)
+    want = s * np.asarray(mgp(rp))
+    got = np.asarray(mgps(rp))
+    scale_ref = max(1.0, float(np.max(np.abs(want))))
+    np.testing.assert_allclose(got, want, atol=5e-6 * scale_ref)
+
+
 def test_padded_multigrid_rejects_unsupported():
     with pytest.raises(ValueError):
         ops.multigrid_poisson_preconditioner(
