@@ -31,6 +31,7 @@ __all__ = [
     "laplacian_2d_pipelined",
     "stencil5_pipelined",
     "stencil5_affine",
+    "stencil5_resrestrict_rows",
     "stencil5_sharded",
 ]
 
@@ -244,6 +245,166 @@ def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
         x, nx=nx, ny=ny, coeffs=coeffs, block_rows=block_rows,
         interpret=interpret,
     )
+
+
+def _make_resrestrict_kernel(ny, Tc, n_blocks, nrows, cc, cu, cd, cl, cr,
+                             *, ncols):
+    """Kernel body for :func:`stencil5_resrestrict_rows`: the residual
+    ``res = g + Stencil5(u)`` (coeffs pre-negated by the caller, grouped
+    difference form) followed by full-weighting ROW restriction
+    ``out[I] = 0.25 res[2I] + 0.5 res[2I+1] + 0.25 res[2I+2]`` in the
+    same VMEM residency.  The sublane decimation rides the MXU: a tiny
+    constant banded matrix ``W (Tc, 2Tc)`` built from iotas contracts
+    the 2Tc in-register residual rows to Tc output rows (strided sublane
+    slices are not portably supported by Mosaic; the matmul is, and its
+    FLOPs are noise next to the streamed bytes).  The one residual row
+    each block needs from its lower neighbor (fine row ``2(i+1)Tc``) is
+    recomputed from the 8-row halo views."""
+    T2 = 2 * Tc
+    ncoarse = (nrows - 1) // 2
+    a, b2, c2, d2 = -cu, -cd, -cl, -cr
+    e = cc + cu + cd + cl + cr
+
+    def kernel(uc_ref, up8_ref, dn8_ref, gc_ref, gdn8_ref, out_ref):
+        i = pl.program_id(0)
+        u = uc_ref[:, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (T2, ny), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T2, ny), 1)
+
+        up_edge = jnp.where(i == 0, jnp.zeros((1, ny), u.dtype),
+                            up8_ref[7:8, :])
+        dn_edge = jnp.where(
+            i == n_blocks - 1, jnp.zeros((1, ny), u.dtype), dn8_ref[0:1, :]
+        )
+        up = jnp.where(row == 0, up_edge, pltpu.roll(u, jnp.int32(1), 0))
+        down = jnp.where(
+            row == T2 - 1, dn_edge, pltpu.roll(u, jnp.int32(T2 - 1), 0)
+        )
+        glob = i * T2 + row
+        down = jnp.where(glob == nrows - 1, 0.0, down)
+        left = jnp.where(col == 0, 0.0, pltpu.roll(u, jnp.int32(1), 1))
+        right = jnp.where(
+            col >= ncols - 1, 0.0, pltpu.roll(u, jnp.int32(ny - 1), 1)
+        )
+        res = (a * (u - up) + b2 * (u - down)
+               + c2 * (u - left) + d2 * (u - right))
+        if e != 0.0:
+            res = res + e * u
+        res = res + gc_ref[:, :]
+        res = jnp.where(glob >= nrows, 0.0, res)
+        if ncols != ny:
+            res = jnp.where(col >= ncols, 0.0, res)
+
+        # the extra residual row: fine row f* = 2(i+1)Tc, i.e. row 0 of
+        # the next center block, rebuilt from the halo views (u at
+        # f*-1 = last center row, f* = dn8[0], f*+1 = dn8[1]; g at
+        # f* = gdn8[0]).  Masked to zero when f* is past the logical
+        # grid (last block), which also covers the clamped halo views.
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, ny), 1)
+        ustar = dn8_ref[0:1, :]
+        up_s = u[T2 - 1:T2, :]
+        dn_s = dn8_ref[1:2, :]
+        gstar = (i + 1) * T2
+        dn_s = jnp.where(gstar == nrows - 1, 0.0, dn_s)
+        left_s = jnp.where(
+            col1 == 0, 0.0, pltpu.roll(ustar, jnp.int32(1), 1)
+        )
+        right_s = jnp.where(
+            col1 >= ncols - 1, 0.0, pltpu.roll(ustar, jnp.int32(ny - 1), 1)
+        )
+        res_s = (a * (ustar - up_s) + b2 * (ustar - dn_s)
+                 + c2 * (ustar - left_s) + d2 * (ustar - right_s))
+        if e != 0.0:
+            res_s = res_s + e * ustar
+        res_s = res_s + gdn8_ref[0:1, :]
+        res_s = jnp.where(gstar >= nrows, 0.0, res_s)
+        if ncols != ny:
+            res_s = jnp.where(col1 >= ncols, 0.0, res_s)
+
+        # W[I, k] = 0.25 (k==2I) + 0.5 (k==2I+1) + 0.25 (k==2I+2)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (Tc, T2), 0)
+        wk = jax.lax.broadcasted_iota(jnp.int32, (Tc, T2), 1)
+        # keep every intermediate in u.dtype: a bare where(mask, .25, 0)
+        # would make f64 under x64, which Mosaic cannot lay out
+        W = (0.25 * (wk == 2 * wi).astype(u.dtype)
+             + 0.5 * (wk == 2 * wi + 1).astype(u.dtype)
+             + 0.25 * (wk == 2 * wi + 2).astype(u.dtype))
+        out = jax.lax.dot(
+            W, res, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=u.dtype,
+        )
+        rowc = jax.lax.broadcasted_iota(jnp.int32, (Tc, ny), 0)
+        # row Tc-1's k = 2Tc term is the recomputed halo residual row
+        out = out + jnp.where(rowc == Tc - 1, 0.25 * res_s, 0.0)
+        out = jnp.where(i * Tc + rowc >= ncoarse, 0.0, out)
+        out_ref[:, :] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "coeffs", "ncols", "nrows", "block_rows", "interpret",
+    ),
+)
+def stencil5_resrestrict_rows(u, g, *, nx, ny, coeffs, ncols, nrows,
+                              block_rows=64, interpret=None):
+    """Fused residual + full-weighting ROW restriction on the
+    grid-padded layout: ``out[I, :] = 0.25 res[2I] + 0.5 res[2I+1]
+    + 0.25 res[2I+2]`` with ``res = g + Stencil5(u)`` (pass the NEGATED
+    operator coefficients, as :func:`stencil5_affine`'s residual form
+    does), for ``I < (nrows-1)//2``; rows/cols beyond the logical
+    region are kept exactly zero.  Output shape ``(nx//2, ny)`` flat.
+
+    This replaces the V-cycle's separate residual kernel (3 HBM passes)
+    + jnp row/column restriction (~2.3 passes) with ONE kernel at ~2.5
+    passes -- the residual never round-trips through HBM.  ``nx`` must
+    be a multiple of 16 (so the half-height output keeps 8-row tiling);
+    the caller (ops._multigrid_padded) falls back to the unfused pair
+    otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if nx % 16 != 0:
+        raise ValueError("stencil5_resrestrict_rows: nx must be a "
+                         f"multiple of 16, got {nx}")
+    cc, cu, cd, cl, cr = (float(c) for c in coeffs)
+    uu = u.reshape(nx, ny)
+    gg = g.reshape(nx, ny)
+
+    # VMEM: per block ~2x{u(2Tc), g(2Tc), out(Tc)} + 3 halo chunks
+    bpe = jnp.dtype(u.dtype).itemsize
+    vmem_cap = max(8, (11 * 2**20) // (10 * ny * bpe))
+    cap = max(8, min(block_rows, vmem_cap) // 8 * 8)
+    Tc = _largest_divisor_mult8(nx // 2, min(cap, nx // 2))
+    T2 = 2 * Tc
+    n_blocks = (nx // 2) // Tc
+    r8 = T2 // 8
+
+    kernel = _make_resrestrict_kernel(
+        ny, Tc, n_blocks, nrows, cc, cu, cd, cl, cr, ncols=ncols,
+    )
+    center = pl.BlockSpec((T2, ny), lambda i: (i, jnp.int32(0)),
+                          memory_space=pltpu.VMEM)
+    up8 = pl.BlockSpec(
+        (8, ny), lambda i: (jnp.maximum(i * r8 - 1, 0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    dn8 = pl.BlockSpec(
+        (8, ny),
+        lambda i: (jnp.minimum((i + 1) * r8, nx // 8 - 1), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[center, up8, dn8, center, dn8],
+        out_specs=pl.BlockSpec((Tc, ny), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx // 2, ny), u.dtype),
+        interpret=interpret,
+    )(uu, uu, uu, gg, gg)
+    return out.reshape(-1)
 
 
 def stencil5_sharded(x, *, nx, ny, coeffs, mesh, axis_name=None,

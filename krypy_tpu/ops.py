@@ -775,6 +775,11 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
             # S(u) with S = -s*w*A, alpha=s, beta=s*w
             sc = tuple(-s * w * c for c in lapc)
             rc = tuple(-c for c in lapc)
+            # two damped-Jacobi sweeps FROM ZERO collapse to a single
+            # stencil on r: u2 = w r + w (r - A (w r)) = 2w r - w^2 A r
+            # -- one g-less kernel (2 HBM passes) instead of the
+            # elementwise w*r plus a full step (5 passes)
+            pc = tuple(-w * w * c for c in lapc)
 
             def step(u, r):
                 return stencil5_affine(
@@ -787,6 +792,35 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
                     u.reshape(-1), r.reshape(-1), nx=R, ny=P,
                     coeffs=rc, ncols=n, nrows=n, beta=1.0,
                 ).reshape(R, P)
+
+            def presmooth2(r):
+                return stencil5_affine(
+                    r.reshape(-1), None, nx=R, ny=P,
+                    coeffs=pc, ncols=n, nrows=n, alpha=2.0 * w,
+                ).reshape(R, P)
+
+            nc = (n - 1) // 2
+            if R % 16 == 0 and R // 2 == pad_rows_width(nc):
+                from .kernels.stencil import stencil5_resrestrict_rows
+
+                # residual + row restriction in ONE kernel (the fine
+                # residual never round-trips through HBM: ~2.5 passes
+                # vs 3 + ~2.3); columns restrict on the half-height
+                # intermediate in jnp
+                def resrestrict(u, r):
+                    half = stencil5_resrestrict_rows(
+                        u.reshape(-1), r.reshape(-1), nx=R, ny=P,
+                        coeffs=rc, ncols=n, nrows=n,
+                    ).reshape(R // 2, P)
+                    rl = half[:nc, :n]
+                    c = (0.25 * rl[:, 0:-2:2] + 0.5 * rl[:, 1:-1:2]
+                         + 0.25 * rl[:, 2::2])
+                    return jnp.pad(
+                        c, ((0, R // 2 - nc),
+                            (0, pad_cols_width(nc) - nc)),
+                    )
+            else:
+                resrestrict = None
         else:
             def step(u, r):
                 return s * (
@@ -798,7 +832,14 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
             def residual(u, r):
                 return r - _stencil5_padded_jnp(u, lapc, n, n)
 
-        return step, residual, w
+            def presmooth2(r):
+                return (2.0 * w) * r - (w * w) * _stencil5_padded_jnp(
+                    r, lapc, n, n
+                )
+
+            resrestrict = None
+
+        return step, residual, w, presmooth2, resrestrict
 
     def smooth(u, r, step, k):
         if k <= 0:
@@ -831,7 +872,9 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
         R, P = r.shape
         is_f32 = r.dtype == jnp.float32
         h2 = (1.0 / (n + 1)) ** 2
-        step, residual, w = step_fn(n, R, P, h2, is_f32)
+        step, residual, w, presmooth2, resrestrict = step_fn(
+            n, R, P, h2, is_f32
+        )
 
         if n <= coarsest:
             # first sweep from u=0 is the elementwise u1 = w*r
@@ -839,15 +882,20 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
             u = smooth(u, r, step, coarse_sweeps - 1)
             return scale * u if (top and scale != 1.0) else u
 
-        u = w * r
-        u = smooth(u, r, step, nu_pre - 1)
-        res = residual(u, r)
-        ec = vcycle(restrict_p(res, n), (n - 1) // 2)
+        # sweeps 1+2 from u=0 collapse into ONE stencil pass on r
+        # (u2 = 2w r - w^2 A r); sweep 1 alone is the elementwise w*r
+        u = presmooth2(r) if nu_pre >= 2 else w * r
+        u = smooth(u, r, step, nu_pre - 2)
+        if resrestrict is not None:
+            rc_grid = resrestrict(u, r)
+        else:
+            rc_grid = restrict_p(residual(u, r), n)
+        ec = vcycle(rc_grid, (n - 1) // 2)
         u = u + prolong_p(ec, (n - 1) // 2, R, P)
         if top and scale != 1.0 and nu_post >= 1:
             # fold the caller's equilibration scale into the final sweep
             u = smooth(u, r, step, nu_post - 1)
-            step_s, _, _ = step_fn(n, R, P, h2, is_f32, s=scale)
+            step_s = step_fn(n, R, P, h2, is_f32, s=scale)[0]
             return step_s(u, r)
         u = smooth(u, r, step, nu_post)
         return scale * u if (top and scale != 1.0) else u
@@ -990,7 +1038,16 @@ def multigrid_poisson_preconditioner(
                 )
             return smooth(jnp.zeros_like(r), coarse_sweeps)
 
-        u = smooth(jnp.zeros_like(r), nu_pre)
+        if smoother == "rbgs" or nu_pre < 2:
+            u = smooth(jnp.zeros_like(r), nu_pre)
+        else:
+            # Jacobi sweeps 1+2 from u=0 collapse to one stencil pass:
+            # u2 = 2w r - w^2 A r (mirrors the padded lane, which saves
+            # 3 HBM passes per level this way; here XLA fuses most of
+            # the chain but the collapse still drops a full lap_grid)
+            w = omega / diag
+            u = smooth((2.0 * w) * r - (w * w) * lap_grid(r, nx_l, h2),
+                       nu_pre - 2)
         res = r - lap_grid(u, nx_l, h2)
         ec = vcycle(_restrict_fw(res), (nx_l - 1) // 2)
         u = u + _prolong_bilinear(ec, nx_l)

@@ -240,6 +240,55 @@ def test_multigrid_scale_folds_pallas_lane():
     np.testing.assert_allclose(got, want, atol=5e-6 * scale_ref)
 
 
+def test_stencil5_resrestrict_rows_matches_unfused():
+    """Fused residual + row-restrict kernel == residual kernel followed
+    by the jnp full-weighting row pass (bit-exact in interpret mode:
+    the W matmul contracts exact power-of-two weights), including the
+    recomputed halo row each block takes from its lower neighbor and
+    the pad-zero invariant."""
+    from krypy_tpu.kernels.stencil import stencil5_resrestrict_rows
+
+    n = 511
+    R, P = _shapes(n, n)
+    h2 = (1.0 / (n + 1)) ** 2
+    lapc = (4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2)
+    rc = tuple(-c for c in lapc)
+    key = jax.random.PRNGKey(21)
+    _, up = _rand_padded(key, n, n, dtype=jnp.float32)
+    _, gp = _rand_padded(jax.random.PRNGKey(22), n, n, dtype=jnp.float32)
+    res = stencil5_affine(
+        up, gp, nx=R, ny=P, coeffs=rc, ncols=n, nrows=n, beta=1.0,
+    ).reshape(R, P)[:n]
+    want = 0.25 * res[0:-2:2] + 0.5 * res[1:-1:2] + 0.25 * res[2::2]
+    half = np.asarray(
+        stencil5_resrestrict_rows(
+            up, gp, nx=R, ny=P, coeffs=rc, ncols=n, nrows=n,
+        ).reshape(R // 2, P)
+    )
+    nc = (n - 1) // 2
+    assert np.all(half[nc:, :] == 0.0) and np.all(half[:, n:] == 0.0)
+    np.testing.assert_array_equal(half[:nc], np.asarray(want))
+
+
+def test_padded_pallas_vcycle_matches_jnp_lane():
+    """Pallas padded V-cycle (presmooth2 collapse + fused
+    residual/restrict engaged: nu_pre=2, fine level past the n >= 256
+    Pallas cutoff) == jnp padded V-cycle to f32 rounding."""
+    nx = 511
+    kw = dict(
+        nu_pre=2, nu_post=2, coarsest=255, coarse_sweeps=2,
+        pad_cols=True,
+    )
+    mgj = ops.multigrid_poisson_preconditioner(nx, impl="jnp", **kw)
+    mgp = ops.multigrid_poisson_preconditioner(nx, impl="pallas", **kw)
+    key = jax.random.PRNGKey(23)
+    _, rp = _rand_padded(key, nx, nx, dtype=jnp.float32)
+    want = np.asarray(mgj(rp))
+    got = np.asarray(mgp(rp))
+    scale_ref = max(1.0, float(np.max(np.abs(want))))
+    np.testing.assert_allclose(got, want, atol=5e-6 * scale_ref)
+
+
 def test_padded_multigrid_rejects_unsupported():
     with pytest.raises(ValueError):
         ops.multigrid_poisson_preconditioner(
