@@ -46,8 +46,12 @@ import jax.numpy as jnp
 # ghost; the f32 operator and multigrid smoother/residual then run as
 # fused Pallas affine-stencil kernels on lane-ALIGNED rows instead of
 # the misaligned jnp chains (measured 39 GB/s at 8191^2,
-# benchmarks/RESULTS_r5.md).  BENCH_PAD=1 opts in (flipped to default
-# once measured on the driver path).
+# benchmarks/RESULTS_r5.md).  BENCH_PAD=1 opts in.  MEASURED on the
+# driver path (1M dof, same session): PAD=1 0.0559 s vs PAD=0 0.0561 s
+# -- a wash, because the ~56 ms solve is dispatch/latency-bound (~25 ms
+# constant transport overhead, CLAUDE.md) rather than HBM-bound at this
+# size; the padded lane pays at the 67M-dof north star (1.9x,
+# benchmarks/RESULTS_r5.md).  Kept opt-in: equal speed, simpler default.
 PAD = os.environ.get("BENCH_PAD", "0") == "1"
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "laplacian_2d_pipelined",
     "stencil5_pipelined",
     "stencil5_affine",
+    "stencil5_jacobi2",
     "stencil5_resrestrict_rows",
     "stencil5_sharded",
 ]
@@ -245,6 +246,156 @@ def stencil5_pipelined(x, *, nx, ny, coeffs, block_rows=256,
         x, nx=nx, ny=ny, coeffs=coeffs, block_rows=block_rows,
         interpret=interpret,
     )
+
+
+def _make_jacobi2_kernel(ny, T, n_blocks, nrows, lapc, w, s, *, ncols):
+    """Kernel body for :func:`stencil5_jacobi2`: TWO damped-Jacobi
+    sweeps ``v = u + w (g - A u)``, ``out = s (v + w (g - A v))`` in one
+    VMEM residency (temporal blocking).  The intermediate ``v`` is
+    computed on the block EXTENDED by the 8-row halo views above and
+    below, so the second sweep's edge rows read a locally-recomputed
+    ``v`` halo instead of a second HBM round trip.  Out-of-range
+    extended rows (before the grid, past ``nrows``) are zeroed by
+    POSITION, which subsumes the Dirichlet row fixups: a neighbor read
+    past either edge sees exactly the boundary zero.  Per-stage
+    arithmetic replicates :func:`_make_stencil5_kernel`'s grouped
+    difference form term-for-term (same compile-time constant products,
+    same add order), so the fused kernel matches two chained
+    :func:`stencil5_affine` steps to ~1 ulp (only FMA contraction
+    choices differ between the program shapes)."""
+    Te = T + 16
+
+    def stage_consts(sk):
+        sc = tuple(-sk * w * c for c in lapc)
+        cc, cu, cd, cl, cr = sc
+        a, b2, c2, d2 = -cu, -cd, -cl, -cr
+        e = cc + cu + cd + cl + cr
+        return a, b2, c2, d2, e, sk, sk * w
+
+    st1 = stage_consts(1.0)
+    st2 = stage_consts(s)
+
+    def kernel(uc_ref, up8_ref, dn8_ref, gc_ref, gup8_ref, gdn8_ref,
+               out_ref):
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Te, ny), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Te, ny), 1)
+        grow = i * T + row - 8
+        valid = (grow >= 0) & (grow < nrows)
+
+        ue = jnp.concatenate(
+            [up8_ref[:, :], uc_ref[:, :], dn8_ref[:, :]], axis=0
+        )
+        ge = jnp.concatenate(
+            [gup8_ref[:, :], gc_ref[:, :], gdn8_ref[:, :]], axis=0
+        )
+        # the edge-clamped halo views hold in-buffer data from the WRONG
+        # rows; zero them by position (grow < 0 past the top edge,
+        # grow >= nrows past the bottom / in the row padding)
+        zero = jnp.zeros((), ue.dtype)
+        ue = jnp.where(valid, ue, zero)
+        ge = jnp.where(valid, ge, zero)
+
+        def stage(v, consts):
+            a, b2, c2, d2, e, alpha, beta = consts
+            # rolls wrap at the extended-block edges: rows 0 and Te-1
+            # are garbage there, but those rows' OUTPUT is never
+            # consumed (stage 1 is used on rows 7..Te-8+1 only, stage 2
+            # on the center T); mask them anyway so `valid` zeroing
+            # keeps every intermediate finite
+            up = jnp.where(
+                row == 0, zero, pltpu.roll(v, jnp.int32(1), 0)
+            )
+            down = jnp.where(
+                row == Te - 1, zero, pltpu.roll(v, jnp.int32(Te - 1), 0)
+            )
+            left = jnp.where(
+                col == 0, 0.0, pltpu.roll(v, jnp.int32(1), 1)
+            )
+            right = jnp.where(
+                col >= ncols - 1, 0.0, pltpu.roll(v, jnp.int32(ny - 1), 1)
+            )
+            out = (a * (v - up) + b2 * (v - down)
+                   + c2 * (v - left) + d2 * (v - right))
+            if e != 0.0:
+                out = out + e * v
+            if alpha != 0.0:
+                out = out + alpha * v
+            if beta != 0.0:
+                out = out + beta * ge
+            if ncols != ny:
+                out = jnp.where(col >= ncols, 0.0, out)
+            return jnp.where(valid, out, zero)
+
+        v = stage(ue, st1)
+        o = stage(v, st2)
+        out_ref[:, :] = o[8:8 + T, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "coeffs", "w", "s", "ncols", "nrows", "block_rows",
+        "interpret",
+    ),
+)
+def stencil5_jacobi2(u, g, *, nx, ny, coeffs, w, s=1.0, ncols, nrows,
+                     block_rows=64, interpret=None):
+    """Two damped-Jacobi sweeps ``out = s (v + w (g - A v))`` with
+    ``v = u + w (g - A u)`` fused into ONE pipelined kernel on the
+    grid-padded layout (``coeffs`` = the OPERATOR ``A``'s five
+    coefficients; ``s`` folds an output scale into the second sweep).
+
+    Temporal blocking: the intermediate sweep never round-trips through
+    HBM, so a smoothing PAIR costs ~4 passes (u and g each read with
+    their 8-row halo views, one write) instead of the ~7 of two chained
+    :func:`stencil5_affine` steps.  Matches the chained pair to ~1 ulp
+    (same grouped-difference constants and add order per stage; only
+    FMA contraction differs).  ``nx`` must be a multiple of 8 (the
+    grid-padded invariant)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if nx % 8 != 0:
+        raise ValueError(f"stencil5_jacobi2: nx must be a multiple of 8, "
+                         f"got {nx}")
+    lapc = tuple(float(c) for c in coeffs)
+    uu = u.reshape(nx, ny)
+    gg = g.reshape(nx, ny)
+
+    # VMEM: pipeline buffers (2x{u, g, out} blocks + 4 halo views) plus
+    # the in-kernel extended temporaries (ue, ge, v, o at T+16 rows)
+    bpe = jnp.dtype(u.dtype).itemsize
+    vmem_cap = max(8, (11 * 2**20) // (12 * ny * bpe))
+    cap = max(8, min(block_rows, vmem_cap) // 8 * 8)
+    T = _largest_divisor_mult8(nx, min(cap, nx))
+    n_blocks = nx // T
+    r8 = T // 8
+
+    kernel = _make_jacobi2_kernel(
+        ny, T, n_blocks, nrows, lapc, float(w), float(s), ncols=ncols,
+    )
+    center = pl.BlockSpec((T, ny), lambda i: (i, jnp.int32(0)),
+                          memory_space=pltpu.VMEM)
+    up8 = pl.BlockSpec(
+        (8, ny), lambda i: (jnp.maximum(i * r8 - 1, 0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    dn8 = pl.BlockSpec(
+        (8, ny),
+        lambda i: (jnp.minimum((i + 1) * r8, nx // 8 - 1), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[center, up8, dn8, center, up8, dn8],
+        out_specs=center,
+        out_shape=jax.ShapeDtypeStruct((nx, ny), u.dtype),
+        interpret=interpret,
+    )(uu, uu, uu, gg, gg, gg)
+    return out.reshape(-1)
 
 
 def _make_resrestrict_kernel(ny, Tc, n_blocks, nrows, cc, cu, cd, cl, cr,

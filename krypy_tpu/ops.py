@@ -799,6 +799,17 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
                     coeffs=pc, ncols=n, nrows=n, alpha=2.0 * w,
                 ).reshape(R, P)
 
+            from .kernels.stencil import stencil5_jacobi2
+
+            # a post-smoothing PAIR (optionally scale-folded on the
+            # second sweep) in ONE temporally-blocked kernel: ~4 HBM
+            # passes instead of the ~7 of two chained step() kernels
+            def step2(u, r, s2=1.0):
+                return stencil5_jacobi2(
+                    u.reshape(-1), r.reshape(-1), nx=R, ny=P,
+                    coeffs=lapc, w=w, s=s2, ncols=n, nrows=n,
+                ).reshape(R, P)
+
             nc = (n - 1) // 2
             if R % 16 == 0 and R // 2 == pad_rows_width(nc):
                 from .kernels.stencil import stencil5_resrestrict_rows
@@ -838,8 +849,9 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
                 )
 
             resrestrict = None
+            step2 = None
 
-        return step, residual, w, presmooth2, resrestrict
+        return step, residual, w, presmooth2, resrestrict, step2
 
     def smooth(u, r, step, k):
         if k <= 0:
@@ -872,7 +884,7 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
         R, P = r.shape
         is_f32 = r.dtype == jnp.float32
         h2 = (1.0 / (n + 1)) ** 2
-        step, residual, w, presmooth2, resrestrict = step_fn(
+        step, residual, w, presmooth2, resrestrict, step2 = step_fn(
             n, R, P, h2, is_f32
         )
 
@@ -892,13 +904,23 @@ def _multigrid_padded(nx, nu_pre, nu_post, omega, coarsest, coarse_sweeps,
             rc_grid = restrict_p(residual(u, r), n)
         ec = vcycle(rc_grid, (n - 1) // 2)
         u = u + prolong_p(ec, (n - 1) // 2, R, P)
-        if top and scale != 1.0 and nu_post >= 1:
+        s_fold = scale if (top and scale != 1.0) else 1.0
+        if step2 is not None and nu_post >= 2:
+            # post-smoothing runs as temporally-blocked PAIRS (one
+            # kernel per pair, ~4 HBM passes vs ~7 chained); the
+            # equilibration scale folds into the last pair's second
+            # sweep.  Odd sweep counts take the single leftover first.
+            u = smooth(u, r, step, nu_post % 2)
+            for _ in range(nu_post // 2 - 1):
+                u = step2(u, r)
+            return step2(u, r, s_fold)
+        if s_fold != 1.0 and nu_post >= 1:
             # fold the caller's equilibration scale into the final sweep
             u = smooth(u, r, step, nu_post - 1)
-            step_s = step_fn(n, R, P, h2, is_f32, s=scale)[0]
+            step_s = step_fn(n, R, P, h2, is_f32, s=s_fold)[0]
             return step_s(u, r)
         u = smooth(u, r, step, nu_post)
-        return scale * u if (top and scale != 1.0) else u
+        return s_fold * u if s_fold != 1.0 else u
 
     nx_pad, ny_pad = pad_rows_width(nx), pad_cols_width(nx)
 

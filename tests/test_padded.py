@@ -270,6 +270,44 @@ def test_stencil5_resrestrict_rows_matches_unfused():
     np.testing.assert_array_equal(half[:nc], np.asarray(want))
 
 
+def test_stencil5_jacobi2_matches_chained_steps():
+    """Temporally-blocked Jacobi pair == two chained stencil5_affine
+    steps to a couple of ulps (same grouped-difference constants and
+    add order per stage; the residual 1-ulp differences are FMA
+    contraction choices differing between the two program shapes),
+    including the scale fold on the second sweep and the
+    recomputed-halo rows at every block edge."""
+    from krypy_tpu.kernels.stencil import stencil5_jacobi2
+
+    n = 511
+    R, P = _shapes(n, n)
+    h2 = (1.0 / (n + 1)) ** 2
+    lapc = (4.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2, -1.0 / h2)
+    w = 0.8 / (4.0 / h2)
+    key = jax.random.PRNGKey(31)
+    _, up = _rand_padded(key, n, n, dtype=jnp.float32)
+    _, gp = _rand_padded(jax.random.PRNGKey(32), n, n, dtype=jnp.float32)
+    for s in (1.0, 3.25):
+        sc = tuple(-s * w * c for c in lapc)
+        sc1 = tuple(-w * c for c in lapc)
+        v = stencil5_affine(
+            up, gp, nx=R, ny=P, coeffs=sc1, ncols=n, nrows=n,
+            alpha=1.0, beta=w,
+        )
+        want = stencil5_affine(
+            v, gp, nx=R, ny=P, coeffs=sc, ncols=n, nrows=n,
+            alpha=s, beta=s * w,
+        )
+        got = stencil5_jacobi2(
+            up, gp, nx=R, ny=P, coeffs=lapc, w=w, s=s, ncols=n, nrows=n,
+        )
+        scale_ref = float(np.max(np.abs(np.asarray(want))))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6,
+            atol=2e-7 * scale_ref,
+        )
+
+
 def test_padded_pallas_vcycle_matches_jnp_lane():
     """Pallas padded V-cycle (presmooth2 collapse + fused
     residual/restrict engaged: nu_pre=2, fine level past the n >= 256
